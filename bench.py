@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query is forced with a count() action (no driver-side collect of big
+results); a warmup run of the first query absorbs JVM/codegen startup so the
+numbers measure the plans, not session boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from migdar_data_pipelines_spark.session import get_spark  # noqa: E402
+from migdar_data_pipelines_spark.plans import query_fns  # noqa: E402
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "topk_parts_per_brand",
+    "flagship_entity_rollup",
+    "group_collect_orders",
+    "cdc_hash_diff_orders",
+    "first_seen_events",
+    "forward_fill_events",
+    "fuzzy_translate_nations",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("migdar-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    fns = query_fns()
+    names = [n for n in BENCH_QUERIES if n in fns]
+    # warmup: session/codegen/parquet-footer costs land here, not in timings
+    fns[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        fns[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""R2 ``DF.concatenate``: alias-mapped union of N resources.
+
+Reference semantics (flows/datasets.py:336 with mapping :186-247,
+flows/publications.py:95-118, flows/zotero.py:9-24,112-115,
+flows/organisations.py:11-42,58): canonical field <- list of source aliases
+(including Hebrew headers); the FIRST alias present in a source wins; unlisted
+source fields are dropped; canonical fields missing from a source become null.
+
+Spark-first: per-source ``select`` with alias resolution at plan time, then
+``unionByName`` — a zero-shuffle narrow op; Catalyst prunes unselected source
+columns all the way into the scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def concatenate(
+    sources: list[DataFrame],
+    fields: dict[str, list[str] | None],
+    keep_ord: str | None = None,
+) -> DataFrame:
+    """Union ``sources`` into one DataFrame with canonical columns ``fields``.
+
+    fields: {canonical_name: [alias, ...] or None}. ``None`` / empty list means
+    the canonical name itself is the only accepted source column. When several
+    aliases are present in one source, the first listed wins (coalesce order),
+    matching the reference's first-alias-wins resolution.
+
+    ``keep_ord``: name of an ordering column to carry through (the engine's
+    ``__ord`` convention, SURVEY.md §7.4) — source index becomes the major key
+    so cross-source order matches the reference's sequential streaming.
+    """
+    out = None
+    for idx, src in enumerate(sources):
+        cols = []
+        for canonical, aliases in fields.items():
+            candidates = [a for a in (aliases or []) if a in src.columns]
+            if not candidates and canonical in src.columns:
+                candidates = [canonical]
+            if not candidates:
+                cols.append(F.lit(None).cast("string").alias(canonical))
+            elif len(candidates) == 1:
+                cols.append(F.col(candidates[0]).alias(canonical))
+            else:
+                cols.append(F.coalesce(*[F.col(c) for c in candidates]).alias(canonical))
+        if keep_ord and keep_ord in src.columns:
+            # major-order by source position, minor by intra-source ord
+            cols.append(
+                (F.lit(idx).cast("long") * F.lit(10**12) + F.col(keep_ord)).alias(keep_ord)
+            )
+        projected = src.select(*cols)
+        out = projected if out is None else out.unionByName(projected)
+    if out is None:
+        raise ValueError("concatenate needs at least one source")
+    return out

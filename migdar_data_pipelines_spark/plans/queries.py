@@ -1,0 +1,611 @@
+"""Query registry: every implemented operator exposed as a (spark_fn, oracle_sql)
+pair over the driver's testdata tables.
+
+Each entry exercises one or more operators from SURVEY.md §2 against
+`/root/testdata/sf*/` and carries an ANSI-SQL oracle DuckDB can run on the same
+parquet (views pre-registered by the driver). Conventions for hash-stable
+parity (the driver sorts columns by name and hashes values):
+
+  * every computed/aggregate column aliased identically in Spark and SQL;
+  * doubles rounded (sums to 2 dp, ratios/avgs to 4) on BOTH sides;
+  * temporal outputs formatted to strings on BOTH sides;
+  * integer-sum outputs cast to BIGINT in DuckDB (its SUM(int) is HUGEINT);
+  * arrays joined to delimited strings on BOTH sides.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import (
+    concatenate,
+    dedup_suffix,
+    extract_year,
+    first_seen_dedup,
+    forward_fill,
+    join_resources,
+    join_self,
+    unpivot_regex,
+)
+from ..operators.cdc import cdc_counts, hash_diff
+from ..operators.textops import content_hash, md5_doc_id
+from ..operators.translate import TranslationTable, split_and_translate
+
+QUERIES: dict[str, dict] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = {"fn": fn, "sql": sql}
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+        # rejects; read nanos as long and truncate to microseconds (DuckDB's
+        # ns->us conversion also truncates, keeping parity).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the SURVEY §7.2 minimum end-to-end slice (publications shape):
+# two sources -> concatenate (alias map, R2) -> filter (P1) -> broadcast join
+# (J1) -> group_collect (J2) -> md5 doc id (C17).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_entity_rollup",
+    sql="""
+WITH unioned AS (
+  SELECT c_name AS name, c_acctbal AS acctbal, c_nationkey AS nationkey,
+         'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_name, s_acctbal, s_nationkey, 'supplier' FROM supplier
+), filtered AS (
+  SELECT * FROM unioned WHERE acctbal > 0
+), joined AS (
+  SELECT f.*, n.n_name AS nation_name
+  FROM filtered f JOIN nation n ON f.nationkey = n.n_nationkey
+)
+SELECT nation_name,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       round(sum(acctbal), 2) AS sum_acctbal,
+       max(name) AS max_name,
+       concat('nation/', substr(md5(nation_name), 1, 16)) AS doc_id
+FROM joined GROUP BY nation_name
+""",
+)
+def flagship_entity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier, nation = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+    unioned = concatenate(
+        [
+            customer.select(
+                F.col("c_name").alias("name"),
+                F.col("c_acctbal").alias("acctbal"),
+                F.col("c_nationkey").alias("nationkey"),
+                F.lit("customer").alias("kind"),
+            ),
+            supplier.select(
+                F.col("s_name").alias("name"),
+                F.col("s_acctbal").alias("acctbal"),
+                F.col("s_nationkey").alias("nationkey"),
+                F.lit("supplier").alias("kind"),
+            ),
+        ],
+        {"name": None, "acctbal": None, "nationkey": None, "kind": None},
+    )
+    # concatenate projects unmapped columns to string; re-read acctbal as double
+    unioned = unioned.withColumn("acctbal", F.col("acctbal").cast("double")).withColumn(
+        "nationkey", F.col("nationkey").cast("int")
+    )
+    filtered = unioned.filter(F.col("acctbal") > 0)
+    joined = join_resources(
+        filtered, nation, "n_nationkey", "nationkey", {"n_name": "nation_name"}
+    )
+    rolled = join_self(
+        joined,
+        ["nation_name"],
+        {
+            "name": {"aggregate": "count", "name": "n_entities"},
+            "acctbal": {"aggregate": "sum", "name": "sum_acctbal"},
+            "kind": None,
+        },
+    ).drop("kind")
+    # max(name) via a second agg spec would collide on dict key; do it inline
+    maxes = joined.groupBy("nation_name").agg(F.max("name").alias("max_name"))
+    out = rolled.join(maxes, "nation_name")
+    return out.select(
+        "nation_name",
+        F.col("n_entities").cast("long").alias("n_entities"),
+        F.round("sum_acctbal", 2).alias("sum_acctbal"),
+        "max_name",
+        md5_doc_id("nation/", "nation_name").alias("doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics suite (bench headliners): scan-heavy aggregations and multi-joins
+# exercising Catalyst pushdown, partial aggregation and broadcast planning.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    sql="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    sql="""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, li = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter((F.col("o_orderdate") < cutoff) & (F.col("l_shipdate") > cutoff))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    sql="""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'REGION_0'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, li, s, n, r = (
+        _t(spark, sf_dir, t)
+        for t in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    )
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.filter(F.col("r_name") == "REGION_0")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "topk_parts_per_brand",
+    sql="""
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS retailprice, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rn
+  FROM part
+) WHERE rn <= 3
+""",
+)
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("retailprice"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Operator-parity queries (SURVEY §2 line items on testdata).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "concatenate_entities",
+    sql="""
+SELECT c_name AS name, round(c_acctbal, 2) AS acctbal, 'customer' AS kind FROM customer
+UNION ALL
+SELECT s_name, round(s_acctbal, 2), 'supplier' FROM supplier
+""",
+)
+def concatenate_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: alias-mapped union (flows/publications.py:95-118)."""
+    customer = _t(spark, sf_dir, "customer").withColumn("kind", F.lit("customer"))
+    supplier = _t(spark, sf_dir, "supplier").withColumn("kind", F.lit("supplier"))
+    out = concatenate(
+        [customer, supplier],
+        {"name": ["c_name", "s_name"], "acctbal": ["c_acctbal", "s_acctbal"], "kind": None},
+    )
+    return out.select("name", F.round(F.col("acctbal").cast("double"), 2).alias("acctbal"), "kind")
+
+
+@register(
+    "join_enrich_supplier_nation",
+    sql="""
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal,
+       n.n_name AS gd_nation, n.n_regionkey AS gd_regionkey
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+""",
+)
+def join_enrich_supplier_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: inner enrichment join with renamed fields, broadcast dim
+    (flows/judges.py:137-143 tribunals->judges)."""
+    s, n = _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation")
+    out = join_resources(
+        s, n, "n_nationkey", "s_nationkey",
+        {"n_name": "gd_nation", "n_regionkey": "gd_regionkey"},
+    )
+    return out.select(
+        "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"),
+        "gd_nation", "gd_regionkey",
+    )
+
+
+@register(
+    "group_collect_orders",
+    sql="""
+SELECT o_custkey,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS orderkeys,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_custkey
+""",
+)
+def group_collect_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A1: join_self group-collect with order-pinned arrays
+    (flows/datasets.py:364-376)."""
+    o = _t(spark, sf_dir, "orders")
+    rolled = join_self(
+        o.withColumn("okey_str", F.col("o_orderkey").cast("string")),
+        ["o_custkey"],
+        {
+            "okey_str": {"aggregate": "array", "name": "orderkeys_arr"},
+            "o_orderstatus": {"aggregate": "count", "name": "n_orders"},
+            "o_totalprice": {"aggregate": "max", "name": "max_price"},
+        },
+        order_col="o_orderkey",
+    )
+    return rolled.select(
+        "o_custkey",
+        F.array_join("orderkeys_arr", ",").alias("orderkeys"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@register(
+    "forward_fill_events",
+    sql="""
+SELECT event_id,
+       last_value(CASE WHEN event_id % 5 = 0 THEN event_type END IGNORE NULLS)
+         OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS filled_type
+FROM events
+""",
+)
+def forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: forward fill in stream order (flows/datasets.py:303-309)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.withColumn(
+        "filled_type", F.when(F.col("event_id") % 5 == 0, F.col("event_type"))
+    )
+    return forward_fill(base, "filled_type", order_col="event_id").select(
+        "event_id", "filled_type"
+    )
+
+
+@register(
+    "dedup_suffix_segments",
+    sql="""
+SELECT c_custkey,
+       CASE WHEN rn > 1 THEN c_mktsegment || '.' || CAST(rn - 1 AS VARCHAR)
+            ELSE c_mktsegment END AS segment_id
+FROM (
+  SELECT c_custkey, c_mktsegment,
+         row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn
+  FROM customer
+)
+""",
+)
+def dedup_suffix_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: duplicate-key suffixing (flows/organisations.py:44-52)."""
+    c = _t(spark, sf_dir, "customer")
+    out = dedup_suffix(c, "c_mktsegment", order_col="c_custkey", out="segment_id")
+    return out.select("c_custkey", "segment_id")
+
+
+@register(
+    "first_seen_events",
+    sql="""
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def first_seen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4/R3: first-seen-wins dedup (flows/broken_links.py:34-43)."""
+    ev = _t(spark, sf_dir, "events")
+    return first_seen_dedup(ev, ["user_id"], order_col="event_id").select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+@register(
+    "unpivot_part_attrs",
+    sql="""
+SELECT p_partkey, 'size' AS attr, round(CAST(p_size AS DOUBLE), 2) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'retailprice', round(p_retailprice, 2) FROM part
+""",
+)
+def unpivot_part_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: regex melt wide->long (flows/datasets.py:323-334)."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    out = unpivot_regex(part, r"^p_(size|retailprice)$", "attr", "val")
+    return out.select("p_partkey", "attr", F.round("val", 2).alias("val"))
+
+
+@register(
+    "extract_year_dirty",
+    sql="""
+SELECT o_orderkey,
+       TRY_CAST(NULLIF(regexp_extract(
+         concat('פורסם בשנת ', strftime(o_orderdate, '%Y'), ' לערך'),
+         '[12][0-9]{3}'), '') AS INTEGER) AS pub_year
+FROM orders
+""",
+)
+def extract_year_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: regex year extraction from dirty strings
+    (flows/publications.py:51-63)."""
+    o = _t(spark, sf_dir, "orders")
+    dirty = F.concat(
+        F.lit("פורסם בשנת "), F.date_format("o_orderdate", "yyyy"), F.lit(" לערך")
+    )
+    return o.select(
+        "o_orderkey", extract_year(dirty).alias("pub_year")
+    )
+
+
+@register(
+    "cdc_hash_diff_orders",
+    sql="""
+WITH existing AS (
+  SELECT o_orderkey AS k,
+         md5(concat_ws('|', o_orderstatus,
+           CAST(CASE WHEN o_orderkey % 10 = 0
+                     THEN round(o_totalprice * 2, 2)
+                     ELSE o_totalprice END AS VARCHAR))) AS h
+  FROM orders WHERE o_orderkey % 20 <> 1
+  UNION ALL SELECT -1, 'synthetic'
+), incoming AS (
+  SELECT o_orderkey AS k,
+         md5(concat_ws('|', o_orderstatus, CAST(o_totalprice AS VARCHAR))) AS h
+  FROM orders
+)
+SELECT CASE WHEN e.k IS NULL THEN 'new'
+            WHEN i.k IS NULL THEN 'stale'
+            WHEN i.h = e.h THEN 'same'
+            ELSE 'changed' END AS status,
+       CAST(count(*) AS BIGINT) AS n
+FROM incoming i FULL OUTER JOIN existing e ON i.k = e.k
+GROUP BY 1
+""",
+)
+def cdc_hash_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/A3: hash-diff CDC classification + counts
+    (obsolete/prepare_data_for_es.py:90-169)."""
+    o = _t(spark, sf_dir, "orders")
+    existing = (
+        o.filter(F.col("o_orderkey") % 20 != 1)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 0, F.round(F.col("o_totalprice") * 2, 2)
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .select(
+            "o_orderkey",
+            content_hash(["o_orderstatus", "o_totalprice"]).alias("__hash"),
+        )
+    )
+    synthetic = existing.sparkSession.createDataFrame(
+        [(-1, "synthetic")], "o_orderkey long, __hash string"
+    )
+    classified = hash_diff(
+        o.select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        existing.unionByName(synthetic),
+        "o_orderkey",
+        ["o_orderstatus", "o_totalprice"],
+    )
+    return cdc_counts(classified).select(
+        F.col("__status").alias("status"), F.col("n").cast("long").alias("n")
+    )
+
+
+@register(
+    "fuzzy_translate_nations",
+    sql="""
+WITH inputs AS (
+  SELECT n_nationkey AS id,
+         concat(n_name,
+                CASE WHEN n_nationkey % 2 = 1 THEN 'x' ELSE '' END,
+                ',', 'NATION_5') AS field
+  FROM nation
+), lut AS (
+  SELECT lower(trim(n_name)) AS tkey, n_name AS hebrew, lower(n_name) AS english
+  FROM nation
+), exploded AS (
+  SELECT id, pos, trim(val) AS val FROM (
+    SELECT id,
+           unnest(string_split(field, ',')) AS val,
+           unnest(generate_series(1, len(string_split(field, ',')))) AS pos
+    FROM inputs
+  ) WHERE trim(val) <> ''
+), exact AS (
+  SELECT e.id, e.pos, e.val, l.hebrew, l.english
+  FROM exploded e LEFT JOIN lut l ON lower(e.val) = l.tkey
+), fuzzy AS (
+  SELECT m.id, m.pos, m.val, l.tkey, l.hebrew, l.english,
+         CASE WHEN greatest(len(lower(m.val)), len(l.tkey)) = 0 THEN 100.0
+              ELSE round(100.0 * (1.0 - CAST(levenshtein(lower(m.val), l.tkey) AS DOUBLE)
+                   / greatest(len(lower(m.val)), len(l.tkey))), 4) END AS score
+  FROM (SELECT id, pos, val FROM exact WHERE hebrew IS NULL) m CROSS JOIN lut l
+), best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY id, pos ORDER BY score DESC, tkey) AS rn
+    FROM fuzzy
+  ) WHERE rn = 1
+), resolved AS (
+  SELECT id, pos, val, hebrew, english FROM exact WHERE hebrew IS NOT NULL
+  UNION ALL
+  SELECT id, pos, val,
+         CASE WHEN score >= 85 THEN hebrew END,
+         CASE WHEN score >= 85 THEN english END
+  FROM best
+)
+SELECT id,
+       string_agg(coalesce(hebrew, val), ',' ORDER BY pos) AS field,
+       string_agg(coalesce(english, val), ',' ORDER BY pos) AS field__en
+FROM resolved GROUP BY id
+""",
+)
+def fuzzy_translate_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: split_and_translate — exact + fuzzy lookup against a broadcast
+    translation table (flows/i18n.py:80-163). Odd nation keys get a one-char
+    corruption so the fuzzy path (normalized-Levenshtein >= 85) must resolve
+    them; 'NATION_5' exercises the exact path on every row."""
+    n = _t(spark, sf_dir, "nation")
+    inputs = n.select(
+        F.col("n_nationkey").alias("id"),
+        F.concat(
+            F.col("n_name"),
+            F.when(F.col("n_nationkey") % 2 == 1, F.lit("x")).otherwise(F.lit("")),
+            F.lit(",NATION_5"),
+        ).alias("field"),
+    )
+    table = TranslationTable(
+        n.select(
+            F.col("n_name").alias("key"),
+            F.col("n_name").alias("hebrew"),
+            F.lower("n_name").alias("english"),
+        ),
+        key="key",
+        translations=("hebrew", "english"),
+    )
+    out = split_and_translate(
+        inputs, "field", table, delimiter=",", score_cutoff=85.0,
+        suffixes={"": "hebrew", "__en": "english"},
+    )
+    return out.select(
+        "id",
+        F.array_join("field", ",").alias("field"),
+        F.array_join("field__en", ",").alias("field__en"),
+    )
+
+
+def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec["fn"] for name, spec in QUERIES.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: spec["sql"] for name, spec in QUERIES.items() if spec["sql"]}

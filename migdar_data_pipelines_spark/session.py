@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the same
+configuration block is what we would ship to a 1000-executor cluster — AQE on
+(runtime re-planning, skew-join splitting, partition coalescing), broadcast
+threshold sized for dimension tables, Arrow enabled for the few pandas-UDF
+operators, and a UTC session timezone so results are oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "migdar-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    At 100 TB the same knobs matter, with different values supplied by the
+    deployment: ``spark.sql.shuffle.partitions`` ~ 2-3x total cores,
+    ``spark.sql.files.maxPartitionBytes`` sized so a scan task fits in memory,
+    and AQE left on to coalesce/skew-split at runtime.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # Shuffle parallelism ~ cores for local runs; AQE coalesces the rest.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * cpus))
+        # Deterministic, oracle-comparable timestamps (DuckDB is UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Runtime re-planning: partition coalescing, skew-join splitting,
+        # shuffle-hash/broadcast conversion with real stats.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Dimension tables (nation/region/translations/tribunals) broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow for the pandas-UDF operators (fuzzy translate, multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES):
+    """Load the driver's parquet tables as a dict name -> DataFrame."""
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}

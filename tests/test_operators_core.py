@@ -1,0 +1,176 @@
+"""Unit tests for core operators on tiny inline frames (SURVEY.md §5.2.1)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from migdar_data_pipelines_spark.operators import (
+    add_field,
+    concatenate,
+    dedup_suffix,
+    delete_fields,
+    expand_year_ranges,
+    extract_year,
+    filter_rows_equals,
+    first_seen_dedup,
+    fix_url,
+    format_field,
+    forward_fill,
+    md5_doc_id,
+    normalize_none_strings,
+    recode_map,
+    rewrite_links_as_anchors,
+    set_type,
+    split_to_array,
+    unpivot_regex,
+    join_resources,
+    join_self,
+)
+from migdar_data_pipelines_spark.operators.windows import stamp_ord
+
+
+def test_filter_rows_equals(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id int, k string")
+    got = filter_rows_equals(df, [{"k": "a"}]).count()
+    assert got == 2
+
+
+def test_delete_fields_regex(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "y", "z")], "id int, alt_name1 string, alt_name2 string, keep string"
+    )
+    out = delete_fields(df, ["alt_name[0-9]"])
+    assert out.columns == ["id", "keep"]
+
+
+def test_add_field_and_format(spark):
+    df = spark.createDataFrame([("a",)], "migdar_id string")
+    out = format_field(add_field(df, "score", "number", 10), "url", "publications/{migdar_id}")
+    row = out.first()
+    assert row.score == 10.0 and row.url == "publications/a"
+
+
+def test_set_type_group_char_and_on_error(spark):
+    df = spark.createDataFrame([("1,234",), ("bad",), (None,)], "v string")
+    out = set_type(df, "v", "number", group_char=",", on_error_default=2020)
+    vals = [r.v for r in out.collect()]
+    assert vals == [1234.0, 2020.0, None]
+
+
+def test_concatenate_alias_map(spark):
+    a = spark.createDataFrame([("k1", "t1", 0)], "key string, Title string, __ord long")
+    b = spark.createDataFrame([("k2", "t2", 0)], "key string, titre string, __ord long")
+    out = concatenate(
+        [a, b], {"migdar_id": ["key"], "title": ["Title", "titre"]}, keep_ord="__ord"
+    )
+    rows = {r.migdar_id: r.title for r in out.collect()}
+    assert rows == {"k1": "t1", "k2": "t2"}
+
+
+def test_unpivot_regex_melt(spark):
+    df = spark.createDataFrame(
+        [("c1", 1.0, 2.0)], "title string, `2010` double, `2011-2012` double"
+    )
+    out = unpivot_regex(df, r"^([12]\d{3})", "year", "value")
+    got = sorted((r.year, r.value) for r in out.collect())
+    assert got == [("2010", 1.0), ("2011", 2.0)]
+
+
+def test_join_inner_vs_left(spark):
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], "fk int, v string")
+    src = spark.createDataFrame([(1, "X")], "pk int, name string")
+    inner = join_resources(tgt, src, "pk", "fk", {"name": "gd_name"})
+    left = join_resources(tgt, src, "pk", "fk", {"name": "gd_name"}, full=True)
+    assert inner.count() == 1 and left.count() == 2
+    assert inner.first().gd_name == "X"
+
+
+def test_join_self_ordered_array(spark):
+    df = spark.createDataFrame(
+        [("g", "b", 1), ("g", "a", 0), ("h", "c", 0)], "k string, v string, __ord int"
+    )
+    out = join_self(
+        df,
+        ["k"],
+        {
+            "v": {"aggregate": "array", "name": "vs"},
+            "k": {"aggregate": "count", "name": "n"},
+        },
+        order_col="__ord",
+    )
+    got = {r.k: (r.vs, r.n) for r in out.collect()}
+    assert got == {"g": (["a", "b"], 2), "h": (["c"], 1)}
+
+
+def test_forward_fill_and_dedup_suffix(spark):
+    df = spark.createDataFrame(
+        [(0, "t1"), (1, None), (2, None), (3, "t2")], "__ord int, title string"
+    )
+    out = forward_fill(df, "title")
+    assert [r.title for r in out.orderBy("__ord").collect()] == ["t1", "t1", "t1", "t2"]
+
+    df2 = spark.createDataFrame(
+        [(0, "e1"), (1, "e1"), (2, "e2"), (3, "e1")], "__ord int, entity_id string"
+    )
+    out2 = dedup_suffix(df2, "entity_id")
+    assert [r.entity_id for r in out2.orderBy("__ord").collect()] == [
+        "e1",
+        "e1.1",
+        "e2",
+        "e1.2",
+    ]
+
+
+def test_first_seen_dedup(spark):
+    df = spark.createDataFrame(
+        [(0, "u1", "a"), (1, "u1", "b"), (2, "u2", "c")], "__ord int, url string, src string"
+    )
+    out = first_seen_dedup(df, ["url"])
+    got = {r.url: r.src for r in out.collect()}
+    assert got == {"u1": "a", "u2": "c"}
+
+
+def test_text_scalars(spark):
+    df = spark.createDataFrame(
+        [('תשס"ט 2009.', "example.com", "see http://x.y now", "None", "2010-2012,2014")],
+        "pubyear string, url string, notes string, maybe string, ranges string",
+    )
+    out = (
+        df.withColumn("year", extract_year("pubyear"))
+        .withColumn("url", fix_url("url"))
+        .withColumn("notes", rewrite_links_as_anchors("notes"))
+        .withColumn("years", expand_year_ranges("ranges"))
+    )
+    out = normalize_none_strings(out, ["maybe"])
+    r = out.first()
+    assert r.year == 2009
+    assert r.url == "http://example.com"
+    assert 'href="http://x.y"' in r.notes
+    assert r.maybe is None
+    assert r.years == [2010, 2011, 2012, 2014]
+
+
+def test_recode_strict_and_md5_id(spark):
+    df = spark.createDataFrame([("line-ish",), ("?",)], "label string")
+    out = df.withColumn("code", recode_map("label", {"line-ish": "line"}, strict=True))
+    vals = [r.code for r in out.collect()]
+    assert vals == ["line", "__UNKNOWN__"]
+    df2 = spark.createDataFrame([("hello",)], "title string").withColumn(
+        "doc_id", md5_doc_id("dataset/", "title")
+    )
+    import hashlib
+
+    assert df2.first().doc_id == "dataset/" + hashlib.md5(b"hello").hexdigest()[:16]
+
+
+def test_split_to_array(spark):
+    df = spark.createDataFrame([("a, b ,, c",)], "tags string")
+    assert df.select(split_to_array("tags").alias("t")).first().t == ["a", "b", "c"]
+
+
+def test_determinism_under_repartition(spark):
+    """SURVEY §5.2.4: order-dependent ops must not depend on partitioning."""
+    data = [(i, f"e{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(data, "__ord int, entity_id string")
+    a = dedup_suffix(df.repartition(1), "entity_id").orderBy("__ord").collect()
+    b = dedup_suffix(df.repartition(13), "entity_id").orderBy("__ord").collect()
+    assert a == b
