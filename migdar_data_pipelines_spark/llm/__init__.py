@@ -1,0 +1,31 @@
+"""LLM-training-data pipeline operators (SURVEY.md §7.1 layer 7).
+
+Natural generalizations of the reference's fuzzy-matching/text operators
+(X2/X3) to the operations a 100 TB training-data pipeline needs: exact and
+near deduplication, similarity search over embeddings, text analysis, and
+multimodal (binary) column plumbing.
+
+Everything is expressed with built-in column functions where possible —
+shingling, MinHash, SimHash and cosine similarity are all pure expressions
+here (md5-based hashing keeps them deterministic and portable to the SQL
+oracle); only multimodal decode uses mapInPandas, because that is genuinely
+per-batch imperative work.
+"""
+
+from .textanalysis import (  # noqa: F401
+    token_stats,
+    quality_score,
+    language_id,
+    doc_fingerprint,
+)
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    shingles,
+    minhash_signature,
+    minhash_lsh_pairs,
+    simhash,
+    ngram_jaccard_pairs,
+    embedding_near_dup,
+)
+from .similarity import cosine_topk, ivf_topk  # noqa: F401
+from .multimodal import binary_features, decode_stub  # noqa: F401

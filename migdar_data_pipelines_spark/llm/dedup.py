@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB:
+  * All hashing is md5-based column expressions — deterministic across runs,
+    engines and partitionings (no JVM hashCode, no Python hash seeds).
+  * MinHash/LSH is the scale path: shingles -> k salted-md5 min-hashes ->
+    banded bucket keys -> self-join per bucket. The only shuffle is on bucket
+    keys, whose cardinality we control via (bands, rows-per-band); candidate
+    verification (true Jaccard) runs only on bucket collisions.
+  * Pairwise operators (ngram_jaccard_pairs, embedding_near_dup) always block
+    first (bucket / cell) — never a global cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textanalysis import words
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: every row mapped to its group's canonical
+    (minimum) id. One hash-groupBy shuffle; at scale this is the cheapest
+    pass and runs first in a dedup cascade."""
+    h = F.md5(F.col(text_col))
+    return (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .withColumnRenamed("__h", "content_hash")
+    )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as strings ('w1 w2 w3')."""
+    ws = words(col)
+    n = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(ws, " "))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, k), " "))
+        )
+    )
+
+
+def _minhash_one(shingle_arr: Column, seed: int) -> Column:
+    """min over shingles of md5(seed || shingle) — a salted permutation
+    simulation; min of hex strings is total-ordered and engine-portable."""
+    return F.array_min(
+        F.transform(shingle_arr, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str, n_hashes: int = 8, k: int = 3) -> DataFrame:
+    """Append minhash_0..n-1 columns (md5-hex minima per salt)."""
+    sh = shingles(text_col, k)
+    out = df.withColumn("__shingles", sh)
+    for i in range(n_hashes):
+        out = out.withColumn(f"minhash_{i}", _minhash_one(F.col("__shingles"), i))
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with true shingle Jaccard.
+
+    rows-per-band = n_hashes/bands sets the collision sensitivity
+    (threshold ~ (1/bands)^(1/rows)). Self-join happens per band-bucket only;
+    dedup of (a,b) across bands via distinct on the id pair.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signature(df, text_col, n_hashes, k).select(
+        F.col(id_col).alias("id"),
+        F.col("__shingles").alias("sh"),
+        *[F.col(f"minhash_{i}") for i in range(n_hashes)],
+    )
+    band_rows = None
+    for b in range(bands):
+        key = F.md5(
+            F.concat_ws("|", *[F.col(f"minhash_{b * rows + r}") for r in range(rows)])
+        )
+        part = sig.select("id", "sh", F.lit(b).alias("band"), key.alias("bucket"))
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+
+    left = band_rows.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    right = band_rows.select(
+        F.col("band").alias("band_r"),
+        F.col("bucket").alias("bucket_r"),
+        F.col("id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """SimHash over words: per-word hash = first 4 md5 hex digits (16 bits);
+    signature bit i = sign of sum over words of (+1 if bit set else -1).
+    Pure expressions: explode the bit index, weigh, re-fold."""
+    ws = words(col)
+    word_h = F.transform(ws, lambda w: F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long"))
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    # shiftright/shiftleft need literal shift counts; with a Column index use
+    # pow(2, i) arithmetic instead (exact for bits <= 52 in double).
+    pow2 = lambda i: F.pow(F.lit(2.0), i.cast("double")).cast("long")  # noqa: E731
+    bit_sums = F.transform(
+        bit_idx,
+        lambda i: F.aggregate(
+            word_h,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when((h / pow2(i)).cast("long") % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_sums,
+            bit_idx,
+            lambda s, i: F.when(s > 0, pow2(i)).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    block_col: Column | str | None = None,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """n-gram Jaccard similarity for pairs sharing a blocking key (never a
+    global cross join). Default block: document length bucket."""
+    grams = shingles(text_col, n)
+    block = (
+        (F.col(block_col) if isinstance(block_col, str) else block_col)
+        if block_col is not None
+        else (F.length(text_col) / F.lit(64)).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), grams.alias("g"), block.alias("blk")
+    )
+    a = base.select(F.col("blk"), F.col("id").alias("id_a"), F.col("g").alias("g_a"))
+    b = base.select(
+        F.col("blk").alias("blk_b"), F.col("id").alias("id_b"), F.col("g").alias("g_b")
+    )
+    pairs = a.join(b, (F.col("blk") == F.col("blk_b")) & (F.col("id_a") < F.col("id_b")))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cell_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a cell (blocked — the IVF-style
+    scale path; cells from a coarse quantizer, here any cell column)."""
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(cell_col).alias("cell")
+    )
+    a = base.select("cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = base.select(
+        F.col("cell").alias("cell_b"), F.col("id").alias("id_b"), F.col("v").alias("v_b")
+    )
+    pairs = a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+    cos = _dot(F.col("v_a"), F.col("v_b")) / (_norm(F.col("v_a")) * _norm(F.col("v_b")))
+    return (
+        pairs.withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

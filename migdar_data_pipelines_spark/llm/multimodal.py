@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns with
+typed metadata, decoded/feature-extracted via Arrow-batched pandas UDFs.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``decode_stub`` raises NotImplementedError unless
+``deterministic_fake=True``, in which case it produces md5-derived fake
+features so the Spark-side plumbing — schema, partitioning, UDF signature,
+batch shape — is real and testable end-to-end.
+
+At 100 TB: binaries stay in parquet/iceberg BINARY columns co-located with
+their metadata; mapInPandas processes Arrow record batches so bytes never
+round-trip through Python row objects; partition sizing is governed by
+``spark.sql.files.maxPartitionBytes`` against the binary column width.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def decode_stub(content: bytes, media_type: str, deterministic_fake: bool = False):
+    """Placeholder for the real decoder (PIL/ffmpeg/torchaudio). The real
+    implementation is environment-provided; the fake is md5-derived and
+    deterministic so tests exercise the full plumbing."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not present in this "
+            "environment; pass deterministic_fake=True for plumbing tests"
+        )
+    digest = hashlib.md5(content or b"").digest()
+    return [b / 255.0 for b in digest[:4]]
+
+
+def binary_features(
+    df: DataFrame,
+    content_col: str = "content",
+    media_type_col: str = "media_type",
+    deterministic_fake: bool = True,
+    feature_dim: int = 4,
+) -> DataFrame:
+    """Append (n_bytes, content_md5, features array<double>) via mapInPandas.
+
+    Batch shape: one Arrow batch in, one out, feature extraction vectorized
+    per batch — the signature a real decoder drops into unchanged."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("content_md5", T.StringType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    fake = deterministic_fake
+    dim = feature_dim
+
+    # self-contained closure: no references to this module's globals, so
+    # cloudpickle ships it by value and workers don't need the package on
+    # their sys.path (the driver may run us from any cwd).
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        def _decode(content):
+            if not fake:
+                raise NotImplementedError(
+                    "media decoding requires image/audio libraries not present "
+                    "in this environment"
+                )
+            digest = _hashlib.md5(content or b"").digest()
+            return [b / 255.0 for b in digest[:dim]]
+
+        for pdf in batches:
+            blobs = pdf[content_col]
+            pdf = pdf.copy()
+            pdf["n_bytes"] = [len(b) if b is not None else 0 for b in blobs]
+            pdf["content_md5"] = [
+                _hashlib.md5(b or b"").hexdigest() for b in blobs
+            ]
+            pdf["features"] = [_decode(b) for b in blobs]
+            yield pdf
+
+    return df.mapInPandas(extract, schema=out_schema)
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Adapter for testing: treat each document's UTF-8 bytes as an opaque
+    blob with image-ish metadata, so the multimodal path runs on the driver's
+    testdata without real media files."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("content"),
+        F.pmod(F.col("doc_id"), F.lit(640)).cast("int").alias("width"),
+        F.pmod(F.col("doc_id"), F.lit(480)).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )

@@ -1,0 +1,494 @@
+"""LLM-data-pipeline + streaming queries with DuckDB oracles.
+
+Same registry/conventions as queries.py. The near-dup queries build a corpus
+of documents unioned with perturbed copies (id+100000) so that each operator
+has guaranteed positives with known ground truth; the oracle computes the
+exact (blocking-free or identically-blocked) answer, which the Spark LSH path
+must reproduce — its recall at the chosen (hashes, bands) makes misses
+probabilistically impossible on this data (P(miss) < 1e-8 per pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm.dedup import (
+    exact_dedup,
+    embedding_near_dup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..llm.multimodal import binary_features, documents_as_media
+from ..llm.similarity import cosine_topk, ivf_topk
+from ..llm.textanalysis import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from ..streaming.windows import sessionize, session_window_agg, sliding_agg, tumbling_agg
+from .queries import _t, register
+
+# DuckDB fragment: whitespace words of text (parity with textanalysis.words)
+_W = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+# DuckDB fragment: word 3-shingles (parity with dedup.shingles k=3)
+_SH3 = (
+    "CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+    "ELSE list_distinct(list_transform(generate_series(1, len(words)-2), "
+    "i -> array_to_string(list_slice(words, i, i+2), ' '))) END"
+)
+# DuckDB fragment: first-16-bit md5 word hash (parity with dedup.simhash)
+_HEX16 = (
+    "(strpos('0123456789abcdef', substr(md5(word),1,1))-1)*4096"
+    " + (strpos('0123456789abcdef', substr(md5(word),2,1))-1)*256"
+    " + (strpos('0123456789abcdef', substr(md5(word),3,1))-1)*16"
+    " + (strpos('0123456789abcdef', substr(md5(word),4,1))-1)"
+)
+# DuckDB fragment: cosine of two DOUBLE-cast float lists (parity with
+# similarity.cosine's sequential fold)
+_COS = (
+    "list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i]::DOUBLE * cv[i]::DOUBLE))"
+    " / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))"
+    " * sqrt(list_sum(list_transform(cv, x -> x::DOUBLE * x::DOUBLE))))"
+)
+
+
+@register(
+    "text_stats_documents",
+    sql=f"""
+WITH w AS (SELECT doc_id, text, {_W} AS words FROM documents)
+SELECT doc_id,
+       CAST(len(text) AS BIGINT) AS n_chars,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_sort(list_distinct(list_transform(words, x -> lower(x)))), ' ')) AS fingerprint
+FROM w
+""",
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and document
+    fingerprinting over the documents table."""
+    d = _t(spark, sf_dir, "documents")
+    stats = token_stats("text")
+    return d.select(
+        "doc_id",
+        stats["n_chars"].alias("n_chars"),
+        stats["n_words"].alias("n_words"),
+        stats["n_tokens"].alias("n_tokens"),
+        doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "quality_langid_documents",
+    sql=r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(text) AS DOUBLE) AS n_chars,
+         CAST(len(words) AS DOUBLE) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN CAST(len(list_filter(words, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(words)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(words) > 0 THEN CAST(len(text) AS DOUBLE) / len(words) ELSE 0.0 END AS mwl,
+         len(list_filter(words, x -> lower(x) IN ('the','and','of','is'))) AS s_en,
+         len(list_filter(words, x -> lower(x) IN ('el','la','de','que'))) AS s_es,
+         len(list_filter(words, x -> lower(x) IN ('le','la','et','les'))) AS s_fr,
+         len(list_filter(words, x -> lower(x) IN ('der','die','und','das'))) AS s_de
+  FROM w
+)
+SELECT doc_id,
+       round(0.25 * (
+         least(n_words / 100.0, 1.0)
+         + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END
+         + least(stop_ratio * 5.0, 1.0)
+         + greatest(0.0, 1.0 - punct_ratio * 5.0)
+       ), 4) AS quality,
+       CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+            WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+            WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+            WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+            WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+            ELSE 'und' END AS lang_pred
+FROM m
+""",
+)
+def quality_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/punct/stopword blend) + marker-word language ID."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        language_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "dedup_exact_documents",
+    sql="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+)
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM corpus GROUP BY md5(text)
+""",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over a corpus with known duplicates."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    out = exact_dedup(corpus, "text", "doc_id")
+    return out.select(
+        "content_hash", "canonical_id", F.col("group_size").cast("long").alias("group_size")
+    )
+
+
+@register(
+    "minhash_signatures",
+    sql=f"""
+WITH w AS (SELECT doc_id, {_W} AS words FROM documents),
+sh AS (SELECT doc_id, {_SH3} AS s FROM w)
+SELECT doc_id,
+       list_min(list_transform(s, x -> md5('0:' || x))) AS minhash_0,
+       list_min(list_transform(s, x -> md5('1:' || x))) AS minhash_1,
+       list_min(list_transform(s, x -> md5('2:' || x))) AS minhash_2,
+       list_min(list_transform(s, x -> md5('3:' || x))) AS minhash_3
+FROM sh
+""",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (salted-md5 minima over word 3-shingles)."""
+    d = _t(spark, sf_dir, "documents")
+    out = minhash_signature(d, "text", n_hashes=4, k=3)
+    return out.select("doc_id", "minhash_0", "minhash_1", "minhash_2", "minhash_3")
+
+
+@register(
+    "minhash_lsh_near_dup",
+    sql=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzdup' FROM documents
+), w AS (SELECT id, {_W} AS words FROM corpus),
+sh AS (SELECT id, {_SH3} AS s FROM w),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  FROM sh a, sh b
+  WHERE a.id < b.id
+    AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        / greatest(len(a.s), len(b.s)) >= 0.8
+), scored AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+               / len(list_distinct(list_concat(s_a, s_b))), 4) AS jaccard
+  FROM cand
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
+""",
+)
+def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (16 hashes, 8 bands) verified by true
+    Jaccard; the oracle is the exact blocking-free answer (the count-ratio
+    prefilter in the SQL is lossless for jaccard>=0.8 since jac <= min/max)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zzdup")).alias("text"),
+        )
+    )
+    return minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=16, bands=8, k=3, jaccard_threshold=0.8
+    )
+
+
+@register(
+    "simhash_documents",
+    sql=f"""
+WITH w AS (
+  SELECT doc_id, unnest({_W}) AS word FROM documents
+), h AS (
+  SELECT doc_id, {_HEX16} AS hw FROM w
+), bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (hw >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 15)) AS bit) b
+  GROUP BY doc_id, b.bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures over words (md5-derived word hashes)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash("text", bits=16).alias("simhash"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    sql=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzdup' FROM documents
+), w AS (
+  SELECT id, CAST(floor(len(text) / 64.0) AS BIGINT) AS blk, {_W} AS words FROM corpus
+), g AS (
+  SELECT id, blk,
+         CASE WHEN len(words) < 2 THEN [array_to_string(words, ' ')]
+              ELSE list_distinct(list_transform(generate_series(1, len(words)-1),
+                   i -> array_to_string(list_slice(words, i, i+1), ' '))) END AS s
+  FROM w
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  FROM g a, g b WHERE a.blk = b.blk AND a.id < b.id
+), scored AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+               / len(list_distinct(list_concat(s_a, s_b))), 4) AS jaccard
+  FROM pairs
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+""",
+)
+def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram Jaccard near-dup pairs with length-bucket blocking (the oracle
+    applies the identical blocking, so this checks operator semantics)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zzdup")).alias("text"),
+        )
+    )
+    blk = F.floor(F.length("text") / 64.0).cast("long")
+    return ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=2, block_col=blk, threshold=0.6
+    )
+
+
+@register(
+    "embedding_topk_bruteforce",
+    sql=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT qid, cid, round({_COS}, 4) AS cosine FROM q, c WHERE qid <> cid
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, cid AS neighbour_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+""",
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbours for 5 query vectors (broadcast queries,
+    single corpus scan)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        e.filter(F.col("vec_id") < 5), e, "vec_id", "vec_id", k=5
+    )
+
+
+@register(
+    "embedding_topk_ivf",
+    sql=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qcell
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS cid, embedding AS cv, label AS ccell FROM embeddings),
+scored AS (
+  SELECT qid, cid, round({_COS}, 4) AS cosine
+  FROM q, c WHERE qid <> cid AND qcell = ccell
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, cid AS neighbour_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+""",
+)
+def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-5: probe only the query's cell (label column as the
+    coarse quantizer assignment) — the 100 TB scale path."""
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e.filter(F.col("vec_id") < 5), e, "vec_id", "vec_id", cell_col="label", k=5
+    )
+
+
+@register(
+    "embedding_near_dup_cells",
+    sql=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding, label FROM embeddings
+), a AS (SELECT id, embedding, label FROM corpus),
+scored AS (
+  SELECT x.id AS id_a, y.id AS id_b,
+         round({_COS.replace('qv', 'x.embedding').replace('cv', 'y.embedding')}, 4) AS cosine
+  FROM a x, a y WHERE x.label = y.label AND x.id < y.id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.99
+""",
+)
+def embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label cells (corpus contains an
+    exact copy of every vector, so each vector pairs with its clone at 1.0)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    corpus = e.unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+    return embedding_near_dup(corpus, "embedding", "vec_id", "label", threshold=0.99)
+
+
+@register(
+    "multimodal_features",
+    sql="""
+WITH m AS (SELECT doc_id AS media_id, text, md5(text) AS h FROM documents)
+SELECT media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       h AS content_md5,
+       concat_ws(',',
+         round(((strpos('0123456789abcdef', substr(h,1,1))-1)*16
+               + strpos('0123456789abcdef', substr(h,2,1))-1) / 255.0, 4),
+         round(((strpos('0123456789abcdef', substr(h,3,1))-1)*16
+               + strpos('0123456789abcdef', substr(h,4,1))-1) / 255.0, 4),
+         round(((strpos('0123456789abcdef', substr(h,5,1))-1)*16
+               + strpos('0123456789abcdef', substr(h,6,1))-1) / 255.0, 4),
+         round(((strpos('0123456789abcdef', substr(h,7,1))-1)*16
+               + strpos('0123456789abcdef', substr(h,8,1))-1) / 255.0, 4)
+       ) AS features
+FROM m
+""",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents as opaque binary media ->
+    Arrow-batched mapInPandas feature extraction (deterministic md5 fake in
+    place of the stubbed decoder)."""
+    d = _t(spark, sf_dir, "documents")
+    media = documents_as_media(d)
+    feats = binary_features(media, deterministic_fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "content_md5",
+        F.array_join(
+            F.transform("features", lambda x: F.round(x, 4).cast("string")), ","
+        ).alias("features"),
+    )
+
+
+@register(
+    "tumbling_window_events",
+    sql="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows per event_type — the same plan runs as a
+    Structured Streaming query with watermarking (tests assert parity)."""
+    return tumbling_agg(_t(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "sliding_window_events",
+    sql="""
+WITH s AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS w_start, event_type, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE, event_type, value
+  FROM events
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY 1, 2
+""",
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30m windows (each event in 2 windows)."""
+    return sliding_agg(_t(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@register(
+    "session_windows_events",
+    sql="""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, session_id
+""",
+)
+def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with 30-minute inactivity gap (lag + cumsum batch form;
+    the streaming-native session_window form is session_window_agg)."""
+    return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "session_window_native_events",
+    sql="""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, session_id
+""",
+)
+def session_window_native_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native session_window on the batch path (window end = last
+    event + gap, per streaming semantics) — oracle reproduces via lag/cumsum."""
+    return session_window_agg(_t(spark, sf_dir, "events"), gap="30 minutes")

@@ -1,0 +1,108 @@
+"""Unit tests for the LLM-pipeline operators on tiny inline data."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from migdar_data_pipelines_spark.llm import (
+    binary_features,
+    cosine_topk,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+    token_stats,
+)
+from migdar_data_pipelines_spark.llm.multimodal import decode_stub
+from migdar_data_pipelines_spark.llm.textanalysis import doc_fingerprint, language_id
+
+
+def test_shingles_and_token_stats(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
+    got = df.select(shingles("text", 3).alias("s")).collect()
+    assert got[0].s == ["a b c", "b c d"]
+    assert got[1].s == ["x y"]  # shorter than k -> whole doc as one shingle
+    stats = token_stats("text")
+    row = df.select(*[v.alias(k) for k, v in stats.items()]).first()
+    assert row.n_words == 4 and row.n_chars == 7
+
+
+def test_exact_dedup_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "id long, text string"
+    )
+    got = {r.content_hash: (r.canonical_id, r.group_size)
+           for r in exact_dedup(df, "text", "id").collect()}
+    assert got[hashlib.md5(b"same text").hexdigest()] == (1, 2)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " zz"), (3, "completely different words entirely here")],
+        "id long, text string",
+    )
+    pairs = minhash_lsh_pairs(df, "text", "id", n_hashes=16, bands=8,
+                              jaccard_threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.8
+
+
+def test_ngram_jaccard_identical(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "id long, text string"
+    )
+    pairs = ngram_jaccard_pairs(df, "text", "id", n=2, threshold=0.9).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "spark engine fast query"), (2, "spark engine fast query"),
+         (3, "totally unrelated content here")],
+        "id long, text string",
+    )
+    rows = {r.id: r.sh for r in df.select("id", simhash("text").alias("sh")).collect()}
+    assert rows[1] == rows[2]
+    assert 0 <= rows[1] < 2**16
+
+
+def test_cosine_topk_ranks(spark):
+    data = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    got = cosine_topk(df.filter("vec_id = 1"), df, "vec_id", "vec_id", k=2).collect()
+    assert [(r.neighbour_id, r.rank) for r in got] == [(2, 1), (3, 2)]
+
+
+def test_decode_stub_gates(spark):
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"bytes", "image")
+    assert len(decode_stub(b"bytes", "image", deterministic_fake=True)) == 4
+
+
+def test_binary_features_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"payload"), 10, 10, None)],
+        "media_id long, media_type string, content binary, width int, height int, duration_ms long",
+    )
+    row = binary_features(df).first()
+    assert row.n_bytes == 7
+    assert row.content_md5 == hashlib.md5(b"payload").hexdigest()
+    assert len(row.features) == 4
+
+
+def test_language_id_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",), ("el perro de la casa que ladra",)],
+        "text string",
+    )
+    langs = [r.l for r in df.select(language_id("text").alias("l")).collect()]
+    assert langs == ["en", "es"]
+    fp = df.select(doc_fingerprint("text").alias("f")).first().f
+    assert fp == hashlib.md5(b"and cat dog here is the").hexdigest()
