@@ -81,27 +81,30 @@ def minhash_lsh_pairs(
     dedup of (a,b) across bands via distinct on the id pair.
     """
     rows = n_hashes // bands
-    sig = minhash_signature(df, text_col, n_hashes, k).select(
-        F.col(id_col).alias("id"),
-        F.col("__shingles").alias("sh"),
-        *[F.col(f"minhash_{i}") for i in range(n_hashes)],
-    )
-    band_rows = None
-    for b in range(bands):
-        key = F.md5(
-            F.concat_ws("|", *[F.col(f"minhash_{b * rows + r}") for r in range(rows)])
-        )
-        part = sig.select("id", "sh", F.lit(b).alias("band"), key.alias("bucket"))
-        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    sig = minhash_signature(df, text_col, n_hashes, k)
 
-    left = band_rows.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    # Narrow band rows: (id, band, bucket) ONLY — the wide shingle arrays do
+    # NOT ride through the candidate join's shuffle. One posexplode emits all
+    # bands in a single pass (no bands-way union).
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"minhash_{b * rows + r}") for r in range(rows)]
+                )
+            )
+            for b in range(bands)
+        ]
     )
+    band_rows = sig.select(
+        F.col(id_col).alias("id"), F.posexplode(band_keys).alias("band", "bucket")
+    )
+
+    left = band_rows.select("band", "bucket", F.col("id").alias("id_a"))
     right = band_rows.select(
         F.col("band").alias("band_r"),
         F.col("bucket").alias("bucket_r"),
         F.col("id").alias("id_b"),
-        F.col("sh").alias("sh_b"),
     )
     cand = (
         left.join(
@@ -110,8 +113,21 @@ def minhash_lsh_pairs(
             & (F.col("bucket") == F.col("bucket_r"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    # Verify only the (few) candidates: re-attach shingle sets to the
+    # candidate pair list. At 100 TB candidates << corpus, so these joins
+    # move small data; the shingle recompute stays in the scan stage.
+    sh_df = sig.select(F.col(id_col).alias("__sid"), F.col("__shingles").alias("__sh"))
+    cand = (
+        cand.join(sh_df, cand["id_a"] == sh_df["__sid"])
+        .withColumnRenamed("__sh", "sh_a")
+        .drop("__sid")
+        .join(sh_df, F.col("id_b") == sh_df["__sid"])
+        .withColumnRenamed("__sh", "sh_b")
+        .drop("__sid")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
