@@ -73,54 +73,69 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 3,
     jaccard_threshold: float = 0.5,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with true shingle Jaccard.
 
     rows-per-band = n_hashes/bands sets the collision sensitivity
     (threshold ~ (1/bands)^(1/rows)). Self-join happens per band-bucket only;
     dedup of (a,b) across bands via distinct on the id pair.
+
+    Fast internal hashing: LSH buckets are engine-internal (the *output* is
+    the verified-jaccard pair list, so bucket values never need cross-engine
+    portability — unlike ``minhash_signature``, which is oracle-checked and
+    stays md5). Signatures here are ``array_min(xxhash64(seed, shingle))``
+    longs: one JVM hash per (seed, shingle) instead of an md5 + hex-encode +
+    32-char string compare, and the band shuffle carries 8-byte bucket keys
+    instead of hex strings.
+
+    Scale notes (100 TB): the narrow (id, shingles) projection is persisted
+    (MEMORY_AND_DISK) because three downstream branches consume it — band
+    rows plus both sides of the verification join — which would otherwise
+    re-run the corpus scan + shingling 3x. Verification joins move only
+    candidate ids + shingle arrays for collided docs (candidates << corpus).
     """
     rows = n_hashes // bands
-    sig = minhash_signature(df, text_col, n_hashes, k)
 
-    # Narrow band rows: (id, band, bucket) ONLY — the wide shingle arrays do
-    # NOT ride through the candidate join's shuffle. One posexplode emits all
-    # bands in a single pass (no bands-way union).
+    base = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("__sh")
+    )
+    if persist_shingles:
+        base = base.persist()
+
+    # All n_hashes minima in one expression pass over the shingle array;
+    # one posexplode emits every band key (band index baked into the bucket
+    # hash, so the join key is a single long).
+    sig_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(n_hashes - 1).cast("long")),
+        lambda i: F.array_min(F.transform(F.col("__sh"), lambda s: F.xxhash64(i, s))),
+    )
+    sig = base.select("id", sig_arr.alias("__sig"))
     band_keys = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"minhash_{b * rows + r}") for r in range(rows)]
-                )
+            F.xxhash64(
+                F.lit(b), *[F.col("__sig").getItem(b * rows + r) for r in range(rows)]
             )
             for b in range(bands)
         ]
     )
-    band_rows = sig.select(
-        F.col(id_col).alias("id"), F.posexplode(band_keys).alias("band", "bucket")
-    )
+    band_rows = sig.select("id", F.explode(band_keys).alias("bucket"))
 
-    left = band_rows.select("band", "bucket", F.col("id").alias("id_a"))
+    left = band_rows.select("bucket", F.col("id").alias("id_a"))
     right = band_rows.select(
-        F.col("band").alias("band_r"),
-        F.col("bucket").alias("bucket_r"),
-        F.col("id").alias("id_b"),
+        F.col("bucket").alias("bucket_r"), F.col("id").alias("id_b")
     )
     cand = (
         left.join(
             right,
-            (F.col("band") == F.col("band_r"))
-            & (F.col("bucket") == F.col("bucket_r"))
-            & (F.col("id_a") < F.col("id_b")),
+            (F.col("bucket") == F.col("bucket_r")) & (F.col("id_a") < F.col("id_b")),
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # Verify only the (few) candidates: re-attach shingle sets to the
-    # candidate pair list. At 100 TB candidates << corpus, so these joins
-    # move small data; the shingle recompute stays in the scan stage.
-    sh_df = sig.select(F.col(id_col).alias("__sid"), F.col("__shingles").alias("__sh"))
+    # Verify only the (few) candidates with true Jaccard over shingle sets.
+    sh_df = base.select(F.col("id").alias("__sid"), F.col("__sh"))
     cand = (
         cand.join(sh_df, cand["id_a"] == sh_df["__sid"])
         .withColumnRenamed("__sh", "sh_a")
