@@ -72,8 +72,14 @@ def split_and_translate(
     suffixes = suffixes or {"": "hebrew", "__en": "english", "__ar": "arabic"}
     lut = F.broadcast(table.cleaned())
 
+    # The row id is NONDETERMINISTIC (monotonically_increasing_id) and ``base``
+    # feeds two plan branches (explode side + the final rejoin). Without
+    # pinning, a recompute under a different partition layout (AQE, upstream
+    # windows) can assign different ids per branch and the rejoin silently
+    # nulls out. persist() materializes the ids once; at scale this is the
+    # standard id-stamping pattern (cache or checkpoint before branching).
     rid = F.monotonically_increasing_id()
-    base = df.withColumn(keep_row_id, rid)
+    base = df.withColumn(keep_row_id, rid).persist()
     exploded = base.select(
         keep_row_id,
         F.posexplode_outer(split_to_array(field, delimiter)).alias("__pos", "__val"),
