@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "first_seen_events",
     "forward_fill_events",
     "fuzzy_translate_nations",
+    "cv_events_orders",
+    "text_stats_documents",
+    "simhash_documents",
+    "minhash_lsh_near_dup",
 ]
 
 
