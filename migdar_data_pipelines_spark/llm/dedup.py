@@ -84,42 +84,68 @@ def minhash_lsh_pairs(
     Fast internal hashing: LSH buckets are engine-internal (the *output* is
     the verified-jaccard pair list, so bucket values never need cross-engine
     portability — unlike ``minhash_signature``, which is oracle-checked and
-    stays md5). Signatures here are ``array_min(xxhash64(seed, shingle))``
-    longs: one JVM hash per (seed, shingle) instead of an md5 + hex-encode +
-    32-char string compare, and the band shuffle carries 8-byte bucket keys
-    instead of hex strings.
+    stays md5). Each shingle is hashed to a long ONCE (xxhash64); the
+    n_hashes permutations are then cheap universal-hash arithmetic
+    ``(a_i*h + b_i) mod p`` over those longs. This matters because nested
+    higher-order functions are interpreted (no whole-stage codegen): hashing
+    the shingle *strings* once instead of n_hashes times cuts the dominant
+    cost, and the per-permutation work drops to three integer ops.
 
-    Scale notes (100 TB): the narrow (id, shingles) projection is persisted
-    (MEMORY_AND_DISK) because three downstream branches consume it — band
-    rows plus both sides of the verification join — which would otherwise
-    re-run the corpus scan + shingling 3x. Verification joins move only
-    candidate ids + shingle arrays for collided docs (candidates << corpus).
+    Scale notes (100 TB): two narrow frames are persisted — (id, shingles,
+    shingle-hashes), consumed by the signature pass and both verification
+    joins, and (id, bucket) band rows, consumed by both sides of the
+    candidate self-join. Without pinning, each branch would re-run the corpus
+    scan + shingling. The candidate shuffle carries only 8-byte bucket keys;
+    verification joins move shingle arrays only for collided docs
+    (candidates << corpus).
     """
     rows = n_hashes // bands
+    # 31-bit Mersenne modulus: keeps a_i*h + b_i inside a long under ANSI
+    # mode (h < 2^31, a_i <= 2*n_hashes+1). A hash collision here can only
+    # MERGE buckets (extra candidates, filtered by verification), never split
+    # them, so the narrower modulus cannot cause false negatives.
+    mersenne = (1 << 31) - 1
 
     base = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, k).alias("__sh")
+        F.col(id_col).alias("id"),
+        shingles(text_col, k).alias("__sh"),
+    ).withColumn(
+        # one string hash per shingle, reduced into [0, p): the base values
+        # every permutation reuses
+        "__hs",
+        F.transform(F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(mersenne))),
     )
     if persist_shingles:
         base = base.persist()
 
-    # All n_hashes minima in one expression pass over the shingle array;
-    # one posexplode emits every band key (band index baked into the bucket
-    # hash, so the join key is a single long).
-    sig_arr = F.transform(
-        F.sequence(F.lit(0).cast("long"), F.lit(n_hashes - 1).cast("long")),
-        lambda i: F.array_min(F.transform(F.col("__sh"), lambda s: F.xxhash64(i, s))),
+    # permutation i: min over shingles of (a_i*h + b_i) mod p, with fixed odd
+    # multipliers — deterministic across runs/partitionings, three integer
+    # ops per element.
+    def perm_min(i: int) -> Column:
+        # large odd multipliers (golden-ratio stride) — h < 2^31 and a < 2^31
+        # keep a*h < 2^62, inside a signed long under ANSI mode. Small
+        # multipliers correlate the permutations and measurably raise the
+        # band-miss rate at threshold-grade similarity.
+        a = ((0x9E3779B1 * (i + 1)) % mersenne) | 1
+        b = (0x85EBCA77 * (i + 1)) % mersenne
+        return F.array_min(
+            F.transform(F.col("__hs"), lambda h: F.pmod(h * a + b, F.lit(mersenne)))
+        )
+
+    sig = base.select(
+        "id", *[perm_min(i).alias(f"__m{i}") for i in range(n_hashes)]
     )
-    sig = base.select("id", sig_arr.alias("__sig"))
     band_keys = F.array(
         *[
             F.xxhash64(
-                F.lit(b), *[F.col("__sig").getItem(b * rows + r) for r in range(rows)]
+                F.lit(bnd), *[F.col(f"__m{bnd * rows + r}") for r in range(rows)]
             )
-            for b in range(bands)
+            for bnd in range(bands)
         ]
     )
     band_rows = sig.select("id", F.explode(band_keys).alias("bucket"))
+    if persist_shingles:
+        band_rows = band_rows.persist()
 
     left = band_rows.select("bucket", F.col("id").alias("id_a"))
     right = band_rows.select(
