@@ -42,7 +42,14 @@ BENCH_QUERIES = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("migdar-spark-bench")
+    # Measured cold across shuffle settings at sf0.1: 64 (2x cores, the
+    # session default) beats 16/32 on the full suite — the LSH self-join
+    # dominates and wants the parallelism; AQE coalesces the small stages.
+    shuffle_env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    spark = get_spark(
+        "migdar-spark-bench",
+        shuffle_partitions=int(shuffle_env) if shuffle_env else None,
+    )
     spark.sparkContext.setLogLevel("ERROR")
     fns = query_fns()
     names = [n for n in BENCH_QUERIES if n in fns]

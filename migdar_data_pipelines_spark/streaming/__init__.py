@@ -1,3 +1,7 @@
+from .stateful import (  # noqa: F401
+    streaming_cdc,
+    streaming_first_seen,
+)
 from .windows import (  # noqa: F401
     tumbling_agg,
     sliding_agg,

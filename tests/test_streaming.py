@@ -47,3 +47,69 @@ def test_session_window_streaming_runs(spark, sf_dir):
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     assert n > 0
+
+
+def test_streaming_first_seen_matches_batch(spark, sf_dir):
+    """W4 as a stateful stream: first row per user_id == batch row_number=1."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.streaming import streaming_first_seen
+
+    events_path = f"{sf_dir}/events.parquet"
+    stream = read_events_stream(spark, events_path)
+    got_df = streaming_first_seen(stream, ["user_id"], "ts")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        run_available_now(got_df, ckpt, query_name="t_first_seen", output_mode="append")
+        got = {(r["user_id"], r["ts"]) for r in spark.table("t_first_seen").collect()}
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    batch = spark.read.parquet(events_path)
+    if dict(batch.dtypes).get("ts") == "bigint":
+        batch = batch.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expected = {
+        (r["user_id"], r["ts"])
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "ts")
+        .collect()
+    }
+    # same keys; ties on identical min-ts may pick either row, so compare
+    # (key -> min ts) maps
+    assert {k for k, _ in got} == {k for k, _ in expected}
+    assert dict(got) == dict(expected)
+
+
+def test_streaming_cdc_transitions(spark, tmp_path):
+    """D2 as a stateful stream: new -> changed/same transitions per key."""
+    import pandas as pd
+
+    from migdar_data_pipelines_spark.streaming import streaming_cdc
+
+    src = str(tmp_path / "cdc_src")
+    df = spark.createDataFrame(
+        [
+            ("k1", "h1", 1.0),
+            ("k1", "h1", 2.0),
+            ("k1", "h2", 3.0),
+            ("k2", "h9", 1.5),
+        ],
+        "key string, h string, tsec double",
+    ).selectExpr("key", "h", "timestamp_seconds(tsec) AS ts")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_cdc(stream, ["key"], "h", "ts")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        run_available_now(out, ckpt, query_name="t_cdc", output_mode="append")
+        rows = spark.table("t_cdc").collect()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    seq = {r["key"]: [] for r in rows}
+    for r in sorted(rows, key=lambda r: (r["key"], r["ts"])):
+        seq[r["key"]].append(r["status"])
+    assert seq == {"k1": ["new", "same", "changed"], "k2": ["new"]}
