@@ -1,0 +1,127 @@
+"""Scale toolkit: bucketed co-located joins, skew salting, distribution
+diagnostics.
+
+The reference never needed these (single machine, LevelDB-spill hash joins —
+SURVEY.md §4.1); on a 1000-executor cluster they are the difference between
+a shuffle-free join pipeline and an hourly re-shuffle of 100 TB:
+
+- **Bucketing**: fact tables that are repeatedly joined/aggregated on the
+  same key (orders ⋈ lineitem on orderkey; the publications path's
+  migdar_id) are written once as bucketed+sorted tables; every later join
+  on the bucket key is Exchange-free (verified by the plan test).
+- **Salting**: when one key dominates (a viral URL in broken_links, an empty
+  translation key), AQE's skew split handles the *sort-merge* case; for
+  broadcast-ineligible skewed aggregations the explicit salt spreads a hot
+  key over ``n_salts`` partial groups, combined in a second (tiny) pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_keys: list[str],
+    n_buckets: int,
+    sort_keys: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) parquet table in
+    the session catalog. Joins/aggregations between tables bucketed the same
+    way on the same keys skip their Exchange entirely.
+
+    n_buckets must match across co-joined tables; pick it from the target
+    cluster's core count (2-4x) — at 100 TB that also bounds file sizes."""
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_keys)
+    )
+    if sort_keys:
+        writer = writer.sortBy(*sort_keys)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str] | str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed catalog tables on their bucket keys. With
+    matching bucket specs the physical plan has no Exchange on either side
+    (tested in tests/test_scale_ops.py). Broadcast is disabled for this join
+    so the bucketed path is actually exercised."""
+    left, right = spark.table(left_table), spark.table(right_table)
+    on = [on] if isinstance(on, str) else list(on)
+    return left.hint("merge").join(right, on=on, how=how)
+
+
+def salted_key(primary: str | F.Column, n_salts: int, *entropy_cols: str) -> F.Column:
+    """Deterministic salt in [0, n_salts): xxhash64 of entropy columns (or of
+    the key itself when none are given). Deterministic so re-runs and
+    retried tasks agree."""
+    cols = list(entropy_cols) or [primary]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+    entropy_cols: list[str] | None = None,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: group on (keys + salt) first —
+    the hot key spreads over ``n_salts`` partial groups — then combine
+    partials per key.
+
+    aggs: {out_name: (src_col, fn)} with fn in sum|count|max|min.
+    The combine phase re-aggregates: sum->sum, count->sum, max->max, min->min.
+    """
+    first_phase = []
+    second_phase = []
+    for out, (src, fn) in aggs.items():
+        if fn == "count":
+            first_phase.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+            second_phase.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "sum":
+            first_phase.append(F.sum(src).alias(f"__p_{out}"))
+            second_phase.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "max":
+            first_phase.append(F.max(src).alias(f"__p_{out}"))
+            second_phase.append(F.max(f"__p_{out}").alias(out))
+        elif fn == "min":
+            first_phase.append(F.min(src).alias(f"__p_{out}"))
+            second_phase.append(F.min(f"__p_{out}").alias(out))
+        else:
+            raise ValueError(f"salted_aggregate cannot combine {fn!r}")
+    salt = salted_key(keys[0], n_salts, *(entropy_cols or []))
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*first_phase)
+    return partial.groupBy(*keys).agg(*second_phase)
+
+
+def key_distribution(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
+    """Skew diagnostic: per-key row counts with share of total — what you
+    look at before deciding to salt. One aggregation, driver gets ``top``
+    rows only."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return (
+        counts.withColumn("share", F.round(F.col("n") / total, 6))
+        .orderBy(F.desc("n"))
+        .limit(top)
+    )
+
+
+__all__ = [
+    "write_bucketed",
+    "bucketed_join",
+    "salted_key",
+    "salted_aggregate",
+    "key_distribution",
+]

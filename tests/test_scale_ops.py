@@ -1,0 +1,87 @@
+"""Scale toolkit: bucketed joins must be Exchange-free; salted aggregation
+must match the plain aggregation; skew diagnostics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from migdar_data_pipelines_spark.operators.scale import (
+    key_distribution,
+    salted_aggregate,
+    salted_key,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, sort_keys=["o_orderkey"])
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 8, sort_keys=["l_orderkey"])
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_no_exchange(spark, bucketed_tables, sf_dir):
+    t1, t2 = bucketed_tables
+    joined = (
+        spark.table(t1)
+        .withColumnRenamed("o_orderkey", "k")
+        .hint("merge")
+        .join(spark.table(t2).withColumnRenamed("l_orderkey", "k"), "k")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # same bucket spec on both sides: the sort-merge join needs NO shuffle
+    assert "Exchange" not in plan, plan
+    # and it returns the same rows as the plain parquet join
+    plain = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .count()
+    )
+    assert joined.count() == plain
+
+
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {
+        (r["l_returnflag"],): (r["n"], round(r["qty"], 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["n"], round(r["qty"], 2))
+        for r in salted_aggregate(
+            li,
+            ["l_returnflag"],
+            {"n": ("l_quantity", "count"), "qty": ("l_quantity", "sum")},
+            n_salts=8,
+            entropy_cols=["l_orderkey"],
+        )
+        .withColumn("qty", F.round("qty", 2))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_key_deterministic(spark):
+    df = spark.range(100)
+    a = df.select(salted_key("id", 8).alias("s")).collect()
+    b = df.repartition(7).select(salted_key("id", 8).alias("s")).orderBy("s").collect()
+    assert sorted(r["s"] for r in a) == [r["s"] for r in b]
+    assert all(0 <= r["s"] < 8 for r in a)
+
+
+def test_key_distribution(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 90 + [("cold",)] * 10, "k string"
+    )
+    top = key_distribution(df, ["k"], top=2).collect()
+    assert top[0]["k"] == "hot" and abs(top[0]["share"] - 0.9) < 1e-6
