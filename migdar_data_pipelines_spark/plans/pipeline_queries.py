@@ -204,3 +204,68 @@ def units_percent_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(in01).cast("long").alias("n_in_01"),
         (F.sum(in01) == F.count(F.lit(1))).alias("all_unit_interval"),
     )
+
+
+# ---------------------------------------------------------------- fingerprint
+@register(
+    "doc_fingerprint_documents",
+    sql="""
+WITH w AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+             x -> lower(x)))) AS ws
+  FROM documents
+)
+SELECT doc_id, md5(array_to_string(ws, ' ')) AS fingerprint,
+       CAST(len(ws) AS BIGINT) AS n_distinct_words
+FROM w
+""",
+)
+def doc_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (OpenRefine-style): md5 of sorted distinct
+    lowercased words — the clustering key for fuzzy duplicate groups."""
+    from ..llm.textanalysis import doc_fingerprint, words
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fingerprint"),
+        F.size(
+            F.array_distinct(F.transform(words("text"), F.lower))
+        ).cast("long").alias("n_distinct_words"),
+    )
+
+
+# ---------------------------------------------------------------- salted agg
+@register(
+    "salted_agg_lineitem",
+    sql="""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem GROUP BY 1, 2
+""",
+)
+def salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/scale.salted_aggregate):
+    the hot key spreads over 16 salted partial groups, then combines — result
+    identical to the plain GROUP BY, which is exactly what the oracle runs."""
+    from ..operators.scale import salted_aggregate
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n": ("l_quantity", "count"),
+            "sum_qty": ("l_quantity", "sum"),
+            "max_price": ("l_extendedprice", "max"),
+        },
+        n_salts=16,
+        entropy_cols=["l_orderkey"],
+    )
+    return out.withColumn("sum_qty", F.round("sum_qty", 2)).withColumn(
+        "max_price", F.round("max_price", 2)
+    )
