@@ -1,0 +1,133 @@
+"""Property-based checks (hypothesis): operator semantics vs plain-Python
+models. Each example ships a BATCH of generated inputs through one Spark job
+so the suite stays fast."""
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from migdar_data_pipelines_spark.operators.textops import (
+    clip_field,
+    expand_year_ranges,
+    extract_year,
+    fix_url,
+    split_to_array,
+)
+
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+def _run(spark, values, col_expr):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    return [r["out"] for r in df.select(col_expr.alias("out")).collect()]
+
+
+# ------------------------------------------------------------------ C12
+year_token = st.builds(
+    lambda a, b: f"{a}-{b}" if b is not None else str(a),
+    st.integers(1900, 2099),
+    st.one_of(st.none(), st.integers(1900, 2099)),
+)
+range_strs = st.lists(year_token, min_size=1, max_size=4).map(",".join)
+
+
+def _model_expand(s: str) -> list[int]:
+    out = set()
+    for tok in re.split(r"\s*,\s*", s):
+        m0 = re.match(r"^\s*([0-9]{4})", tok)
+        m1 = re.search(r"-\s*([0-9]{4})", tok)
+        lo = int(m0.group(1))
+        hi = int(m1.group(1)) if m1 else lo
+        out.update(range(lo, hi + 1))
+    return sorted(out)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(range_strs, min_size=1, max_size=30))
+def test_expand_year_ranges_matches_model(spark, batch):
+    # descending ranges (hi < lo) raise in Spark's sequence; filter to valid
+    valid = []
+    for s in batch:
+        ok = True
+        for tok in re.split(r"\s*,\s*", s):
+            m0 = re.match(r"^\s*([0-9]{4})", tok)
+            m1 = re.search(r"-\s*([0-9]{4})", tok)
+            if m1 and int(m1.group(1)) < int(m0.group(1)):
+                ok = False
+        if ok:
+            valid.append(s)
+    if not valid:
+        return
+    got = _run(spark, valid, expand_year_ranges("v"))
+    assert got == [_model_expand(s) for s in valid]
+
+
+# ------------------------------------------------------------------ C5
+noise = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters="0123456789"),
+    max_size=20,
+)
+dirty_year = st.builds(
+    lambda pre, y, post: f"{pre}{y}{post}",
+    noise,
+    st.one_of(st.integers(1000, 2999), st.just("")),
+    noise,
+)
+
+
+def _model_year(s):
+    m = re.search(r"[12][0-9]{3}", s)
+    return int(m.group(0)) if m else None
+
+
+@settings(**_SETTINGS)
+@given(st.lists(dirty_year, min_size=1, max_size=40))
+def test_extract_year_matches_model(spark, batch):
+    got = _run(spark, batch, extract_year("v"))
+    assert got == [_model_year(s) for s in batch]
+
+
+# ------------------------------------------------------------------ R4
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="ab c", max_size=6), max_size=5).map(",".join),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_split_to_array_matches_model(spark, batch):
+    got = _run(spark, batch, split_to_array("v", ","))
+    expected = [
+        [t.strip() for t in s.split(",") if t.strip() != ""] for s in batch
+    ]
+    assert got == expected
+
+
+# ------------------------------------------------------------------ C9 / C6
+@settings(**_SETTINGS)
+@given(st.lists(st.text(min_size=0, max_size=300), min_size=1, max_size=30))
+def test_clip_field_bounds(spark, batch):
+    got = _run(spark, batch, clip_field("v", 200))
+    assert all(g is None or len(g) <= 200 for g in got)
+    assert got == [s[:200] for s in batch]
+
+
+@settings(**_SETTINGS)
+@given(
+    # leading char alphanumeric: fix_url (like i18n.py:169-183) only repairs
+    # values that *look* like bare domains, not ".org"-style fragments
+    st.lists(
+        st.from_regex(r"[a-z0-9][a-z0-9.]{0,19}(\.org|\.com)", fullmatch=True),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fix_url_always_schemed(spark, batch):
+    got = _run(spark, batch, fix_url("v"))
+    assert all(g.startswith("http://") for g in got)
+    # idempotent: applying twice changes nothing
+    again = _run(spark, got, fix_url("v"))
+    assert again == got
