@@ -16,6 +16,7 @@ co-partitioned and the brute-force tier is reserved for reranking.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -105,3 +106,81 @@ def ivf_topk(
             "rank",
         )
     )
+
+
+# ----------------------------------------------------------- learned IVF
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_rows: int = 10_000,
+    n_iters: int = 10,
+    seed: int = 42,
+):
+    """Coarse quantizer training: k-means on a driver-side sample (numpy).
+
+    The standard IVF recipe — centroids are learned on a bounded sample
+    (10k rows regardless of corpus size; the driver never holds the corpus),
+    then broadcast for assignment. Deterministic: fixed seed, fixed sample
+    order. Returns a (n_cells, dim) list of lists.
+    """
+    import numpy as np
+
+    sample = df.select(vec_col).limit(sample_rows).collect()
+    X = np.asarray([r[0] for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(n_iters):
+        # cosine k-means: normalize then argmax dot
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent.tolist()
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (cosine argmax) with a
+    vectorized pandas UDF: one numpy matmul per Arrow batch, centroids ride
+    in the closure (broadcast-sized: n_cells x dim floats)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Xn @ Cn.T, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def ivf_build_and_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """End-to-end learned IVF: train centroids on a corpus sample, assign
+    cells to both sides, probe the query's cell (nprobe=1). At scale the
+    assigned corpus is written partitioned by cell once and re-searched many
+    times; this helper is the single-job form."""
+    cents = train_ivf_centroids(corpus, vec_col, n_cells, seed=seed)
+    q = assign_cells(queries, cents, vec_col)
+    c = assign_cells(corpus, cents, vec_col)
+    return ivf_topk(q, c, query_id, corpus_id, cell_col="cell", query_vec=vec_col, corpus_vec=vec_col, k=k)
