@@ -46,6 +46,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # ContextCleaner only reclaims unreferenced broadcast/shuffle/cache
+        # blocks when the driver GCs; with a multi-GB heap that is rare, and
+        # long sessions slow down as block-manager debris accumulates
+        # (measured: a 14-query warmup pass degraded later queries 2-8x until
+        # a GC ran). Ask for a periodic GC every 5 min instead of the 30 min
+        # default — cheap insurance for exactly the long-running multi-query
+        # sessions this engine targets.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
