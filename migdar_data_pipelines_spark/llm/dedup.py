@@ -91,13 +91,26 @@ def minhash_lsh_pairs(
     the shingle *strings* once instead of n_hashes times cuts the dominant
     cost, and the per-permutation work drops to three integer ops.
 
-    Scale notes (100 TB): two narrow frames are persisted — (id, shingles,
-    shingle-hashes), consumed by the signature pass and both verification
-    joins, and (id, bucket) band rows, consumed by both sides of the
-    candidate self-join. Without pinning, each branch would re-run the corpus
-    scan + shingling. The candidate shuffle carries only 8-byte bucket keys;
-    verification joins move shingle arrays only for collided docs
-    (candidates << corpus).
+    Execution shape (codegen-first, shuffle-light): form the shingle array
+    per-row ONCE (one interpreted higher-order pass — nested functions skip
+    whole-stage codegen) and persist that narrow (id, shingles) frame; then
+    EXPLODE it to shingle rows so hashing and all n_hashes permutations run
+    codegen'd, with one ``groupBy(id)`` computing the permutation minima as
+    plain aggregates. The alternative of permuting inside ``transform``
+    costs ~n_hashes interpreted passes over every shingle; the alternative
+    of building shingles row-wise with a window ``lead`` over exploded
+    words costs a full-corpus shuffle for the window.
+
+    Scale notes (100 TB): explode keeps each doc's shingle rows contiguous
+    in their input partition, so the groupBy's map-side partial aggregation
+    collapses them to one row per doc BEFORE the exchange — the signature
+    shuffle carries (id, n_hashes longs) only, never shingles or words.
+    Verification reads shingle sets from the persisted (id, shingles)
+    frame, which is never shuffled: the candidate side is orders of
+    magnitude smaller and broadcast-joins against it. Persisted frames:
+    (id, shingles) — shingling pass, both verification joins — and
+    (id, bucket) band rows — both sides of the candidate self-join. The
+    candidate shuffle carries only 8-byte bucket keys.
     """
     rows = n_hashes // bands
     # 31-bit Mersenne modulus: keeps a_i*h + b_i inside a long under ANSI
@@ -107,16 +120,17 @@ def minhash_lsh_pairs(
     mersenne = (1 << 31) - 1
 
     base = df.select(
-        F.col(id_col).alias("id"),
-        shingles(text_col, k).alias("__sh"),
-    ).withColumn(
-        # one string hash per shingle, reduced into [0, p): the base values
-        # every permutation reuses
-        "__hs",
-        F.transform(F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(mersenne))),
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("__sh")
     )
     if persist_shingles:
         base = base.persist()
+
+    # One row per (doc, shingle); shingles() emits the whole-doc join for
+    # docs shorter than k words (incl. [""] for empty docs), so every doc
+    # survives the explode with >= 1 row.
+    shingle_rows = base.select(
+        "id", F.explode("__sh").alias("__s")
+    ).withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(mersenne)))
 
     # permutation i: min over shingles of (a_i*h + b_i) mod p, with fixed odd
     # multipliers — deterministic across runs/partitionings, three integer
@@ -128,13 +142,12 @@ def minhash_lsh_pairs(
         # band-miss rate at threshold-grade similarity.
         a = ((0x9E3779B1 * (i + 1)) % mersenne) | 1
         b = (0x85EBCA77 * (i + 1)) % mersenne
-        return F.array_min(
-            F.transform(F.col("__hs"), lambda h: F.pmod(h * a + b, F.lit(mersenne)))
-        )
+        return F.min(F.pmod(F.col("__h") * a + b, F.lit(mersenne)))
 
-    sig = base.select(
-        "id", *[perm_min(i).alias(f"__m{i}") for i in range(n_hashes)]
+    sig = shingle_rows.groupBy("id").agg(
+        *[perm_min(i).alias(f"__m{i}") for i in range(n_hashes)]
     )
+
     band_keys = F.array(
         *[
             F.xxhash64(
