@@ -40,8 +40,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Dimension tables (nation/region/translations/tribunals) broadcast.
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Dimension tables (nation/region/translations/tribunals) broadcast;
+        # sized so fact tables do NOT. A 64 MB threshold made Spark broadcast
+        # the sf0.1 lineitem fact table (10 MB file; Catalyst's column-pruned
+        # estimate ~4 MB): a single-threaded hash-relation build locally and
+        # an impossible plan at 100 TB. 3 MB keeps every genuine dim
+        # (pruned orders ~0.8 MB, customer, supplier, nation, region) on the
+        # broadcast path and the fact table streaming; AQE upgrades shuffle
+        # joins to broadcast at runtime when a *filtered* side turns out
+        # small, using real stage stats instead of file-size guesses.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(3 * 1024 * 1024))
         # Arrow for the pandas-UDF operators (fuzzy translate, multimodal).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
