@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.caching import scoped_persist
 from .textanalysis import words
 
 
@@ -134,7 +135,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"), shingles(text_col, k).alias("__sh")
     )
     if persist_shingles:
-        base = base.persist()
+        base = scoped_persist(base)
 
     # One row per (doc, shingle); shingles() emits the whole-doc join for
     # docs shorter than k words (incl. [""] for empty docs), so every doc
@@ -169,7 +170,7 @@ def minhash_lsh_pairs(
     )
     band_rows = sig.select("id", F.explode(band_keys).alias("bucket"))
     if persist_shingles:
-        band_rows = band_rows.persist()
+        band_rows = scoped_persist(band_rows)
 
     left = band_rows.select("bucket", F.col("id").alias("id_a"))
     right = band_rows.select(

@@ -29,6 +29,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import scoped_persist
 from .textops import clean_string, split_to_array
 
 
@@ -79,7 +80,7 @@ def split_and_translate(
     # nulls out. persist() materializes the ids once; at scale this is the
     # standard id-stamping pattern (cache or checkpoint before branching).
     rid = F.monotonically_increasing_id()
-    base = df.withColumn(keep_row_id, rid).persist()
+    base = scoped_persist(df.withColumn(keep_row_id, rid))
     exploded = base.select(
         keep_row_id,
         F.posexplode_outer(split_to_array(field, delimiter)).alias("__pos", "__val"),

@@ -30,6 +30,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.caching import release_scoped
 from ..sinks.package import dump_to_path
 
 FlowFn = Callable[["PipelineContext"], dict[str, DataFrame]]
@@ -133,6 +134,10 @@ class PipelineGraph:
             t0 = time.time()
             resources = p.flow(ctx)
             manifest = dump_to_path(resources, out_dir, name=name)
+            # Stage output is on disk; any frames operators scoped-persisted
+            # while building it (LSH shingles, translate row ids) are dead —
+            # release them so a long DAG run keeps a one-stage cache footprint.
+            release_scoped()
             report[name] = {
                 "resources": {
                     r: {

@@ -30,6 +30,7 @@ from ..operators import (
     join_self,
     unpivot_regex,
 )
+from ..operators.caching import release_scoped
 from ..operators.cdc import cdc_counts, hash_diff
 from ..operators.textops import content_hash, md5_doc_id
 from ..operators.translate import TranslationTable, split_and_translate
@@ -38,8 +39,22 @@ QUERIES: dict[str, dict] = {}
 
 
 def register(name: str, sql: str | None = None):
+    """Register a (spark_fn, oracle_sql) query pair.
+
+    The wrapper releases the PREVIOUS query's scoped caches (see
+    operators/caching.py) at each invocation: sequential runners (driver
+    correctness loop, bench) consume each result before calling the next
+    query, so per-operator persist()s never accumulate across the session.
+    """
+
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = {"fn": fn, "sql": sql}
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_scoped()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = {"fn": wrapped, "sql": sql}
         return fn
 
     return deco
