@@ -61,6 +61,12 @@ def register(name: str, sql: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Let AQE re-plan (coalesce/skew-split) stages that sit under a persist():
+    # by default a cached plan's output partitioning is frozen, so a vanilla
+    # session runs an LSH band self-join at sf0.01 across 200 full shuffle
+    # partitions — task overhead, not work (measured 10.7s -> 1.6s with the
+    # conf on). Runtime-settable, so queries behave under ANY caller session.
+    spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
         # rejects; read nanos as long and truncate to microseconds (DuckDB's

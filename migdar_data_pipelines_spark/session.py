@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Apply AQE partition coalescing/skew handling to stages under a
+        # persist() too — otherwise cached subtrees (LSH shingle/band frames)
+        # run at the static shuffle width regardless of data size.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         # Dimension tables (nation/region/translations/tribunals) broadcast;
         # sized so fact tables do NOT. A 64 MB threshold made Spark broadcast
         # the sf0.1 lineitem fact table (10 MB file; Catalyst's column-pruned
