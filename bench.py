@@ -36,6 +36,13 @@ BENCH_QUERIES = [
     "text_stats_documents",
     "simhash_documents",
     "minhash_lsh_near_dup",
+    "dedup_exact_documents",
+    "doc_fingerprint_documents",
+    "quality_langid_documents",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_cells",
+    "embedding_topk_bruteforce",
+    "embedding_topk_ivf",
 ]
 
 
