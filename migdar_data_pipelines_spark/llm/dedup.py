@@ -313,6 +313,7 @@ def embedding_near_dup(
     id_col: str,
     cell_col: str,
     threshold: float = 0.95,
+    prefilter_coords: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a cell (blocked — the IVF-style
     scale path; cells from a coarse quantizer, here any cell column).
@@ -320,25 +321,53 @@ def embedding_near_dup(
     Norms are computed ONCE per row before the pair join, not per pair: the
     per-vector sum order is unchanged, so the double result is bit-identical
     to an inline norm (oracle-safe), while the interpreted per-pair work
-    drops from three array folds + two sqrts to one dot (23.8s -> 7.6s at
-    sf0.1; see llm/linalg.py for why the fold, not an unrolled sum, is the
-    fast dot)."""
+    drops from three array folds + two sqrts to one dot (see llm/linalg.py
+    for why the fold, not an unrolled sum, is the fast dot).
+
+    Coordinate prefilter (lossless): for unit vectors, cos(a,b) >= t implies
+    ||a_n - b_n|| <= sqrt(2-2t), hence EVERY normalized coordinate differs by
+    at most that bound. The first ``prefilter_coords`` normalized coordinates
+    are precomputed per row and compared with plain codegen arithmetic before
+    the interpreted dot ever runs — at t=0.99 each coordinate check passes
+    ~58% of random pairs, so 4 checks drop ~89% of the dot products. The
+    bound is slackened by the output rounding (a true cosine of t - 0.00005
+    still rounds INTO the t filter) plus an FP margin, so no qualifying pair
+    is ever pruned. Zero-norm vectors divide to inf/NaN and fail both the
+    prefilter and the final cosine filter, matching the oracle."""
+    v = F.col(vec_col)
+    nrm = norm(v)
+    coord_cols = {
+        f"c{i}": (v.getItem(i).cast("double") / nrm) for i in range(prefilter_coords)
+    }
     base = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+        v.alias("v"),
         F.col(cell_col).alias("cell"),
-        norm(F.col(vec_col)).alias("nrm"),
+        nrm.alias("nrm"),
+        *[c.alias(name) for name, c in coord_cols.items()],
     )
     a = base.select(
-        "cell", F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nrm").alias("n_a")
+        "cell",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+        *[F.col(n).alias(f"a_{n}") for n in coord_cols],
     )
     b = base.select(
         F.col("cell").alias("cell_b"),
         F.col("id").alias("id_b"),
         F.col("v").alias("v_b"),
         F.col("nrm").alias("n_b"),
+        *[F.col(n).alias(f"b_{n}") for n in coord_cols],
     )
-    pairs = a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+    # rounding slack: round(cos, 4) >= t admits true cosines down to
+    # t - 0.00005; the distance bound must cover them (plus an FP margin).
+    t_eff = threshold - 0.00005 - 1e-9
+    bound = float((2.0 - 2.0 * t_eff) ** 0.5)
+    cond = (F.col("cell") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b"))
+    for n in coord_cols:
+        cond = cond & (F.abs(F.col(f"a_{n}") - F.col(f"b_{n}")) <= F.lit(bound))
+    pairs = a.join(b, cond)
     cos = dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         pairs.withColumn("cosine", F.round(cos, 4))
