@@ -140,3 +140,55 @@ def test_learned_ivf_recall(spark, sf_dir):
     approx_pairs = {(r["query_id"], r["neighbour_id"]) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5, recall
+
+def test_embedding_near_dup_prefilter_lossless(spark):
+    """The coordinate prefilter must never prune a pair whose ROUNDED cosine
+    reaches the threshold — including true cosines just under it that round
+    into the filter (round(t - 0.00004, 4) == t)."""
+    import math
+
+    from migdar_data_pipelines_spark.llm.dedup import embedding_near_dup
+
+    t = 0.99
+    # pair (1,2): cosine exactly cos(theta) with theta chosen so the true
+    # cosine is t - 0.00004 -> rounds to 0.99, must be kept
+    theta = math.acos(t - 0.00004)
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [math.cos(theta), math.sin(theta), 0.0, 0.0]
+    # pair (3,4): clearly below threshold, must be dropped
+    c = [0.6, 0.8, 0.0, 0.0]
+    rows = [(1, a, 0), (2, b, 0), (3, c, 0), (4, a, 0)]
+    df = spark.createDataFrame(rows, "id long, v array<double>, cell int")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup(df, "v", "id", "cell", threshold=t).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 0.99
+    assert (1, 4) in got and got[(1, 4)] == 1.0
+    assert (2, 4) in got  # same as (1,2) by symmetry
+    assert not any(3 in pair for pair in got)
+
+
+def test_scoped_persist_released_between_queries(spark):
+    from migdar_data_pipelines_spark.operators import caching
+
+    df = spark.range(10)
+    p = caching.scoped_persist(df)
+    assert p.storageLevel.useMemory
+    caching.release_scoped(blocking=True)
+    assert not p.storageLevel.useMemory
+    # registry empty -> repeated release is a no-op
+    caching.release_scoped()
+
+
+def test_register_wrapper_releases_previous_scope(spark, sf_dir):
+    """Invoking any registered query releases caches scoped by the previous
+    one (bounded cache footprint across sequential driver runs)."""
+    from migdar_data_pipelines_spark.operators import caching
+    from migdar_data_pipelines_spark.plans import query_fns
+
+    df = caching.scoped_persist(spark.range(5))
+    assert len(caching._SCOPED) == 1
+    query_fns()["q1_pricing_summary"](spark, sf_dir)  # plan only, no action
+    assert caching._SCOPED == []
+    assert not df.storageLevel.useMemory or df.unpersist() is not None
