@@ -26,6 +26,7 @@ from .dedup import (  # noqa: F401
     simhash,
     ngram_jaccard_pairs,
     embedding_near_dup,
+    embedding_near_dup_matmul,
 )
 from .similarity import cosine_topk, ivf_topk  # noqa: F401
 from .multimodal import binary_features, decode_stub  # noqa: F401

@@ -32,4 +32,7 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: ANSI mode THROWS on double/0.0, so a single zero-norm
+    # vector would kill the job with plain division; NULL (which fails every
+    # threshold comparison) is the intended "no similarity" semantics.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))

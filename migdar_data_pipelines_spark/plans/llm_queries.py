@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..llm.dedup import (
     exact_dedup,
-    embedding_near_dup,
+    embedding_near_dup_matmul,
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
@@ -354,12 +354,16 @@ SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.99
 )
 def embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs within label cells (corpus contains an
-    exact copy of every vector, so each vector pairs with its clone at 1.0)."""
+    exact copy of every vector, so each vector pairs with its clone at 1.0).
+    Uses the two-tier matmul+exact-rescore path; output is bit-identical to
+    the pure-expression embedding_near_dup (tested) and the SQL oracle."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     corpus = e.unionByName(
         e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
     )
-    return embedding_near_dup(corpus, "embedding", "vec_id", "label", threshold=0.99)
+    return embedding_near_dup_matmul(
+        corpus, "embedding", "vec_id", "label", threshold=0.99
+    )
 
 
 @register(

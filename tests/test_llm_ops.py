@@ -169,6 +169,33 @@ def test_embedding_near_dup_prefilter_lossless(spark):
     assert not any(3 in pair for pair in got)
 
 
+def test_embedding_near_dup_matmul_matches_expression_path(spark):
+    """The two-tier matmul+exact-rescore path must be row-identical to the
+    pure-expression path, including the rounding-boundary pair."""
+    import math
+
+    from migdar_data_pipelines_spark.llm.dedup import (
+        embedding_near_dup,
+        embedding_near_dup_matmul,
+    )
+
+    t = 0.99
+    theta = math.acos(t - 0.00004)
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [math.cos(theta), math.sin(theta), 0.0, 0.0], 0),
+        (3, [0.6, 0.8, 0.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0, 0.0], 0),
+        (5, [0.0, 0.0, 0.0, 0.0], 0),  # zero-norm: must never pair
+        (6, [1.0, 0.0, 0.0, 0.0], 1),  # other cell: never pairs with 1/4
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>, cell int")
+    expr = embedding_near_dup(df, "v", "id", "cell", threshold=t)
+    mat = embedding_near_dup_matmul(df, "v", "id", "cell", threshold=t, chunk_rows=2)
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, mat.collect()))
+    assert mat.count() == 3  # (1,2) (1,4) (2,4)
+
+
 def test_scoped_persist_released_between_queries(spark):
     from migdar_data_pipelines_spark.operators import caching
 
