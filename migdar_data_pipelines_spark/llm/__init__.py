@@ -25,6 +25,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     simhash,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_blocked_kernel,
     embedding_near_dup,
     embedding_near_dup_matmul,
 )

@@ -308,6 +308,123 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_blocked_kernel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    block_col: Column | str | None = None,
+    threshold: float = 0.3,
+    chunk_pairs: int = 4_000_000,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs with a per-block numpy kernel instead of
+    the inverted-index join — identical output to ``ngram_jaccard_pairs``.
+
+    Each block's exploded (doc, gram) index arrives as one ``applyInPandas``
+    group; pair generation is the classic segment trick, fully vectorized:
+    sort by (gram, doc), then every row pairs with its gram's whole segment,
+    and the (left, right) arrays come from ``repeat``/``cumsum`` arithmetic —
+    no Python loop over grams, no scipy. Shared-gram counts are aggregated
+    with ``np.unique``/``bincount`` on packed positional pair keys, chunked
+    so peak memory is O(chunk_pairs). The kernel emits exact INTEGER
+    (id_a, id_b, inter, sz_a, sz_b); the division, HALF_UP rounding and
+    threshold filter run as Spark expressions — numpy's banker's rounding
+    never touches the result, keeping oracle parity bit-exact.
+
+    Trade-off vs the join path: no pair shuffle at all (the only exchange is
+    grouping gram rows by block), but parallelism is bounded by the number
+    of blocks and the largest block must fit one task's memory. Prefer this
+    kernel when blocks are many and bounded (length buckets, LSH bands);
+    prefer the join when a block can be huge or blocks are few."""
+    import numpy as np
+
+    assert threshold > 0, "requires threshold > 0"
+    grams = shingles(text_col, n)
+    block = (
+        (F.col(block_col) if isinstance(block_col, str) else block_col)
+        if block_col is not None
+        else (F.length(text_col) / F.lit(64)).cast("long")
+    )
+    base = df.select(F.col(id_col).alias("id"), grams.alias("g"), block.alias("blk"))
+    idx = base.select(
+        "blk", "id", F.size("g").alias("sz"), F.explode("g").alias("gram")
+    )
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        uids, doc_idx = np.unique(ids, return_inverse=True)
+        n_docs = len(uids)
+        if n_docs < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "inter": [], "sz_a": [], "sz_b": []}
+            ).astype("int64")
+        sz_u = np.zeros(n_docs, dtype=np.int64)
+        sz_u[doc_idx] = pdf["sz"].to_numpy()
+        gid = np.unique(pdf["gram"].to_numpy(), return_inverse=True)[1]
+        order = np.lexsort((doc_idx, gid))
+        d, g = doc_idx[order], gid[order]
+        counts = np.bincount(g)
+        seg_start = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        row_len = counts[g]
+        row_seg_start = seg_start[g]
+        row_block_start = np.concatenate(([0], np.cumsum(row_len)))[:-1]
+        # chunk row ranges so each emits <= chunk_pairs pair slots
+        keys_all, cnts_all = [], []
+        r0 = 0
+        R = len(d)
+        while r0 < R:
+            r1 = r0
+            budget = 0
+            while r1 < R and budget + row_len[r1] <= chunk_pairs:
+                budget += row_len[r1]
+                r1 += 1
+            r1 = max(r1, r0 + 1)
+            rl = row_len[r0:r1]
+            P = int(rl.sum())
+            left = np.repeat(d[r0:r1], rl)
+            block_start = np.repeat(
+                row_block_start[r0:r1] - row_block_start[r0], rl
+            )
+            offset = np.arange(P, dtype=np.int64) - block_start
+            right = d[np.repeat(row_seg_start[r0:r1], rl) + offset]
+            keep = left < right
+            packed = left[keep].astype(np.int64) * n_docs + right[keep]
+            uk, uc = np.unique(packed, return_counts=True)
+            keys_all.append(uk)
+            cnts_all.append(uc)
+            r0 = r1
+        keys = np.concatenate(keys_all)
+        cnts = np.concatenate(cnts_all)
+        uk, inv = np.unique(keys, return_inverse=True)
+        inter = np.bincount(inv, weights=cnts).astype(np.int64)
+        pa, pb = uk // n_docs, uk % n_docs
+        sz_a, sz_b = sz_u[pa], sz_u[pb]
+        # lossless prefilter: jac <= inter/union exactly; margin for nothing —
+        # the ints are exact — but keep the final decision in Spark anyway.
+        union = sz_a + sz_b - inter
+        keep = inter >= (threshold - 1e-9) * union
+        return pd.DataFrame(
+            {
+                "id_a": uids[pa[keep]],
+                "id_b": uids[pb[keep]],
+                "inter": inter[keep],
+                "sz_a": sz_a[keep],
+                "sz_b": sz_b[keep],
+            }
+        )
+
+    cand = idx.groupBy("blk").applyInPandas(
+        _pairs, "id_a long, id_b long, inter long, sz_a long, sz_b long"
+    )
+    union = (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+    jac = F.col("inter").cast("double") / union
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     vec_col: str,

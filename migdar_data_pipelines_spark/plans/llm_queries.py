@@ -18,7 +18,7 @@ from ..llm.dedup import (
     embedding_near_dup_matmul,
     minhash_lsh_pairs,
     minhash_signature,
-    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_blocked_kernel,
     simhash,
 )
 from ..llm.multimodal import binary_features, documents_as_media
@@ -272,7 +272,9 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
 )
 def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram Jaccard near-dup pairs with length-bucket blocking (the oracle
-    applies the identical blocking, so this checks operator semantics)."""
+    applies the identical blocking, so this checks operator semantics).
+    Uses the per-block numpy kernel — row-identical to the inverted-index
+    join path (tested), with no pair shuffle."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(
         d.select(
@@ -281,7 +283,7 @@ def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     blk = F.floor(F.length("text") / 64.0).cast("long")
-    return ngram_jaccard_pairs(
+    return ngram_jaccard_pairs_blocked_kernel(
         corpus, "text", "doc_id", n=2, block_col=blk, threshold=0.6
     )
 

@@ -169,6 +169,34 @@ def test_embedding_near_dup_prefilter_lossless(spark):
     assert not any(3 in pair for pair in got)
 
 
+def test_ngram_kernel_matches_join_path(spark):
+    """Per-block numpy kernel must be row-identical to the inverted-index
+    join path, across blocks, shared grams, and sub-threshold pairs."""
+    from migdar_data_pipelines_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_blocked_kernel,
+    )
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),
+        (3, "a b x y z"),
+        (7, "q r s t u v w"),
+        (8, "q r s t u v zz"),
+        (9, "totally different words here now"),
+        (10, "single"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    blk = F.lit(0)  # one block: worst case for the kernel, all pairs together
+    a = ngram_jaccard_pairs(df, "text", "id", n=2, block_col=blk, threshold=0.2)
+    b = ngram_jaccard_pairs_blocked_kernel(
+        df, "text", "id", n=2, block_col=blk, threshold=0.2, chunk_pairs=4
+    )  # chunk_pairs tiny -> exercises the chunked aggregation merge
+    got_a = sorted(map(tuple, a.collect()))
+    got_b = sorted(map(tuple, b.collect()))
+    assert got_a == got_b and len(got_a) >= 2
+
+
 def test_embedding_near_dup_matmul_matches_expression_path(spark):
     """The two-tier matmul+exact-rescore path must be row-identical to the
     pure-expression path, including the rounding-boundary pair."""
