@@ -19,6 +19,8 @@ from .textanalysis import (  # noqa: F401
     doc_fingerprint,
 )
 from .dedup import (  # noqa: F401
+    canonical_groups,
+    connected_components,
     exact_dedup,
     shingles,
     minhash_signature,

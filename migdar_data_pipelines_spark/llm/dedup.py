@@ -188,12 +188,25 @@ def minhash_lsh_pairs(
     )
 
     # Verify only the (few) candidates with true Jaccard over shingle sets.
+    # The candidate side is EXPLICITLY broadcast in both lookups — not left
+    # to AQE's runtime estimate — so the persisted shingle frame is never
+    # shuffled for verification. Size rationale: the candidate list IS the
+    # verification workload; if it outgrew a broadcast (executor-memory
+    # scale), the LSH parameters produce more verification work than any
+    # join strategy could save and need retuning (more rows per band /
+    # a bucket-size cap), so forcing the hint is safe by construction.
+    # The second hint covers the (pairs + sh_a) intermediate, whose row
+    # count is the same candidate count.
     sh_df = base.select(F.col("id").alias("__sid"), F.col("__sh"))
     cand = (
-        cand.join(sh_df, cand["id_a"] == sh_df["__sid"])
+        F.broadcast(cand)
+        .join(sh_df, F.col("id_a") == F.col("__sid"))
         .withColumnRenamed("__sh", "sh_a")
         .drop("__sid")
-        .join(sh_df, F.col("id_b") == sh_df["__sid"])
+    )
+    cand = (
+        F.broadcast(cand)
+        .join(sh_df, F.col("id_b") == F.col("__sid"))
         .withColumnRenamed("__sh", "sh_b")
         .drop("__sid")
     )
@@ -205,6 +218,137 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 16,
+) -> DataFrame:
+    """Connected components over an undirected pair list: every node labelled
+    with the MINIMUM id of its component. Returns (id, comp), one row per
+    non-isolated node (callers coalesce isolated rows to their own id —
+    see ``canonical_groups``).
+
+    Algorithm: alternating large-star / small-star (the MapReduce CC
+    algorithm of Kiveris et al., "Connected Components in MapReduce and
+    Beyond"), expressed as pure DataFrame ops — no driver-side union-find,
+    no ``collect()``. Each round:
+
+      * large-star: every node connects its LARGER neighbours to the minimum
+        of its neighbourhood (incl. itself);
+      * small-star: every node connects its smaller-or-equal neighbours and
+        itself to that minimum.
+
+    Both are a groupBy(min) + a join, i.e. two hash shuffles keyed on node
+    id, and the edge set provably converges to stars centred at each
+    component's minimum in O(log n) rounds (dedup near-dup graphs — cliques
+    plus short bridges — converge in 2-3). Convergence is detected by
+    comparing a (count, xxhash64-xor) signature of the edge set between
+    rounds: one cheap aggregate per round instead of a set-difference join.
+
+    Scale notes (100 TB): the shuffled payload is only (long, long) edge
+    rows, and the edge count MONOTONICALLY shrinks toward one edge per
+    non-root node — iterations get cheaper. Each round is eagerly
+    local-checkpointed: lineage truncation is what keeps per-round Catalyst
+    planning cost constant (see the loop comment), and no round ever
+    re-executes. Skew: a
+    giant near-dup cluster turns its root into a hot key in the final
+    rounds' groupBy; min() is an algebraic aggregate so map-side partial
+    aggregation collapses the hot key before the exchange.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .dropDuplicates(["u", "v"])
+    )
+
+    def nbrs(e: DataFrame) -> DataFrame:
+        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        nb = nbrs(e)
+        m = (
+            nb.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("u", "__mn").alias("m"))
+        )
+        j = nb.join(m, "u")
+        kept = j.filter(F.col("v") > F.col("u")) if large else j.filter(F.col("v") <= F.col("u"))
+        out = kept.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        if not large:
+            # small-star also re-points the node itself at its minimum —
+            # without this edge a node with only smaller neighbours would
+            # disconnect from its component.
+            out = out.unionByName(m.select("u", F.col("m").alias("v")))
+        return out.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # localCheckpoint, not persist: each star references its input plan
+        # FOUR times (both union arms of the neighbourhood view, the min
+        # aggregate, the re-join), so round k's *logical plan* would hold
+        # 4^k copies of round 0 — Catalyst re-analyzes the whole tree even
+        # when the data is cached, and the loop stops being bounded by data
+        # long before max_iter. Eager local checkpointing materializes the
+        # round AND truncates lineage to a leaf, keeping per-round planning
+        # cost constant. (On a real cluster prefer a reliable checkpoint dir
+        # if executor loss during the loop must be survivable.)
+        edges = star(star(edges, large=True), large=False).localCheckpoint(eager=True)
+        # XOR fold, not sum: order-independent over the distinct edge rows
+        # and can't overflow under ANSI mode (sum of full-range longs throws).
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # Converged: every edge is (node, component-min). Roots appear only on
+    # the v side; the defensive min() collapses any duplicate child rows.
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+    roots = edges.select(F.col("v").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    return labels.unionByName(roots).groupBy("id").agg(F.min("comp").alias("comp"))
+
+
+def canonical_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Assign every row of ``df`` to its dedup group: ``canonical_id`` = the
+    minimum id of its connected component over ``pairs`` (its own id when
+    unpaired), plus ``group_size``. This is the operator a training-data
+    pipeline actually consumes — "keep one doc per group" is then a single
+    ``filter(col(id) == col('canonical_id'))``.
+
+    Scale notes: the label frame holds only PAIRED nodes (usually a small
+    fraction of the corpus), left-joined on id — AQE broadcasts it when it
+    fits, falls back to a shuffle join when the dup rate is high. group_size
+    comes from one count-window partitioned by canonical_id (a single
+    shuffle keyed on the group, no extra join)."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, id_a, id_b)
+    out = (
+        df.join(
+            comp.withColumnRenamed("id", "__cc_id"),
+            F.col(id_col) == F.col("__cc_id"),
+            "left",
+        )
+        .withColumn("canonical_id", F.coalesce(F.col("comp"), F.col(id_col)))
+        .drop("__cc_id", "comp")
+    )
+    w = Window.partitionBy("canonical_id")
+    return out.withColumn("group_size", F.count(F.lit(1)).over(w))
 
 
 def simhash(col: Column | str, bits: int = 16) -> Column:

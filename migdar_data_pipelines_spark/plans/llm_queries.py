@@ -4,8 +4,13 @@ Same registry/conventions as queries.py. The near-dup queries build a corpus
 of documents unioned with perturbed copies (id+100000) so that each operator
 has guaranteed positives with known ground truth; the oracle computes the
 exact (blocking-free or identically-blocked) answer, which the Spark LSH path
-must reproduce — its recall at the chosen (hashes, bands) makes misses
-probabilistically impossible on this data (P(miss) < 1e-8 per pair).
+must reproduce. Recall accounting for the LSH queries (16 hashes / 8 bands /
+r=2): a pair at jaccard j collides in a band with probability j^2, so
+P(miss all bands) = (1-j^2)^8 — ~2.6e-14 at the near-1.0 jaccard of the
+synthesized dups, but as high as 2.8e-4 for a borderline pair at exactly the
+0.8 threshold. The corpus' observed cross-doc pairs sit well above 0.9
+(P(miss) < 3e-9); the group-assembly query, whose output is sensitive to ANY
+missed edge, runs at 32 hashes / 16 bands (P(miss at 0.8) = 7.9e-8).
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm.dedup import (
+    canonical_groups,
     exact_dedup,
     embedding_near_dup_matmul,
     minhash_lsh_pairs,
@@ -216,6 +222,65 @@ def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return minhash_lsh_pairs(
         corpus, "text", "doc_id", n_hashes=16, bands=8, k=3, jaccard_threshold=0.8
+    )
+
+
+@register(
+    "dedup_groups_lsh",
+    sql=f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzdup' FROM documents
+), w AS (SELECT id, {_W} AS words FROM corpus),
+sh AS (SELECT id, {_SH3} AS s FROM w),
+cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  FROM sh a, sh b
+  WHERE a.id < b.id
+    AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        / greatest(len(a.s), len(b.s)) >= 0.8
+), pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE round(CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+              / len(list_distinct(list_concat(s_a, s_b))), 4) >= 0.8
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), cc(id, comp) AS (
+  SELECT id, id FROM corpus
+  UNION
+  SELECT e.v, cc.comp FROM cc JOIN edges e ON e.u = cc.id
+), lab AS (
+  SELECT id, min(comp) AS comp FROM cc GROUP BY id
+)
+SELECT id AS doc_id, comp AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS group_size
+FROM lab
+""",
+)
+def dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup group assembly: LSH pairs -> connected components (alternating
+    large-star/small-star, pure DataFrame iteration) -> one canonical keeper
+    id + group size for EVERY corpus doc. The oracle recomputes the exact
+    pair list and its transitive closure with a recursive CTE. 32 hashes /
+    16 bands so a missed threshold-grade edge (which would split a group) has
+    P < 1e-7. This is the operator that turns pair detection into the
+    deduplicated corpus a training-data pipeline consumes."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zzdup")).alias("text"),
+        )
+    )
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", n_hashes=32, bands=16, k=3, jaccard_threshold=0.8
+    )
+    out = canonical_groups(corpus.select("doc_id"), pairs, "doc_id")
+    return out.select(
+        "doc_id", "canonical_id", F.col("group_size").cast("long").alias("group_size")
     )
 
 

@@ -18,8 +18,8 @@ without bound within a run). Arrow batches keep the Python hop vectorized.
 from __future__ import annotations
 
 from collections.abc import Iterable
-from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -96,30 +96,32 @@ def streaming_cdc(
     )
     state_schema = T.StructType([T.StructField("last_hash", T.StringType())])
 
+    cols = [f.name for f in out_schema.fields]
+
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        # Vectorized shift+compare (no per-row Python): each row's reference
+        # hash is the previous row's hash after a stable global sort of the
+        # whole group batch (concat first — Arrow may deliver the group in
+        # several chunks, and sorting per-chunk would misorder boundaries),
+        # with the cross-batch state hash spliced in as row 0's reference.
         last = state.get[0] if state.exists else None
-        rows: list[dict[str, Any]] = []
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(ts_col).iterrows():
-                h = r[hash_col]
-                if last is None:
-                    status = "new"
-                elif h != last:
-                    status = "changed"
-                else:
-                    status = "same"
-                last = h
-                rows.append(
-                    {
-                        **{k: r[k] for k in key_cols},
-                        ts_col: r[ts_col],
-                        "status": status,
-                    }
-                )
+        parts = [pdf for pdf in pdfs if not pdf.empty]
+        if not parts:
+            return
+        df = pd.concat(parts, ignore_index=True).sort_values(
+            ts_col, kind="stable", ignore_index=True
+        )
+        h = df[hash_col]
+        prev = h.shift(1)
         if last is not None:
-            state.update((last,))
-        if rows:
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            prev.iloc[0] = last
+        status = np.where(
+            prev.isna(), "new", np.where(h.to_numpy() == prev.to_numpy(), "same", "changed")
+        )
+        out = df[[*key_cols, ts_col]].copy()
+        out["status"] = status
+        state.update((h.iloc[-1],))
+        yield out[cols]
 
     return changes.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

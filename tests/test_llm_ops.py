@@ -247,3 +247,55 @@ def test_register_wrapper_releases_previous_scope(spark, sf_dir):
     query_fns()["q1_pricing_summary"](spark, sf_dir)  # plan only, no action
     assert caching._SCOPED == []
     assert not df.storageLevel.useMemory or df.unpersist() is not None
+
+
+def test_connected_components_chain_and_cliques(spark):
+    from migdar_data_pipelines_spark.llm import connected_components
+
+    # chain 1-2-3-4-5 (diameter forces >1 star round), clique {10,11,12},
+    # pair {20,21}, plus reversed/duplicate edges to exercise normalization
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 4), (10, 11), (11, 12), (10, 12),
+         (12, 10), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_partitioning_invariant(spark):
+    from migdar_data_pipelines_spark.llm import connected_components
+
+    # long path 0-1-...-29: worst case for label propagation depth
+    edges = [(i, i + 1) for i in range(29)]
+    for nparts in (1, 8):
+        df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(nparts)
+        got = {r.id: r.comp for r in connected_components(df).collect()}
+        assert got == {i: 0 for i in range(30)}
+
+
+def test_canonical_groups_assigns_singletons_and_sizes(spark):
+    from migdar_data_pipelines_spark.llm import canonical_groups
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], "id_a long, id_b long")
+    rows = canonical_groups(docs, pairs, "doc_id").collect()
+    got = {r.doc_id: (r.canonical_id, r.group_size) for r in rows}
+    assert got == {0: (0, 3), 1: (0, 3), 2: (0, 3),
+                   3: (3, 1), 4: (4, 2), 5: (4, 2)}
+
+
+def test_lsh_verification_join_is_broadcast(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    df = spark.createDataFrame(
+        [(i, base + f" tail{i % 2}") for i in range(20)], "id long, text string"
+    )
+    pairs = minhash_lsh_pairs(df, "text", "id", n_hashes=8, bands=4,
+                              jaccard_threshold=0.9)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the two verification lookups (candidate ids vs the persisted shingle
+    # frame, join key __sid) must be broadcast joins; the bucket self-join
+    # upstream is legitimately a shuffle join and is not asserted on.
+    verif = [l for l in plan.splitlines() if "Join" in l and "__sid" in l]
+    assert len(verif) == 2 and all("BroadcastHashJoin" in l for l in verif), plan
