@@ -615,12 +615,144 @@ def fuzzy_translate_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = split_and_translate(
         inputs, "field", table, delimiter=",", score_cutoff=85.0,
-        suffixes={"": "hebrew", "__en": "english"},
+        suffixes={"": "hebrew", "__en": "english"}, scorer="levenshtein",
     )
     return out.select(
         "id",
         F.array_join("field", ",").alias("field"),
         F.array_join("field__en", ",").alias("field__en"),
+    )
+
+
+@register(
+    "uqratio_translate_nations",
+    sql=r"""
+WITH RECURSIVE inputs AS (
+  SELECT n_nationkey AS id,
+         concat(n_name, CASE WHEN n_nationkey % 2 = 1 THEN 'x' ELSE '!!' END,
+                ',', 'NATION_0') AS field
+  FROM nation
+), lut AS (
+  SELECT lower(trim(n_name)) AS tkey, n_name AS hebrew, lower(n_name) AS english
+  FROM nation
+  UNION ALL
+  SELECT lower(trim(n_name)) || 'xy', n_name || 'XY', lower(n_name) || 'xy'
+  FROM nation
+), lutp AS (
+  SELECT tkey, hebrew, english,
+         trim(lower(regexp_replace(tkey, '[^\p{L}\p{N}_]', ' ', 'g'))) AS pb
+  FROM lut
+), exploded AS (
+  SELECT id, pos, trim(val) AS val FROM (
+    SELECT id,
+           unnest(string_split(field, ',')) AS val,
+           unnest(generate_series(1, len(string_split(field, ',')))) AS pos
+    FROM inputs
+  ) WHERE trim(val) <> ''
+), exact AS (
+  SELECT e.id, e.pos, e.val, l.hebrew, l.english
+  FROM exploded e LEFT JOIN lut l ON lower(e.val) = l.tkey
+), m AS (
+  SELECT id, pos, val,
+         trim(lower(regexp_replace(lower(val), '[^\p{L}\p{N}_]', ' ', 'g'))) AS pa
+  FROM exact WHERE hebrew IS NULL
+), pairs AS (
+  SELECT m.id, m.pos, m.val, m.pa, l.tkey, l.pb, l.hebrew, l.english,
+         len(m.pa) AS la, len(l.pb) AS lb
+  FROM m CROSS JOIN lutp l
+), lcs AS (
+  SELECT id, pos, tkey, 0 AS i,
+         list_transform(generate_series(1, lb + 1), x -> 0) AS r
+  FROM pairs
+  UNION ALL
+  SELECT c.id, c.pos, c.tkey, c.i + 1,
+         list_transform(generate_series(1, p.lb + 1), j ->
+           CASE WHEN j = 1 THEN 0 ELSE
+             list_max(list_transform(generate_series(2, j), k ->
+               greatest(c.r[k],
+                        c.r[k-1] + CASE WHEN substr(p.pa, c.i + 1, 1)
+                                             = substr(p.pb, k - 1, 1)
+                                        THEN 1 ELSE 0 END)))
+           END)
+  FROM lcs c JOIN pairs p ON p.id = c.id AND p.pos = c.pos AND p.tkey = c.tkey
+  WHERE c.i < p.la
+), scored AS (
+  SELECT p.id, p.pos, p.val, p.tkey, p.hebrew, p.english,
+         CASE WHEN p.la = 0 OR p.lb = 0 THEN 0.0
+              ELSE round_even(200.0 * l.r[p.lb + 1] / (p.la + p.lb), 0) END AS score
+  FROM pairs p JOIN lcs l
+    ON l.id = p.id AND l.pos = p.pos AND l.tkey = p.tkey AND l.i = p.la
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY id, pos ORDER BY score DESC, tkey) AS rn
+  FROM scored
+), r1 AS (SELECT * FROM best WHERE rn = 1),
+r2 AS (SELECT id, pos, score AS s2, hebrew AS h2, english AS e2 FROM best WHERE rn = 2),
+fuzzy AS (
+  SELECT r1.id, r1.pos, r1.val,
+         CASE WHEN r1.score >= 90 THEN r1.hebrew END AS hebrew,
+         CASE WHEN r1.score >= 90 THEN r1.english END AS english,
+         coalesce(r1.score >= 90 AND r1.score < 100 AND r2.s2 >= 90
+                  AND (r2.h2 <> r1.hebrew OR r2.e2 <> r1.english), FALSE) AS amb
+  FROM r1 LEFT JOIN r2 ON r1.id = r2.id AND r1.pos = r2.pos
+), resolved AS (
+  SELECT id, pos, val, hebrew, english, FALSE AS amb
+  FROM exact WHERE hebrew IS NOT NULL
+  UNION ALL
+  SELECT id, pos, val, hebrew, english, amb FROM fuzzy
+)
+SELECT id,
+       string_agg(coalesce(hebrew, val), ',' ORDER BY pos) AS field,
+       string_agg(coalesce(english, val), ',' ORDER BY pos) AS field__en,
+       max(amb) AS ambiguous
+FROM resolved GROUP BY id
+""",
+)
+def uqratio_translate_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 at reference parity: UQRatio scorer (i18n.py:107-109) + top-2
+    ambiguity capture (i18n.py:110-114), on inputs where UQRatio and the
+    levenshtein stand-in DISAGREE. Even keys carry '!!' punctuation dirt —
+    full_process strips it so UQRatio scores 100 while normalized
+    Levenshtein scores 80 (below any sane cutoff). Odd keys carry a one-char
+    append scored against BOTH a base key and an 'xy' variant key: for
+    one-digit keys the variant outranks the base 95 vs 94, for two-digit
+    keys both round to 95 and the tkey tie-break decides — and since both
+    clear cutoff 90 below 100 with different translations, the reference's
+    POSSIBLE-BAD-TRANSLATION condition fires, captured as ``ambiguous``.
+    The DuckDB oracle computes the same indel ratio with an LCS dynamic
+    program in a recursive CTE (row-by-row DP, running-max form) and
+    round_even to mirror Python's half-even int rounding."""
+    n = _t(spark, sf_dir, "nation")
+    inputs = n.select(
+        F.col("n_nationkey").alias("id"),
+        F.concat(
+            F.col("n_name"),
+            F.when(F.col("n_nationkey") % 2 == 1, F.lit("x")).otherwise(F.lit("!!")),
+            F.lit(",NATION_0"),
+        ).alias("field"),
+    )
+    base_t = n.select(
+        F.col("n_name").alias("key"),
+        F.col("n_name").alias("hebrew"),
+        F.lower("n_name").alias("english"),
+    )
+    var_t = n.select(
+        F.concat("n_name", F.lit("xy")).alias("key"),
+        F.concat("n_name", F.lit("XY")).alias("hebrew"),
+        F.concat(F.lower("n_name"), F.lit("xy")).alias("english"),
+    )
+    table = TranslationTable(
+        base_t.unionByName(var_t), key="key", translations=("hebrew", "english")
+    )
+    out = split_and_translate(
+        inputs, "field", table, delimiter=",", score_cutoff=90.0,
+        suffixes={"": "hebrew", "__en": "english"},
+        scorer="uqratio", capture_ambiguity=True,
+    )
+    return out.select(
+        "id",
+        F.array_join("field", ",").alias("field"),
+        F.array_join("field__en", ",").alias("field__en"),
+        F.col("field__ambiguous").alias("ambiguous"),
     )
 
 
