@@ -111,12 +111,13 @@ def train_ivf_centroids(
 
     The standard IVF recipe — centroids are learned on a bounded sample
     (10k rows regardless of corpus size; the driver never holds the corpus),
-    then broadcast for assignment. Deterministic: fixed seed, fixed sample
-    order. Returns a (n_cells, dim) list of lists.
+    then broadcast for assignment. Deterministic: fixed seed, and the sample
+    is pinned by sorting on the vector column before the limit (a bare LIMIT
+    is partitioning-dependent). Returns a (n_cells, dim) list of lists.
     """
     import numpy as np
 
-    sample = df.select(vec_col).limit(sample_rows).collect()
+    sample = df.select(vec_col).orderBy(vec_col).limit(sample_rows).collect()
     X = np.asarray([r[0] for r in sample], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]

@@ -47,9 +47,16 @@ def concatenate(
             else:
                 cols.append(F.coalesce(*[F.col(c) for c in candidates]).alias(canonical))
         if keep_ord and keep_ord in src.columns:
-            # major-order by source position, minor by intra-source ord
+            # Major-order by source position, minor by intra-source ord.
+            # __ord from monotonically_increasing_id packs partitionId into
+            # bits 33+, so the shift must clear the largest possible ord:
+            # 2^48 covers 2^15 = 32768 partitions per source (and 2^15
+            # sources before overflowing a long) — beyond either bound the
+            # composed key would interleave, so guard explicitly.
+            if idx >= (1 << 15):
+                raise ValueError("concatenate keep_ord supports < 32768 sources")
             cols.append(
-                (F.lit(idx).cast("long") * F.lit(10**12) + F.col(keep_ord)).alias(keep_ord)
+                (F.lit(idx).cast("long") * F.lit(1 << 48) + F.col(keep_ord)).alias(keep_ord)
             )
         projected = src.select(*cols)
         out = projected if out is None else out.unionByName(projected)

@@ -7,10 +7,14 @@ column explicitly and is deterministic under any partitioning.
 
 Scale note: ``Window.orderBy`` without partitionBy is a single-partition sort —
 fine for the reference-sized resources these mirror (thousands of rows), wrong
-for 100 TB facts. Operators that could meet big data (first_seen_dedup,
-dedup_suffix) partition by key and only sort within key groups, which scales;
-the global-order ones (forward_fill, add_ordinal) document the constraint and
-accept partition keys where the semantics allow.
+for 100 TB facts. Key-partitioned operators (first_seen_dedup, dedup_suffix)
+sort only within key groups, which scales. The global-order ones (forward_fill,
+add_ordinal) each carry a *distributed* two-phase strategy for fact-sized data:
+``repartitionByRange`` on the order column gives globally-ordered partition
+ranges with parallel intra-partition sorts; a driver-side pass over one tiny
+summary row per partition (counts for ordinal, last-non-null for fill) splices
+the partitions together; no single-partition exchange anywhere. ``auto`` picks
+the strategy from the input's partition count.
 """
 
 from __future__ import annotations
@@ -18,7 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .caching import scoped_persist
+
 ORD = "__ord"
+
+# auto-routing bound: at/below this many input partitions the data is
+# dimension-sized and the plain global window is cheaper than two extra jobs
+AUTO_PARTITION_THRESHOLD = 4
 
 
 def stamp_ord(df: DataFrame, order_by: list[Column | str] | None = None) -> DataFrame:
@@ -32,19 +42,130 @@ def stamp_ord(df: DataFrame, order_by: list[Column | str] | None = None) -> Data
     return df.withColumn(ORD, F.monotonically_increasing_id())
 
 
+def _ranged_by(df: DataFrame, order_col: str, num_partitions: int | None) -> DataFrame:
+    """Range-exchange on ``order_col`` + parallel intra-partition sorts: a
+    total order across partition boundaries without a global sort. The frame
+    is scoped-persisted because both the summary pass and the output job read
+    it — the persist pins one consistent range assignment for both."""
+    spark = df.sparkSession
+    npart = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return scoped_persist(
+        df.repartitionByRange(npart, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+
 def forward_fill(
     df: DataFrame,
     col: str,
     order_col: str = ORD,
     partition_by: list[str] | None = None,
+    strategy: str = "auto",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """W1: col := last non-null seen in order (flows/datasets.py:303-309
     forward-fills chart_title). ``partition_by`` bounds the window for scale
-    when fill never crosses a key boundary."""
-    w = (
-        Window.partitionBy(*partition_by) if partition_by else Window.partitionBy(F.lit(1))
-    ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return df.withColumn(col, F.last(col, ignorenulls=True).over(w))
+    when fill never crosses a key boundary (always the window path).
+
+    Without ``partition_by``, ``strategy`` routes the global fill:
+    ``'window'`` (single-partition global sort — dimension data),
+    ``'distributed'`` (two-phase: per-range-partition vectorized ffill +
+    driver-side splice of one last-non-null summary row per partition), or
+    ``'auto'`` (distributed when the input has more than
+    ``AUTO_PARTITION_THRESHOLD`` partitions)."""
+    if partition_by:
+        w = (
+            Window.partitionBy(*partition_by)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(col, F.last(col, ignorenulls=True).over(w))
+    if strategy == "auto":
+        strategy = (
+            "distributed"
+            if df.rdd.getNumPartitions() > AUTO_PARTITION_THRESHOLD
+            else "window"
+        )
+    if strategy == "window":
+        w = (
+            Window.partitionBy(F.lit(1))
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn(col, F.last(col, ignorenulls=True).over(w))
+    if strategy != "distributed":
+        raise ValueError(f"unknown forward_fill strategy {strategy!r}")
+    return _forward_fill_distributed(df, col, order_col, num_partitions)
+
+
+def _forward_fill_distributed(
+    df: DataFrame, col: str, order_col: str, num_partitions: int | None
+) -> DataFrame:
+    """Two-phase global forward fill, no single-partition exchange.
+
+    Phase 1 (tiny): one summary row per range partition — its last non-null
+    value — collected to the driver; a prefix scan turns those into the seed
+    value each partition inherits from everything before it. Phase 2: a
+    vectorized pandas ``ffill`` per partition (mapInPandas, Arrow batches,
+    carry maintained across batches) seeded from the broadcast dict."""
+    import pandas as pd
+
+    ranged = _ranged_by(df, order_col, num_partitions)
+    out_fields = df.schema.fields
+    col_field = df.schema[col]
+
+    summary_schema = (
+        f"__pid int, v {col_field.dataType.simpleString()}"
+    )
+
+    def summarize(batches):
+        pid, last = None, None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            nn = pdf[col].dropna()
+            if len(nn):
+                last = nn.iloc[-1]
+        if pid is not None:
+            yield pd.DataFrame({"__pid": [pid], "v": [last]})
+
+    rows = ranged.select("__pid", col).mapInPandas(summarize, summary_schema).collect()
+    last_by_pid = {r["__pid"]: r["v"] for r in rows}
+    seeds: dict[int, object] = {}
+    carry = None
+    for p in sorted(last_by_pid):
+        seeds[p] = carry
+        if last_by_pid[p] is not None:
+            carry = last_by_pid[p]
+
+    out_schema_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    )
+    out_cols = [f.name for f in out_fields]
+
+    def fill(batches):
+        carry = None
+        seeded = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if not seeded:
+                carry = seeds.get(int(pdf["__pid"].iloc[0]))
+                seeded = True
+            orig = pdf[col]
+            filled = orig.ffill()
+            if carry is not None:
+                filled = filled.fillna(carry)
+            nn = orig.dropna()
+            if len(nn):
+                carry = nn.iloc[-1]
+            pdf = pdf.copy()
+            pdf[col] = filled
+            yield pdf[out_cols]
+
+    return ranged.mapInPandas(fill, out_schema_ddl)
 
 
 def dedup_suffix(
@@ -64,13 +185,55 @@ def dedup_suffix(
 
 
 def add_ordinal(
-    df: DataFrame, name: str = "order_index", order_col: str = ORD, start: int = 0
+    df: DataFrame,
+    name: str = "order_index",
+    order_col: str = ORD,
+    start: int = 0,
+    strategy: str = "auto",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """C4/W3: global ordinal (flows/datasets.py:341 ``order_index = i``).
-    Global total order -> single-partition window; reference resources are
-    small. For large data prefer zipWithIndex-style ``stamp_ord``."""
-    w = Window.orderBy(order_col)
-    return df.withColumn(name, F.row_number().over(w).cast("long") - 1 + start)
+
+    ``strategy='window'``: global ``row_number`` — a single-partition sort,
+    right for dimension-sized resources. ``'distributed'``: two-phase —
+    range-exchange on ``order_col`` (globally-ordered partition ranges,
+    parallel sorts), per-partition row index from the low 33 bits of
+    ``monotonically_increasing_id``, and a driver-side cumulative sum over
+    one count per partition spliced back as a map literal. No
+    single-partition exchange; scales to fact tables. ``'auto'`` picks
+    distributed when the input has more than ``AUTO_PARTITION_THRESHOLD``
+    partitions. Deterministic whenever ``order_col`` is unique (the engine's
+    ``__ord`` convention guarantees that)."""
+    if strategy == "auto":
+        strategy = (
+            "distributed"
+            if df.rdd.getNumPartitions() > AUTO_PARTITION_THRESHOLD
+            else "window"
+        )
+    if strategy == "window":
+        w = Window.orderBy(order_col)
+        return df.withColumn(name, F.row_number().over(w).cast("long") - 1 + start)
+    if strategy != "distributed":
+        raise ValueError(f"unknown add_ordinal strategy {strategy!r}")
+
+    ranged = _ranged_by(df, order_col, num_partitions)
+    counts = {
+        r["__pid"]: r["n"]
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = start
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    omap = F.create_map(
+        *[F.lit(x) for kv in sorted(offsets.items()) for x in (kv[0], int(kv[1]))]
+    )
+    intra = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    return (
+        ranged.withColumn(name, (F.element_at(omap, F.col("__pid")) + intra).cast("long"))
+        .drop("__pid")
+    )
 
 
 def first_seen_dedup(

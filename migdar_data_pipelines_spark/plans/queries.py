@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import (
+    add_ordinal,
     concatenate,
     dedup_suffix,
     extract_year,
@@ -406,6 +407,30 @@ def forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return forward_fill(base, "filled_type", order_col="event_id").select(
         "event_id", "filled_type"
     )
+
+
+@register(
+    "global_ordinal_lineitem",
+    sql="""
+SELECT l_orderkey, l_linenumber,
+       CAST(row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS BIGINT)
+         AS ordinal
+FROM lineitem
+""",
+)
+def global_ordinal_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/W3 at fact scale: the two-phase distributed global ordinal
+    (range exchange + per-partition index + driver-side offset splice —
+    operators/windows.py::add_ordinal strategy='distributed'), exercised on
+    the largest table so the single-partition window is provably not needed.
+    Order key l_orderkey*8 + l_linenumber is unique (linenumber <= 7) and
+    sorts identically to (l_orderkey, l_linenumber)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    keyed = li.withColumn(
+        "__ok", F.col("l_orderkey").cast("long") * 8 + F.col("l_linenumber")
+    )
+    out = add_ordinal(keyed, name="ordinal", order_col="__ok", strategy="distributed")
+    return out.select("l_orderkey", "l_linenumber", "ordinal")
 
 
 @register(

@@ -32,10 +32,11 @@ from ..schema.manifest import write_manifest
 from ..schema.table_schema import struct_to_schema
 
 
-def fingerprint(df: DataFrame) -> int:
-    """Order-independent content hash: sum of xxhash64 over the JSON encoding
-    of every row. Stable across partitioning/shuffle (§5.2.4 determinism),
-    unlike the reference's md5-of-bytes which pins row order."""
+def fingerprint(df: DataFrame) -> tuple[int, int]:
+    """Order-independent content hash: ``(fp, row_count)`` where fp is the
+    mod-2^64 sum of xxhash64 over the JSON encoding of every row. Stable
+    across partitioning/shuffle (§5.2.4 determinism), unlike the reference's
+    md5-of-bytes which pins row order."""
     row = (
         df.select(
             # accumulate in decimal(38,0): a plain long sum overflows under
