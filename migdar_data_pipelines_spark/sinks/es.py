@@ -66,6 +66,9 @@ def _field_property(field: T.StructField) -> dict[str, Any]:
         dtype = dtype.elementType
     if isinstance(dtype, T.DecimalType):
         type_name = "double"
+    elif isinstance(dtype, (T.StructType, T.MapType)):
+        # free-form objects (the collated ``value`` field) — dump_to_es.py:124
+        type_name = "object"
     else:
         type_name = _SPARK_TO_ES.get(dtype.typeName(), "text")
     prop: dict[str, Any] = {"type": type_name}
@@ -144,23 +147,28 @@ def collate(
     key: str = "doc_id",
     keep: tuple[str, ...] = ("revision", "score"),
     value_col: str = "value",
+    as_json: bool = True,
 ) -> DataFrame:
     """K5 (dump_to_es.py:105-132): fold every column outside
     (doc_id, revision, score, create_timestamp) into a single ``value``
     object column; output schema is exactly (doc_id, revision, score, value).
 
-    Spark idiom: one ``to_json(struct(...))`` projection — no shuffle, stays
-    in whole-stage codegen. ``ignoreNullFields=False`` keeps null keys like
-    the reference's dict comprehension does."""
+    Spark idiom: one projection — no shuffle, stays in whole-stage codegen.
+
+    ``as_json=True`` (the parquet/oracle path) serializes ``value`` with
+    ``to_json`` (``ignoreNullFields=False`` keeps null keys like the
+    reference's dict comprehension). ``as_json=False`` (the ES path) keeps
+    ``value`` a STRUCT column tagged ``es:index: False`` so ``es_mapping``
+    emits ``{type: object, enabled: false}`` and bulk indexing stores a real
+    object in ``_source.value`` — not an escaped JSON string
+    (dump_to_es.py:118-124)."""
     folded = [c for c in df.columns if c not in ES_RESERVED]
-    return df.select(
-        F.col(key),
-        *[F.col(c) for c in keep],
-        F.to_json(
-            F.struct(*[F.col(c) for c in folded]),
-            options={"ignoreNullFields": "false"},
-        ).alias(value_col),
-    )
+    value = F.struct(*[F.col(c) for c in folded])
+    if as_json:
+        value = F.to_json(value, options={"ignoreNullFields": "false"}).alias(value_col)
+    else:
+        value = value.alias(value_col, metadata={"es:index": False})
+    return df.select(F.col(key), *[F.col(c) for c in keep], value)
 
 
 # -------------------------------------------------------------- K3: the sink
@@ -169,12 +177,26 @@ class EsSink:
     (foreachPartition -> bulk), never through the driver; ``finalize`` issues
     the two delete_by_query calls from the driver (dump_to_es.py:43-79)."""
 
-    def __init__(self, hosts: list[str] | None = None, timeout: int = 60, **opts):
+    def __init__(
+        self,
+        hosts: list[str] | None = None,
+        timeout: int = 60,
+        client_factory=None,
+        **opts,
+    ):
+        """``client_factory`` injects a client builder (tests / alternative
+        transports). With a factory the bulk write runs driver-side through
+        ``toLocalIterator`` (bounded: one partition in memory at a time) so a
+        fake can record the exact call sequence; without one the write is
+        executor-parallel ``foreachPartition`` against a real cluster."""
         self.hosts = hosts or ["http://localhost:9200"]
         self.timeout = timeout
+        self.client_factory = client_factory
         self.opts = opts
 
     def _client(self):
+        if self.client_factory is not None:
+            return self.client_factory()
         if not HAVE_ES:  # pragma: no cover
             raise NotImplementedError(
                 "elasticsearch client not installed; EsSink.write requires it "
@@ -194,7 +216,21 @@ class EsSink:
         return mapping
 
     def write(self, df: DataFrame, index: str, id_col: str = "doc_id") -> None:
-        """Executor-parallel bulk index; es.mapping.id semantics via id_col."""
+        """Executor-parallel bulk index; es.mapping.id semantics via id_col.
+
+        With an injected ``client_factory`` the actions stream driver-side
+        through ``toLocalIterator`` into ``client.bulk_index(actions)`` —
+        bounded memory, exact call ordering observable by a fake client."""
+        if self.client_factory is not None:
+            client = self._client()
+            client.bulk_index(
+                index,
+                (
+                    {"_index": index, "_id": r[id_col], "_source": r.asDict(True)}
+                    for r in df.toLocalIterator()
+                ),
+            )
+            return
         hosts, timeout, opts = self.hosts, self.timeout, self.opts
 
         def _bulk(rows):  # pragma: no cover - needs live ES

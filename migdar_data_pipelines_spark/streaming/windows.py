@@ -111,9 +111,13 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_us = gap_minutes * 60 * 1_000_000
     prev_ts = F.lag("ts").over(w)
+    # Parquet `timestamp[us]` without a timezone flag arrives as
+    # TIMESTAMP_NTZ, which unix_micros rejects; the cast is a no-op for plain
+    # TIMESTAMP and an exact reinterpretation for NTZ under the UTC session.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(prev_ts.cast("timestamp"))
     new_session = F.when(
-        prev_ts.isNull()
-        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > gap_us),
+        prev_ts.isNull() | ((ts_us - prev_us) > gap_us),
         F.lit(1),
     ).otherwise(F.lit(0))
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
