@@ -18,6 +18,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event-time column to plain ``TIMESTAMP``.
+
+    Parquet ``timestamp[us]`` without a timezone flag loads as
+    ``TIMESTAMP_NTZ``, which ``withWatermark`` rejects
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Under the project's UTC session
+    (``session.py`` sets ``spark.sql.session.timeZone=UTC``) the cast is an
+    exact reinterpretation — the same instant, now watermark-eligible. Under
+    a non-UTC session NTZ values would be reinterpreted via the local wall
+    clock, so these operators require the project's UTC session builder.
+    """
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def read_events_stream(
     spark: SparkSession,
     path: str,
@@ -57,7 +73,7 @@ def tumbling_agg(
     this runnable forever at scale."""
     df = events
     if watermark is not None and df.isStreaming:
-        df = df.withWatermark("ts", watermark)
+        df = _ensure_event_time(df).withWatermark("ts", watermark)
     return (
         df.groupBy(F.window("ts", window_len).alias("w"), *keys)
         .agg(
@@ -83,7 +99,7 @@ def sliding_agg(
     """Sliding-window aggregation (each row lands in len/slide windows)."""
     df = events
     if watermark is not None and df.isStreaming:
-        df = df.withWatermark("ts", watermark)
+        df = _ensure_event_time(df).withWatermark("ts", watermark)
     return (
         df.groupBy(F.window("ts", window_len, slide).alias("w"), *keys)
         .agg(
@@ -106,16 +122,17 @@ def sessionize(
 ) -> DataFrame:
     """Batch sessionization: gap > N minutes starts a new session (classic
     lag + cumulative-sum). Partitioned by user — scales; within-user sort
-    only. Returns one row per session."""
+    only. Returns one row per session. Requires the project's UTC session
+    builder (see ``_ensure_event_time``) — gap arithmetic runs on epoch
+    micros, so a non-UTC NTZ reinterpretation spanning a DST transition
+    would shift gaps by the offset change."""
+    events = _ensure_event_time(events)
     order = [F.col("ts"), F.col("event_id")]
     w = Window.partitionBy(user_col).orderBy(*order)
     gap_us = gap_minutes * 60 * 1_000_000
     prev_ts = F.lag("ts").over(w)
-    # Parquet `timestamp[us]` without a timezone flag arrives as
-    # TIMESTAMP_NTZ, which unix_micros rejects; the cast is a no-op for plain
-    # TIMESTAMP and an exact reinterpretation for NTZ under the UTC session.
-    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev_us = F.unix_micros(prev_ts.cast("timestamp"))
+    ts_us = F.unix_micros(F.col("ts"))
+    prev_us = F.unix_micros(prev_ts)
     new_session = F.when(
         prev_ts.isNull() | ((ts_us - prev_us) > gap_us),
         F.lit(1),
@@ -147,7 +164,7 @@ def session_window_agg(
     ``sessionize``)."""
     df = events
     if df.isStreaming:
-        df = df.withWatermark("ts", watermark)
+        df = _ensure_event_time(df).withWatermark("ts", watermark)
     return (
         df.groupBy(F.session_window("ts", gap).alias("w"), user_col)
         .agg(
