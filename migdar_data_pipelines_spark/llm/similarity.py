@@ -99,6 +99,30 @@ def ivf_topk(
 
 
 # ----------------------------------------------------------- learned IVF
+def _deterministic_sample(
+    df: DataFrame, vec_col: str, id_col: str, sample_rows: int
+) -> DataFrame:
+    """Partitioning-independent bounded sample of vectors, scale-safely.
+
+    ``xxhash64(id) % m == 0`` keeps ~2x sample_rows candidates (m sized from
+    a count that parquet answers from footer metadata), then the survivors
+    are pinned to exactly sample_rows by ordering on the 8-byte hash with the
+    id as tie-break — TakeOrderedAndProject over longs, no range-partition
+    Exchange and no array comparator anywhere in the plan.
+    """
+    n = df.count()
+    sel = df.select(
+        F.xxhash64(F.col(id_col)).alias("__h"),
+        F.col(id_col).alias("__k"),
+        F.col(vec_col).alias("__v"),
+    )
+    if n > 2 * sample_rows:
+        m = max(1, n // sample_rows)
+        sel = sel.filter(F.pmod(F.col("__h"), F.lit(m)) == 0)
+    return sel.orderBy("__h", "__k").limit(sample_rows).select("__v")
+
+
+
 def train_ivf_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -106,18 +130,28 @@ def train_ivf_centroids(
     sample_rows: int = 10_000,
     n_iters: int = 10,
     seed: int = 42,
+    id_col: str | None = None,
 ):
     """Coarse quantizer training: k-means on a driver-side sample (numpy).
 
     The standard IVF recipe — centroids are learned on a bounded sample
     (10k rows regardless of corpus size; the driver never holds the corpus),
-    then broadcast for assignment. Deterministic: fixed seed, and the sample
-    is pinned by sorting on the vector column before the limit (a bare LIMIT
-    is partitioning-dependent). Returns a (n_cells, dim) list of lists.
+    then broadcast for assignment. Deterministic AND scale-safe: the sample
+    is pinned by a hash filter on the id column (``xxhash64(id) % m == 0``
+    with m sized from a metadata-only count), then ordered by the 8-byte
+    hash — never by the vector. The orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k + driver merge, no
+    range-partitioning Exchange), and the comparator only ever sees longs;
+    at 100 TB the heap holds sample_rows ids, not the corpus. (The previous
+    form sorted the whole corpus BY THE VECTOR COLUMN to pin the sample — a
+    global array-comparator sort that dwarfed the training it fed.)
+    Returns a (n_cells, dim) list of lists.
     """
     import numpy as np
 
-    sample = df.select(vec_col).orderBy(vec_col).limit(sample_rows).collect()
+    if id_col is None:
+        id_col = next(c for c in df.columns if c != vec_col)
+    sample = _deterministic_sample(df, vec_col, id_col, sample_rows).collect()
     X = np.asarray([r[0] for r in sample], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
@@ -157,6 +191,33 @@ def assign_cells(
     return df.withColumn(out_col, _assign(F.col(vec_col)))
 
 
+def top_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    nprobe: int = 2,
+    out_col: str = "cells",
+) -> DataFrame:
+    """nprobe nearest centroids per vector (cosine, stable argsort so ties
+    resolve to the lowest cell id) as an array<int> column — the multi-probe
+    generalisation of ``assign_cells``; one numpy matmul per Arrow batch."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    p = min(nprobe, len(C))
+
+    @pandas_udf("array<int>")
+    def _cells(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(Xn @ Cn.T), axis=1, kind="stable")[:, :p]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return df.withColumn(out_col, _cells(F.col(vec_col)))
+
+
 def ivf_build_and_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -166,12 +227,52 @@ def ivf_build_and_search(
     n_cells: int = 16,
     k: int = 5,
     seed: int = 42,
+    nprobe: int = 1,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """End-to-end learned IVF: train centroids on a corpus sample, assign
-    cells to both sides, probe the query's cell (nprobe=1). At scale the
-    assigned corpus is written partitioned by cell once and re-searched many
-    times; this helper is the single-job form."""
+    cells to both sides, probe the query's nprobe nearest cells. Scoring over
+    the probed candidates is always the exact cosine (the rerank step —
+    quantization only gates candidate generation), so recall approaches 1 as
+    nprobe grows while the scanned fraction stays ~nprobe/n_cells. At scale
+    the assigned corpus is written partitioned by cell once and re-searched
+    many times; this helper is the single-job form."""
     cents = train_ivf_centroids(corpus, vec_col, n_cells, seed=seed)
-    q = assign_cells(queries, cents, vec_col)
     c = assign_cells(corpus, cents, vec_col)
-    return ivf_topk(q, c, query_id, corpus_id, cell_col="cell", query_vec=vec_col, corpus_vec=vec_col, k=k)
+    if nprobe <= 1:
+        q = assign_cells(queries, cents, vec_col)
+        return ivf_topk(
+            q, c, query_id, corpus_id, cell_col="cell",
+            query_vec=vec_col, corpus_vec=vec_col, k=k, exclude_self=exclude_self,
+        )
+    # Multi-probe: explode the query's probe list — each corpus row lives in
+    # exactly one cell, so a (query, candidate) pair appears at most once and
+    # no post-join dedup is needed.
+    q = F.broadcast(
+        top_cells(queries, cents, vec_col, nprobe)
+        .select(
+            F.col(query_id).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.explode("cells").alias("qcell"),
+        )
+    )
+    c2 = c.select(
+        F.col(corpus_id).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        F.col("cell").alias("ccell"),
+    )
+    pairs = c2.join(q, F.col("qcell") == F.col("ccell"))
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("cid"))
+    scored = pairs.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbour_id"),
+            "cosine",
+            "rank",
+        )
+    )

@@ -404,6 +404,97 @@ def embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_topk_ivf_nprobe",
+    sql=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+rep AS (
+  SELECT label AS rcell, embedding AS rv
+  FROM (SELECT label, embedding,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE rn = 1
+),
+pr AS (
+  SELECT qid, qv, rcell, round({_COS.replace('cv', 'rv')}, 4) AS pc
+  FROM q, rep
+),
+probes AS (
+  SELECT qid, qv, rcell AS qcell
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY pc DESC, rcell) AS prn
+        FROM pr)
+  WHERE prn <= 2
+),
+c AS (SELECT vec_id AS cid, embedding AS cv, label AS ccell FROM embeddings),
+scored AS (
+  SELECT qid, cid, round({_COS}, 4) AS cosine
+  FROM probes p JOIN c ON p.qcell = c.ccell AND p.qid <> c.cid
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+  FROM scored
+)
+SELECT qid AS query_id, cid AS neighbour_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+""",
+)
+def embedding_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 with multi-probe (nprobe=2): per query, rank cells by cosine
+    against each cell's representative vector (its min-vec_id member — pure
+    selection, so the ranking is bit-deterministic in both engines, unlike a
+    mean centroid whose float accumulation order differs), probe the best 2
+    cells, then exact-rerank the probed candidates. Scale shape: the
+    representative table is n_cells rows (broadcast), the exploded probe list
+    is |queries| x nprobe rows (broadcast), and the corpus is scanned once
+    with the probe join on a small int key — the same plan at 100 TB with
+    the corpus pre-partitioned by cell. The learned-centroid variant
+    (llm/similarity.py::ivf_build_and_search nprobe>1) carries the
+    recall>=0.95 assertion in tests/test_llm_ops.py."""
+    from pyspark.sql import Window
+
+    from ..llm.linalg import cosine
+
+    e = _t(spark, sf_dir, "embeddings")
+    nprobe, k = 2, 5
+    w_rep = Window.partitionBy("label").orderBy("vec_id")
+    rep = (
+        e.withColumn("rn", F.row_number().over(w_rep))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("rcell"), F.col("embedding").alias("rv"))
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    ranked = q.join(F.broadcast(rep), F.lit(True)).withColumn(
+        "pc", F.round(cosine(F.col("qv"), F.col("rv")), 4)
+    )
+    w_p = Window.partitionBy("qid").orderBy(F.desc("pc"), F.asc("rcell"))
+    probes = (
+        ranked.withColumn("prn", F.row_number().over(w_p))
+        .filter(F.col("prn") <= nprobe)
+        .select("qid", "qv", F.col("rcell").alias("qcell"))
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("ccell"),
+    )
+    pairs = c.join(F.broadcast(probes), F.col("qcell") == F.col("ccell")).filter(
+        F.col("qid") != F.col("cid")
+    )
+    scored = pairs.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbour_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+@register(
     "embedding_near_dup_cells",
     sql=f"""
 WITH corpus AS (
