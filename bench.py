@@ -1,12 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+"""Benchmark harness: runs EVERY registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}.
+"oracle_sec": {...}, "sf": ...}.
 
 Each query is forced with a count() action (no driver-side collect of big
-results); a warmup run of the first query absorbs JVM/codegen startup so the
-numbers measure the plans, not session boot.
+results); a warmup pass absorbs JVM/codegen startup so the numbers measure the
+plans, not session boot. The oracle pass times the same DuckDB SQL the
+correctness gate runs, capped per query (a LSH/ngram oracle is quadratic in
+DuckDB and would run for minutes) — capped queries report oracle_sec = cap and
+appear in "oracle_capped".
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR      data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_SHUFFLE     override spark.sql.shuffle.partitions
+  SPARK_GRAFT_ORACLE      "0" to skip the DuckDB oracle pass
+  SPARK_GRAFT_ORACLE_CAP  per-query oracle cap in seconds (default 60)
+  SPARK_GRAFT_BENCH_ONLY  comma-separated query names to restrict the run
 """
 
 from __future__ import annotations
@@ -14,14 +24,18 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from migdar_data_pipelines_spark.session import get_spark  # noqa: E402
-from migdar_data_pipelines_spark.plans import query_fns  # noqa: E402
+from migdar_data_pipelines_spark.session import TESTDATA_TABLES, get_spark  # noqa: E402
+from migdar_data_pipelines_spark.plans import oracle_sqls, query_fns  # noqa: E402
 
-BENCH_QUERIES = [
+# Headline queries first (stable, comparable across rounds), then every other
+# registered query in name order — the full registry is always timed, so a
+# perf regression in any query shows up in the next BENCH_r{N}.json.
+HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -46,6 +60,44 @@ BENCH_QUERIES = [
 ]
 
 
+def time_oracles(names, sqls, sf_dir: str, cap_s: float):
+    """Time each oracle SQL in DuckDB with a per-query interrupt cap.
+
+    Returns (timings: name -> sec | None, capped: [names]). None means the
+    query has no oracle SQL; a capped query records the cap itself (a lower
+    bound, same convention as the judge's ">60s (capped)").
+    """
+    import duckdb
+
+    timings: dict[str, float | None] = {}
+    capped: list[str] = []
+    for name in names:
+        sql = sqls.get(name)
+        if not sql:
+            timings[name] = None
+            continue
+        # Fresh connection per query: DuckDB caches nothing across queries
+        # and an interrupted connection can be left in a poisoned state.
+        con = duckdb.connect()
+        for t in TESTDATA_TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        timer = threading.Timer(cap_s, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.sql(sql).fetchall()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except duckdb.Error:
+            timings[name] = round(cap_s, 4)
+            capped.append(name)
+        finally:
+            timer.cancel()
+            con.close()
+    return timings, capped
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -59,7 +111,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     fns = query_fns()
-    names = [n for n in BENCH_QUERIES if n in fns]
+    names = [n for n in HEADLINE if n in fns]
+    names += sorted(n for n in fns if n not in HEADLINE)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        names = [n for n in names if n in keep]
     # Warmup pass: run every query once so JVM/whole-stage-codegen compile,
     # parquet footer reads, and broadcast-thread spin-up land here — the timed
     # pass measures the plans at steady state, which is what matters for the
@@ -94,18 +151,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         clean()
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "suite_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if os.environ.get("SPARK_GRAFT_ORACLE", "1") != "0":
+        cap_s = float(os.environ.get("SPARK_GRAFT_ORACLE_CAP", "60"))
+        oracle_sec, oracle_capped = time_oracles(names, oracle_sqls(), sf_dir, cap_s)
+        result["oracle_sec"] = oracle_sec
+        result["oracle_capped"] = oracle_capped
+        known = [
+            (timings[n], oracle_sec[n]) for n in names if oracle_sec.get(n)
+        ]
+        if known:
+            # Suite-level engine/oracle ratio over the oracle-comparable set
+            # (capped oracles enter at the cap — a conservative lower bound).
+            result["vs_oracle_ratio"] = round(
+                sum(e for e, _ in known) / sum(o for _, o in known), 4
+            )
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
