@@ -24,6 +24,7 @@ from ..llm.dedup import (
     embedding_near_dup_matmul,
     minhash_lsh_pairs,
     minhash_signature,
+    ngram_jaccard_pairs,
     ngram_jaccard_pairs_blocked_kernel,
     simhash,
 )
@@ -36,7 +37,7 @@ from ..llm.textanalysis import (
     token_stats,
 )
 from ..streaming.windows import sessionize, session_window_agg, sliding_agg, tumbling_agg
-from .queries import _t, register
+from .queries import QUERIES, _t, register
 
 # DuckDB fragment: whitespace words of text (parity with textanalysis.words)
 _W = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
@@ -349,6 +350,30 @@ def ngram_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     blk = F.floor(F.length("text") / 64.0).cast("long")
     return ngram_jaccard_pairs_blocked_kernel(
+        corpus, "text", "doc_id", n=2, block_col=blk, threshold=0.6
+    )
+
+
+@register(
+    "ngram_jaccard_pairs_invidx",
+    sql=QUERIES["ngram_jaccard_pairs"]["sql"],
+)
+def ngram_jaccard_pairs_invidx_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted-gram-index join path for the SAME query as
+    ngram_jaccard_pairs (identical corpus, blocking, and oracle SQL) —
+    registered alongside the blocked-kernel variant per VERDICT r2 ask #9 so
+    BOTH strategies carry a timing signal in every BENCH_r{N}.json and the
+    choice between them is measured, not remembered. The two are
+    row-identical by construction (also asserted in tests/test_llm_ops.py)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zzdup")).alias("text"),
+        )
+    )
+    blk = F.floor(F.length("text") / 64.0).cast("long")
+    return ngram_jaccard_pairs(
         corpus, "text", "doc_id", n=2, block_col=blk, threshold=0.6
     )
 

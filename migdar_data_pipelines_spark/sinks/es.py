@@ -207,7 +207,7 @@ class EsSink:
     def ensure_index(self, index: str, schema: T.StructType) -> dict[str, Any]:
         mapping = es_mapping(schema)
         client = self._client()
-        if not client.indices.exists(index=index):  # pragma: no cover
+        if not client.indices.exists(index=index):
             client.indices.create(
                 index=index,
                 mappings=mapping,
@@ -215,21 +215,29 @@ class EsSink:
             )
         return mapping
 
-    def write(self, df: DataFrame, index: str, id_col: str = "doc_id") -> None:
+    def write(
+        self, df: DataFrame, index: str, id_col: str = "doc_id", chunk: int = 500
+    ) -> None:
         """Executor-parallel bulk index; es.mapping.id semantics via id_col.
 
         With an injected ``client_factory`` the actions stream driver-side
-        through ``toLocalIterator`` into ``client.bulk_index(actions)`` —
-        bounded memory, exact call ordering observable by a fake client."""
+        through ``toLocalIterator`` (bounded: one partition at a time) into
+        the REAL client protocol — ``client.bulk(operations=[action line,
+        source line, ...])``, the NDJSON-pair shape every elasticsearch-py
+        client accepts and what ``helpers.bulk`` emits under the hood — so a
+        fake client records the same call sequence a live cluster would see."""
         if self.client_factory is not None:
             client = self._client()
-            client.bulk_index(
-                index,
-                (
-                    {"_index": index, "_id": r[id_col], "_source": r.asDict(True)}
-                    for r in df.toLocalIterator()
-                ),
-            )
+            ops: list[dict[str, Any]] = []
+            for r in df.toLocalIterator():
+                d = r.asDict(True)
+                ops.append({"index": {"_index": index, "_id": d[id_col]}})
+                ops.append(d)
+                if len(ops) >= 2 * chunk:
+                    client.bulk(operations=ops)
+                    ops = []
+            if ops:
+                client.bulk(operations=ops)
             return
         hosts, timeout, opts = self.hosts, self.timeout, self.opts
 
@@ -254,7 +262,7 @@ class EsSink:
         if index.endswith("__docs"):
             return
         client = self._client()
-        for q in revision_gc_queries(revision):  # pragma: no cover
+        for q in revision_gc_queries(revision):
             client.delete_by_query(index=index, query=q)
 
 
@@ -271,22 +279,31 @@ def es_dumper(
     """K6 (dump_to_es.py:135-171): stamp -> per-type index -> dump_to_path ->
     collate -> shared docs index. With ``sink=None`` the ES writes are skipped
     (dry-run) but the full dataflow — including the parquet stage dump — runs;
-    returns the collated frame (what lands in ``migdar__docs``)."""
+    returns the JSON-collated frame (the parquet/oracle view of what lands in
+    ``migdar__docs``).
+
+    The frame actually WRITTEN to ``migdar__docs`` collates with
+    ``as_json=False``: ``value`` stays a struct tagged ``es:index False``, so
+    ``ensure_index`` applies the ``{type: object, enabled: false}`` mapping
+    and ``_source.value`` is a real object — reference parity with
+    dump_to_es.py:105-132, where the doc value is a dict under an
+    index-disabled mapping, never an escaped JSON string."""
     from .package import dump_to_path
 
     stamped = stamp_es_fields(df, revision, score=1.0, now=now)
     if existing_timestamps is not None:
         stamped = merge_create_timestamps(stamped, existing_timestamps)
     index = f"migdar__{resource_name}"
-    if sink is not None:  # pragma: no cover - needs live ES
+    if sink is not None:
         sink.ensure_index(index, stamped.schema)
         sink.write(stamped, index)
         sink.finalize(index, revision)
     dump_to_path({resource_name: stamped}, path, primary_keys={resource_name: ["doc_id"]})
-    docs = collate(stamped)
-    if sink is not None:  # pragma: no cover
-        sink.write(docs, "migdar__docs")
-    return docs
+    if sink is not None:
+        docs_es = collate(stamped, as_json=False)
+        sink.ensure_index("migdar__docs", docs_es.schema)
+        sink.write(docs_es, "migdar__docs")
+    return collate(stamped)
 
 
 __all__ = [

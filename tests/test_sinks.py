@@ -115,3 +115,104 @@ def test_es_dumper_dry_run(spark, docs, tmp_path):
     assert out.count() == 3
     staged = spark.read.parquet(str(tmp_path / "es" / "pubs.parquet"))
     assert staged.filter(F.col("revision") == 202601).count() == 3
+
+
+class FakeIndices:
+    def __init__(self, log):
+        self.log = log
+
+    def exists(self, index):
+        self.log.append(("indices.exists", index))
+        return False
+
+    def create(self, index, mappings, settings):
+        self.log.append(("indices.create", index, mappings, settings))
+
+
+class FakeEsClient:
+    """Records the real elasticsearch-py call surface: indices.exists/create,
+    bulk(operations=NDJSON-pair list), delete_by_query."""
+
+    def __init__(self, log):
+        self.log = log
+        self.indices = FakeIndices(log)
+
+    def bulk(self, operations):
+        self.log.append(("bulk", list(operations)))
+
+    def delete_by_query(self, index, query):
+        self.log.append(("delete_by_query", index, query))
+
+
+def test_es_sink_contract_call_sequence(spark, docs, tmp_path):
+    """K3/K6 contract vs dump_to_es.py:43-171: mapping PUT -> bulk -> the two
+    finalize delete_by_query bodies in order for the per-type index; then the
+    shared docs index gets an enabled:false object mapping and struct _source
+    values, and NO revision GC (dump_to_es.py:49-50)."""
+    from migdar_data_pipelines_spark.sinks import EsSink
+
+    log = []
+    sink = EsSink(client_factory=lambda: FakeEsClient(log))
+    es_dumper(docs, "pubs", revision=7, path=str(tmp_path / "es"), sink=sink, now=0.0)
+
+    ops = [op[0] for op in log]
+    assert ops == [
+        "indices.exists",  # ensure_index migdar__pubs
+        "indices.create",
+        "bulk",            # per-type index load
+        "delete_by_query",  # finalize: missing revision
+        "delete_by_query",  # finalize: revision < current
+        "indices.exists",  # ensure_index migdar__docs
+        "indices.create",
+        "bulk",            # shared docs index load
+    ], ops
+
+    # per-type index: mapping injected create_timestamp, coerce setting on
+    _, idx, mappings, settings = log[1]
+    assert idx == "migdar__pubs"
+    assert mappings["properties"]["create_timestamp"] == {
+        "index": True,
+        "type": "float",
+    }
+    assert settings == {"index.mapping.coerce": True}
+
+    # bulk actions: NDJSON pairs with es.mapping.id semantics on doc_id
+    _, actions = log[2]
+    assert len(actions) == 6  # 3 docs x (action line + source line)
+    assert actions[0] == {"index": {"_index": "migdar__pubs", "_id": "d1"}}
+    assert actions[1]["doc_id"] == "d1" and actions[1]["revision"] == 7
+
+    # finalize: the exact revision-GC bodies, in reference order
+    assert log[3] == (
+        "delete_by_query",
+        "migdar__pubs",
+        {"bool": {"must_not": {"exists": {"field": "revision"}}}},
+    )
+    assert log[4] == (
+        "delete_by_query",
+        "migdar__pubs",
+        {"range": {"revision": {"lt": 7}}},
+    )
+
+    # docs index: value mapped as a disabled object, _source.value a real
+    # object (dict), not an escaped JSON string — and no delete_by_query after
+    _, didx, dmap, _ = log[6]
+    assert didx == "migdar__docs"
+    assert dmap["properties"]["value"] == {"type": "object", "enabled": False}
+    _, dactions = log[7]
+    assert dactions[0] == {"index": {"_index": "migdar__docs", "_id": "d1"}}
+    assert isinstance(dactions[1]["value"], dict)
+    assert dactions[1]["value"]["title"] == "alpha"
+    assert ops.count("delete_by_query") == 2
+
+
+def test_es_sink_write_chunks(spark):
+    """The factory bulk path chunks operations (bounded request size)."""
+    from migdar_data_pipelines_spark.sinks import EsSink
+
+    df = spark.range(7).selectExpr("CAST(id AS STRING) AS doc_id", "id AS n")
+    log = []
+    sink = EsSink(client_factory=lambda: FakeEsClient(log))
+    sink.write(df, "idx", chunk=3)
+    bulks = [op for op in log if op[0] == "bulk"]
+    assert [len(b[1]) for b in bulks] == [6, 6, 2]  # 3+3+1 docs as pairs
