@@ -55,8 +55,24 @@ def concatenate(
             # composed key would interleave, so guard explicitly.
             if idx >= (1 << 15):
                 raise ValueError("concatenate keep_ord supports < 32768 sources")
+            # Enforce the symmetric bound at runtime, not by hope: an __ord
+            # >= 2^48 (a source built with > 32768 partitions under
+            # monotonically_increasing_id) would silently interleave with the
+            # next source's range. raise_error inside the projection stays in
+            # whole-stage codegen — no extra action, fails the task the moment
+            # a violating row exists.
+            ord_ok = F.when(
+                (F.col(keep_ord) >= F.lit(1 << 48)) | (F.col(keep_ord) < 0),
+                F.raise_error(
+                    F.lit(
+                        "concatenate keep_ord: __ord out of [0, 2^48) — source "
+                        "has > 32768 partitions; repartition it below that "
+                        "bound before concatenate"
+                    )
+                ).cast("long"),
+            ).otherwise(F.col(keep_ord))
             cols.append(
-                (F.lit(idx).cast("long") * F.lit(1 << 48) + F.col(keep_ord)).alias(keep_ord)
+                (F.lit(idx).cast("long") * F.lit(1 << 48) + ord_ok).alias(keep_ord)
             )
         projected = src.select(*cols)
         out = projected if out is None else out.unionByName(projected)

@@ -66,6 +66,27 @@ def test_concatenate_alias_map(spark):
     assert rows == {"k1": "t1", "k2": "t2"}
 
 
+def test_concatenate_ord_bound_enforced(spark):
+    """The documented 2^48 per-source ordinal bound is enforced at runtime
+    (VERDICT r2 'What's wrong' #5): an __ord produced under > 32768 source
+    partitions must fail loudly, not silently interleave across sources."""
+    import pytest
+
+    ok = spark.createDataFrame([("k1", 0)], "key string, __ord long")
+    bad = spark.createDataFrame([("k2", 1 << 48)], "key string, __ord long")
+    out = concatenate([ok, bad], {"migdar_id": ["key"]}, keep_ord="__ord")
+    with pytest.raises(Exception, match="out of \\[0, 2\\^48\\)"):
+        out.collect()
+    # in-bound ordinals still compose: source index is the major key
+    good = concatenate(
+        [ok, spark.createDataFrame([("k2", (1 << 48) - 1)], "key string, __ord long")],
+        {"migdar_id": ["key"]},
+        keep_ord="__ord",
+    )
+    got = [r.migdar_id for r in good.orderBy("__ord").collect()]
+    assert got == ["k1", "k2"]
+
+
 def test_unpivot_regex_melt(spark):
     df = spark.createDataFrame(
         [("c1", 1.0, 2.0)], "title string, `2010` double, `2011-2012` double"

@@ -85,3 +85,18 @@ def test_key_distribution(spark):
     )
     top = key_distribution(df, ["k"], top=2).collect()
     assert top[0]["k"] == "hot" and abs(top[0]["share"] - 0.9) < 1e-6
+
+
+def test_key_distribution_no_singlepartition_window(spark, sf_dir):
+    """The share-of-total must not funnel every distinct key through a
+    SinglePartition window Exchange (VERDICT r1/r2 flag): the only
+    single-partition structure allowed is the 1-row total aggregate and the
+    final top-N, both of which move O(partitions) rows, not O(keys)."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plan = (
+        key_distribution(df, ["l_orderkey"], top=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
