@@ -781,6 +781,47 @@ def uqratio_translate_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "decimal_pricing_summary",
+    sql="""
+WITH d AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS DECIMAL(12,2)) AS q,
+         CAST(l_discount AS DECIMAL(12,2)) AS disc
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(sum(q) AS DECIMAL(38,10)) AS sum_qty_dec,
+       CAST(sum(q * (CAST(1 AS DECIMAL(12,2)) - disc)) AS DECIMAL(38,10)) AS sum_disc_qty_dec,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY l_returnflag
+""",
+)
+def decimal_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal-fidelity aggregation (VERDICT r2 ask #7): sums over exact
+    DECIMAL values whose double form drifts. The reference computes numbers
+    in Python Decimal end-to-end (datasets.py:6,151,158,386); the engine's
+    Table-Schema loader maps ``number`` to DecimalType(38,10)
+    (schema/table_schema.py:67-69). Here the 0.01-grain discount — NOT
+    binary-representable, so a double sum over 60k rows accumulates ulps of
+    error (asserted to actually diverge in
+    tests/test_operators_core.py::test_decimal_aggregation_discriminates) —
+    is cast to DECIMAL(12,2) at the scan and summed exactly in decimal
+    arithmetic. Widths are chosen so every intermediate stays exact in BOTH
+    engines: (12,2) x (13,2) -> (26,4) product, sum -> (36,4)/(38,4), final
+    presentation cast to the loader's DECIMAL(38,10). Map-side combinable
+    sum, one shuffle on l_returnflag — q1's scale shape."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(12,2)")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.sum(q).cast("decimal(38,10)").alias("sum_qty_dec"),
+        F.sum(q * (one - disc)).cast("decimal(38,10)").alias("sum_disc_qty_dec"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 

@@ -87,6 +87,33 @@ def test_concatenate_ord_bound_enforced(spark):
     assert got == ["k1", "k2"]
 
 
+def test_decimal_aggregation_discriminates(spark, sf_dir):
+    """The decimal_pricing_summary query must actually exercise decimal
+    fidelity: the same aggregation computed in double diverges from the
+    exact decimal result under the driver's float-repr value normalization
+    (otherwise the oracle hash would pass even for a sloppy double port)."""
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.plans.queries import query_fns
+    from tests.parity import _norm_cell
+
+    dec_rows = {
+        r["l_returnflag"]: r["sum_disc_qty_dec"]
+        for r in query_fns()["decimal_pricing_summary"](spark, sf_dir).collect()
+    }
+    dbl_rows = {
+        r["l_returnflag"]: r["v"]
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity") * (F.lit(1.0) - F.col("l_discount"))).alias("v"))
+        .collect()
+    }
+    diverged = [
+        k for k in dec_rows if _norm_cell(dec_rows[k]) != _norm_cell(dbl_rows[k])
+    ]
+    assert diverged, (dec_rows, dbl_rows)
+
+
 def test_unpivot_regex_melt(spark):
     df = spark.createDataFrame(
         [("c1", 1.0, 2.0)], "title string, `2010` double, `2011-2012` double"
