@@ -1,7 +1,11 @@
-"""Sheet-shaped sources: S9 matrix transpose scan and S5 XLSX multi-sheet
-reader.
+"""Sheet-shaped sources: S2 Google-Sheets tab enumeration, S9 matrix
+transpose scan, and S5 XLSX multi-sheet reader.
 
 Reference semantics:
+- S2 (datapackage_pipelines_migdar/flows/publications.py:36-48): list every
+  tab (sheetId 'gid' + title) of a spreadsheet via the Sheets API metadata
+  endpoint, then load each tab as its own resource named by gid
+  (publications.py:84-93); credentials live outside the code (:24-32).
 - S9 (datapackage_pipelines_migdar/flows/datasets.py:86-104): read a sheet's
   raw cell grid, transpose columns->rows; the original first column becomes
   the header row of the transposed table.
@@ -32,6 +36,103 @@ try:  # pragma: no cover - optional dependency
     HAVE_OPENPYXL = True
 except Exception:  # pragma: no cover
     HAVE_OPENPYXL = False
+
+
+# ------------------------------------------------------------------ S2
+SHEETS_API_URL = "https://sheets.googleapis.com/v4/spreadsheets/{doc_id}"
+EDIT_URL = "https://docs.google.com/spreadsheets/d/{doc_id}/edit#gid={gid}"
+CSV_EXPORT_URL = (
+    "https://docs.google.com/spreadsheets/d/{doc_id}/export?format=csv&gid={gid}"
+)
+
+
+def enumerate_tabs(
+    doc_id: str,
+    session=None,
+    api_key: str | None = None,
+) -> list[dict[str, Any]]:
+    """S2 (publications.py:36-48 ``list_all_sheet_ids``): enumerate every tab
+    of a Google spreadsheet from the Sheets API metadata endpoint
+    (``fields=sheets(properties(sheetId,title))`` — same projection the
+    reference requests). Returns one descriptor per tab with ``gid``,
+    ``title``, the reference's ``edit#gid=`` URL form, and the CSV-export URL
+    the engine's CSV path consumes.
+
+    ``session`` is injectable (anything with ``.get(url, params=) -> resp``
+    exposing ``.json()``) per the SURVEY §7.4 no-live-sessions rule; the
+    default builds a ``requests`` session and expects auth via ``api_key``
+    or ambient credentials (the reference reads a service-account file,
+    publications.py:24-32 — credential material stays outside this repo)."""
+    if session is None:  # pragma: no cover - needs network
+        try:
+            import requests
+        except Exception as exc:
+            raise NotImplementedError(
+                "requests not installed; inject a session with .get()"
+            ) from exc
+        session = requests.Session()
+    params = {"fields": "sheets(properties(sheetId,title))"}
+    if api_key:
+        params["key"] = api_key
+    payload = session.get(SHEETS_API_URL.format(doc_id=doc_id), params=params).json()
+    tabs = []
+    for sheet in payload.get("sheets", []):
+        props = sheet["properties"]
+        gid = props["sheetId"]
+        tabs.append(
+            {
+                "gid": gid,
+                "title": props.get("title", ""),
+                "edit_url": EDIT_URL.format(doc_id=doc_id, gid=gid),
+                "csv_url": CSV_EXPORT_URL.format(doc_id=doc_id, gid=gid),
+            }
+        )
+    return tabs
+
+
+def sheets_tabs_source(
+    spark: SparkSession,
+    doc_id: str,
+    session=None,
+    api_key: str | None = None,
+    fetch_csv=None,
+    tab_col: str = "__tab",
+) -> DataFrame:
+    """S2 composite (publications.py:84-93 ``base_flow``): enumerate tabs,
+    load each tab's CSV export as an all-string frame (INFER_STRINGS /
+    CAST_TO_STRINGS parity), stamp the gid as the resource name column, and
+    union by name (missing columns null-filled, as dataflows' concatenate
+    tolerates ragged tabs).
+
+    ``fetch_csv(url) -> csv text`` is injectable; default reads through the
+    same session. Tabs are dimension-sized (the reference's sheet is 36 tabs
+    of hundreds of rows), so the per-tab decode is driver-side pandas —
+    faithful to the reference's sequential load and trivially small; the
+    union result is a regular distributed DataFrame downstream."""
+    import io
+
+    import pandas as pd
+
+    from ..operators.windows import ORD
+
+    tabs = enumerate_tabs(doc_id, session=session, api_key=api_key)
+    if not tabs:
+        raise ValueError(f"spreadsheet {doc_id!r} has no tabs")
+    if fetch_csv is None:  # pragma: no cover - needs network
+        fetch_csv = lambda url: session.get(url).text  # noqa: E731
+    frames = []
+    for tab in tabs:
+        pdf = pd.read_csv(io.StringIO(fetch_csv(tab["csv_url"])), dtype=str)
+        pdf = pdf.where(pdf.notna(), None)
+        schema = ", ".join(f"`{c}` string" for c in pdf.columns)
+        df = spark.createDataFrame(
+            [tuple(r) for r in pdf.itertuples(index=False)], schema
+        )
+        frames.append(df.withColumn(tab_col, F.lit(str(tab["gid"]))))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out.withColumn(ORD, F.monotonically_increasing_id())
 
 
 # ------------------------------------------------------------------ S9
@@ -170,6 +271,8 @@ def frames_from_sheets(
 
 
 __all__ = [
+    "enumerate_tabs",
+    "sheets_tabs_source",
     "transpose_grid",
     "sheets_to_rows",
     "frames_from_sheets",

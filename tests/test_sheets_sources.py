@@ -69,3 +69,111 @@ def test_frames_from_sheets(spark):
     assert df.columns == ["migdar_id", "n", "__sheet"]
     got = {r["migdar_id"]: r["n"] for r in df.collect()}
     assert got == {"M1": "5", "M2": None}  # all-string load (INFER_STRINGS)
+
+
+class FakeSheetsSession:
+    """Records the Sheets-API metadata request and serves a canned tab list
+    (publications.py:36-48 shape)."""
+
+    def __init__(self, doc_id, n_tabs):
+        self.doc_id = doc_id
+        self.n_tabs = n_tabs
+        self.calls = []
+
+    def get(self, url, params=None):
+        self.calls.append((url, params))
+
+        class Resp:
+            def __init__(self, payload):
+                self._p = payload
+
+            def json(self):
+                return self._p
+
+        return Resp(
+            {
+                "sheets": [
+                    {"properties": {"sheetId": 1000 + i, "title": f"tab {i}"}}
+                    for i in range(self.n_tabs)
+                ]
+            }
+        )
+
+
+def test_enumerate_tabs_api_contract():
+    # the reference's sheet has 36 tabs (publications.py:36-48)
+    from migdar_data_pipelines_spark.sources.sheets import enumerate_tabs
+
+    session = FakeSheetsSession("DOC123", 36)
+    tabs = enumerate_tabs("DOC123", session=session)
+    assert len(tabs) == 36
+    url, params = session.calls[0]
+    assert url == "https://sheets.googleapis.com/v4/spreadsheets/DOC123"
+    # same field projection the reference requests
+    assert params["fields"] == "sheets(properties(sheetId,title))"
+    assert tabs[0]["gid"] == 1000 and tabs[0]["title"] == "tab 0"
+    assert tabs[0]["edit_url"].endswith("/d/DOC123/edit#gid=1000")
+    assert tabs[0]["csv_url"].endswith("/d/DOC123/export?format=csv&gid=1000")
+
+
+def test_sheets_tabs_source_union(spark):
+    """Tab sweep -> per-tab CSV -> ragged union with gid stamp + __ord."""
+    from migdar_data_pipelines_spark.sources.sheets import sheets_tabs_source
+
+    session = FakeSheetsSession("DOC123", 2)
+    csvs = {
+        1000: "migdar_id,title\nM1,first\nM2,second\n",
+        1001: "migdar_id,title,extra\nM3,third,x\n",  # ragged: extra column
+    }
+
+    def fetch_csv(url):
+        gid = int(url.rsplit("gid=", 1)[1])
+        return csvs[gid]
+
+    out = sheets_tabs_source(spark, "DOC123", session=session, fetch_csv=fetch_csv)
+    rows = {r["migdar_id"]: r for r in out.collect()}
+    assert set(rows) == {"M1", "M2", "M3"}
+    assert rows["M1"]["__tab"] == "1000" and rows["M3"]["__tab"] == "1001"
+    assert rows["M1"]["extra"] is None  # null-filled ragged column
+    ordered = [r["migdar_id"] for r in out.orderBy("__ord").collect()]
+    assert ordered == ["M1", "M2", "M3"]  # tab-major, row-minor order
+
+
+def test_publications_flow_via_sheets_connector(spark, tmp_path):
+    """S2 end-to-end: publications_flow with NO injected search_import pulls
+    the frame through the tab-enumeration connector (fake API + CSVs) and
+    produces the same canonicalized output shape."""
+    from migdar_data_pipelines_spark.pipelines import PipelineContext
+    from migdar_data_pipelines_spark.pipelines.flows import publications_flow
+    from migdar_data_pipelines_spark.sinks import dump_to_path
+
+    # materialize a minimal zotero_fetch stage for the union side
+    zotero = spark.createDataFrame(
+        [("Z1", "zotero title")], "migdar_id string, title string"
+    )
+    dump_to_path({"zotero": zotero}, str(tmp_path / "zotero_fetch"))
+
+    translations = spark.createDataFrame(
+        [("בריאות", "בריאות", "health", "health_ar")],
+        "key string, hebrew string, english string, arabic string",
+    )
+    session = FakeSheetsSession("DOC123", 2)
+    csvs = {
+        1000: 'migdar_id,title,pubyear,Life Domains\nM1,t1,2015,בריאות\n,no key - dropped,2001,\n',
+        1001: "migdar_id,title,pubyear\nNone,none key - dropped,2002\nM2,t2,1999\n",
+    }
+    ctx = PipelineContext(
+        spark=spark,
+        data_dir=str(tmp_path),
+        sources={"translations": translations},
+        params={
+            "sheets_doc_id": "DOC123",
+            "sheets_session": session,
+            "sheets_fetch_csv": lambda url: csvs[int(url.rsplit("gid=", 1)[1])],
+        },
+    )
+    pubs = publications_flow(ctx)["publications"]
+    rows = {r["migdar_id"]: r for r in pubs.collect()}
+    assert set(rows) == {"M1", "M2", "Z1"}  # keyless/'None' rows dropped
+    assert rows["M1"]["doc_id"] == "publications/M1"
+    assert rows["M1"]["year"] == 2015 and rows["M2"]["year"] == 1999
