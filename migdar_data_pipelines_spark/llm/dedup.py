@@ -258,11 +258,17 @@ def connected_components(
     rounds' groupBy; min() is an algebraic aggregate so map-side partial
     aggregation collapses the hot key before the exchange.
     """
+    # Materialize the normalized edge set ONCE before iterating: round 1's
+    # star(star(...)) references its input plan several times, and without a
+    # checkpoint each reference re-executes the (possibly expensive — LSH,
+    # shingling) pair-generation subtree. After this the loop only ever sees
+    # (long, long) leaf frames.
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
+        .localCheckpoint(eager=True)
     )
 
     def nbrs(e: DataFrame) -> DataFrame:
