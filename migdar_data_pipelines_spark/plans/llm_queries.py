@@ -652,6 +652,87 @@ def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def _drain_stream(spark: SparkSession, out: DataFrame, prefix: str) -> DataFrame:
+    """Run a streaming frame to completion with Trigger.AvailableNow into a
+    uniquely-named memory sink and return the drained table. Checkpoint dirs
+    are per-invocation temp dirs (queries must be re-runnable: the driver and
+    bench call each registry entry several times)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..streaming import run_available_now
+
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
+    try:
+        run_available_now(out, ckpt, query_name=name, output_mode="append")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+@register(
+    "streaming_first_seen_users",
+    sql="""
+WITH r AS (
+  SELECT user_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts FROM r WHERE rn = 1
+""",
+)
+def streaming_first_seen_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 stateful streaming in the correctness gate, not just pytest:
+    the applyInPandasWithState first-seen operator (W4 as a stream,
+    broken_links.py:34-43's in-memory ``used`` set made a keyed state store)
+    drained with Trigger.AvailableNow must equal the batch
+    row_number()=1 oracle. Ties on the minimum ts emit that ts regardless of
+    which tied row wins, so the (user_id, first_ts) surface is deterministic."""
+    from ..streaming import read_events_stream, streaming_first_seen
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = streaming_first_seen(stream, ["user_id"], "ts")
+    return _drain_stream(spark, out, "t_first_seen").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts")
+    )
+
+
+@register(
+    "streaming_cdc_events",
+    sql="""
+WITH h AS (
+  SELECT user_id, ts, event_id, md5(event_type) AS h FROM events
+), s AS (
+  SELECT user_id, ts, h,
+         lag(h) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM h
+)
+SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CASE WHEN prev IS NULL THEN 'new'
+            WHEN prev = h THEN 'same' ELSE 'changed' END AS status
+FROM s
+""",
+)
+def streaming_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 stateful streaming CDC in the correctness gate: per user, each
+    event's content hash against the previous one (the reference's
+    snapshot-diff classification, obsolete/prepare_data_for_es.py:41-169, as
+    a keyed state stream) — new/same/changed statuses must match the batch
+    lag() oracle. order_cols pins tie-breaks on (ts, event_id) so the
+    classification is partitioning-independent."""
+    from ..streaming import read_events_stream
+    from ..streaming.stateful import streaming_cdc
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    feed = stream.withColumn("h", F.md5("event_type"))
+    out = streaming_cdc(feed, ["user_id"], "h", "ts", order_cols=["ts", "event_id"])
+    return _drain_stream(spark, out, "t_cdc").select(
+        "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "status"
+    )
+
+
 @register(
     "session_window_native_events",
     sql="""

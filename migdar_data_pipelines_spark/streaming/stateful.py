@@ -83,12 +83,19 @@ def streaming_cdc(
     key_cols: list[str],
     hash_col: str,
     ts_col: str = "ts",
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """D2 as a stream: per key, compare each arriving row's content hash with
     the last seen hash; emit (key..., ts, status) where status is 'new' on
     first sight, 'changed' when the hash moved, 'same' otherwise. The stored
     state is one hash per key — the streaming equivalent of the reference's
-    Postgres snapshot read (obsolete/prepare_data_for_es.py:41-60)."""
+    Postgres snapshot read (obsolete/prepare_data_for_es.py:41-60).
+
+    ``order_cols`` pins the within-key processing order (default
+    ``[ts_col]``); pass a tie-breaking suffix (e.g. ``["ts", "event_id"]``)
+    when timestamps can collide, otherwise tied rows classify in arrival
+    order, which is partitioning-dependent."""
+    order_cols = list(order_cols or [ts_col])
     key_fields = [f for f in changes.schema.fields if f.name in set(key_cols)]
     ts_field = [f for f in changes.schema.fields if f.name == ts_col]
     out_schema = T.StructType(
@@ -109,7 +116,7 @@ def streaming_cdc(
         if not parts:
             return
         df = pd.concat(parts, ignore_index=True).sort_values(
-            ts_col, kind="stable", ignore_index=True
+            order_cols, kind="stable", ignore_index=True
         )
         h = df[hash_col]
         prev = h.shift(1)
