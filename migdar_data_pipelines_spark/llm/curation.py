@@ -1,0 +1,161 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs on
+top of dedup/similarity: PII redaction, repetition/quality signals, and
+deterministic id-hash sampling & train/val splitting.
+
+All pure column expressions (JVM-side, whole-stage codegen, zero shuffle at
+100 TB — these run inside the scan stage), and every construct is restricted
+to regex/arith features shared by Java regex and RE2 so the DuckDB oracles
+mirror them exactly: no lookaround, no backrefs, hash arithmetic via md5 hex
+digits rather than engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .textanalysis import words
+
+# Redaction patterns applied IN ORDER (more specific first — SSN before the
+# generic phone run, email before hostname-ish text). Shared Java/RE2 syntax.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\s.-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace email/SSN/IPv4/phone spans with typed placeholder tokens —
+    the standard pre-training scrub pass. Chained regexp_replace stays in
+    codegen; pattern order is part of the contract (a redacted <SSN> must
+    not be re-matched by the looser phone run)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-kind match counts (the audit view of ``redact_pii``): counted on
+    the progressively-redacted text with the same pattern order, so each
+    span is attributed to exactly one kind, matching what redact_pii
+    replaces."""
+    c = F.col(col) if isinstance(col, str) else col
+    out: dict[str, Column] = {}
+    for kind, pattern, repl in PII_PATTERNS:
+        out[f"n_{kind}"] = F.size(F.regexp_extract_all(c, F.lit(pattern), 0)).cast(
+            "long"
+        )
+        c = F.regexp_replace(c, pattern, repl)
+    return out
+
+
+def repetition_stats(col: Column | str) -> dict[str, Column]:
+    """Repetition signals (Gopher/FineWeb-style quality filters):
+
+    * ``dup_line_frac`` — fraction of non-empty lines that are duplicates of
+      an earlier line;
+    * ``top_bigram_share`` — share of the most frequent word bigram among
+      all bigrams (near-1.0 flags boilerplate/spam).
+
+    Scan-local with zero shuffle; the top-bigram count is O(n log n) per doc
+    — sort the bigram array, then one linear ``aggregate`` fold tracking the
+    longest equal run. (The naive count-per-distinct nested filter is
+    O(distinct^2) per doc and measured 25x slower on real documents.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines).cast("double")
+    n_distinct = F.size(F.array_distinct(lines)).cast("double")
+    dup_line_frac = F.when(
+        n_lines > 0, F.round((n_lines - n_distinct) / n_lines, 4)
+    ).otherwise(F.lit(0.0))
+
+    ws = words(c)
+    n_w = F.size(ws)
+    grams = F.when(
+        n_w >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n_w - 2),
+            lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_grams = F.size(grams).cast("double")
+    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
+    top_count = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    ).cast("double")
+    top_bigram_share = F.when(
+        n_grams > 0, F.round(top_count / n_grams, 4)
+    ).otherwise(F.lit(0.0))
+    return {"dup_line_frac": dup_line_frac, "top_bigram_share": top_bigram_share}
+
+
+def md5_bucket(col: Column | str, hex_digits: int = 6) -> Column:
+    """Deterministic engine-portable bucket in [0, 16^hex_digits): the first
+    ``hex_digits`` md5 hex chars of the stringified id as an integer.
+
+    This is the sampling/split primitive: stable under repartitioning,
+    re-runs, AND engines (DuckDB computes the identical value from the same
+    md5 hex — unlike xxhash64, which is Spark-specific). 6 digits = 2^24
+    buckets: sampling-rate granularity of 6e-8, and the hex->int fold is 6
+    plan-time constants, still pure codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, hex_digits), 16, 10).cast(
+        "long"
+    )
+
+
+def md5_bucket_sql(expr: str, hex_digits: int = 6) -> str:
+    """The DuckDB mirror of ``md5_bucket`` (positional hex fold — DuckDB has
+    no hex->int cast). Used by oracle SQL; kept next to the Spark form so
+    they can only drift together."""
+    terms = []
+    for i in range(hex_digits):
+        shift = 16 ** (hex_digits - 1 - i)
+        terms.append(
+            f"(strpos('0123456789abcdef', substr(md5(CAST({expr} AS VARCHAR)),{i + 1},1))-1)*{shift}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def deterministic_sample(col: Column | str, fraction: float, hex_digits: int = 6) -> Column:
+    """Boolean keep-predicate sampling ``fraction`` of rows by id hash.
+    Unlike ``DataFrame.sample`` this is stable across partitioning, retries,
+    and engines — the property a reproducible data pipeline needs."""
+    space = 16**hex_digits
+    return md5_bucket(col, hex_digits) < int(fraction * space)
+
+
+def train_val_split(col: Column | str, val_fraction: float = 0.1, hex_digits: int = 6) -> Column:
+    """'train'/'val' assignment by id hash: the val set is the TOP tail of
+    the bucket space so growing val_fraction only MOVES docs train->val
+    (nested splits, the standard holdout-stability property)."""
+    space = 16**hex_digits
+    threshold = int((1.0 - val_fraction) * space)
+    return F.when(
+        md5_bucket(col, hex_digits) < threshold, F.lit("train")
+    ).otherwise(F.lit("val"))
+
+
+__all__ = [
+    "PII_PATTERNS",
+    "redact_pii",
+    "pii_counts",
+    "repetition_stats",
+    "md5_bucket",
+    "md5_bucket_sql",
+    "deterministic_sample",
+    "train_val_split",
+]

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..llm.curation import PII_PATTERNS, md5_bucket_sql
 from ..llm.dedup import (
     canonical_groups,
     exact_dedup,
@@ -650,6 +651,152 @@ def session_windows_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with 30-minute inactivity gap (lag + cumsum batch form;
     the streaming-native session_window form is session_window_agg)."""
     return sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+# PII patterns shared with llm/curation.py — the SQL strings are generated
+# from the same constants so the two engines can only drift together.
+def _pii_sql_chain(expr: str) -> str:
+    out = expr
+    for _, pattern, repl in PII_PATTERNS:
+        p = pattern.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out
+
+
+_PII_EMAIL = PII_PATTERNS[0][1].replace("'", "''")
+
+@register(
+    "redact_pii_documents",
+    sql=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' reach me: user' || doc_id || '@example.com or ' ||
+         CASE WHEN doc_id % 3 = 0 THEN '123-45-6789'
+              WHEN doc_id % 3 = 1 THEN '10.0.' || doc_id % 256 || '.7'
+              ELSE '+1 (555) 123-4567' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {_pii_sql_chain('text')} AS redacted,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_email
+FROM seeded
+""",
+)
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: deterministic synthetic PII (email per doc; SSN / IPv4
+    / phone round-robin by doc_id) appended to each document, then redacted
+    with the chained typed-placeholder patterns. Chained regexp_replace is
+    scan-local codegen — zero shuffle at any scale. Oracle applies the
+    identical pattern chain with RE2 'g' replacement; patterns are
+    restricted to the Java-regex/RE2 shared subset."""
+    from ..llm.curation import pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" reach me: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or "),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("123-45-6789"))
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            )
+            .otherwise(F.lit("+1 (555) 123-4567")),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        pii_counts("text")["n_email"].alias("n_email"),
+    )
+
+
+@register(
+    "repetition_stats_documents",
+    sql="""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 1 THEN text || chr(10) || text ELSE text END AS text
+  FROM documents
+), l AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+  FROM corpus
+), g AS (
+  SELECT doc_id, lines,
+         CASE WHEN len(ws) >= 2
+              THEN list_transform(generate_series(1, len(ws)-1),
+                                  i -> ws[i] || ' ' || ws[i+1])
+              ELSE [] END AS grams
+  FROM l
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), counts AS (
+  SELECT doc_id, gram, count(*) AS c FROM e GROUP BY doc_id, gram
+), topg AS (
+  SELECT doc_id, max(c) AS top_c FROM counts GROUP BY doc_id
+)
+SELECT g.doc_id,
+       CASE WHEN len(lines) > 0
+            THEN round((len(lines) - len(list_distinct(lines)))
+                       / CAST(len(lines) AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN len(grams) > 0
+            THEN round(topg.top_c / CAST(len(grams) AS DOUBLE), 4)
+            ELSE 0.0 END AS top_bigram_share
+FROM g LEFT JOIN topg ON g.doc_id = topg.doc_id
+""",
+)
+def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (Gopher/FineWeb-style): duplicate-line
+    fraction and top-bigram share, on a corpus where odd docs are
+    line-doubled (guaranteed positives). Scan-local expressions; per-doc
+    cost bounded by doc length, independent of corpus size."""
+    from ..llm.curation import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1, F.concat("text", F.lit("\n"), "text")
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    stats = repetition_stats("text")
+    return corpus.select(
+        "doc_id",
+        stats["dup_line_frac"].alias("dup_line_frac"),
+        stats["top_bigram_share"].alias("top_bigram_share"),
+    )
+
+
+@register(
+    "corpus_split_documents",
+    sql=f"""
+SELECT doc_id,
+       CAST({md5_bucket_sql('doc_id')} AS BIGINT) AS bucket,
+       CASE WHEN {md5_bucket_sql('doc_id')} < {int(0.9 * 16**6)}
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+""",
+)
+def corpus_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val split by md5 id-hash bucket — stable across
+    partitioning, retries, AND engines (md5 hex fold, not an engine-specific
+    hash), with the nested-holdout property (growing val only moves docs
+    train->val). The primitive for reproducible corpus sampling at 100 TB:
+    a scan-local predicate, no shuffle, no sampling state."""
+    from ..llm.curation import md5_bucket, train_val_split
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        md5_bucket("doc_id").alias("bucket"),
+        train_val_split("doc_id", val_fraction=0.1).alias("split"),
+    )
 
 
 def _drain_stream(spark: SparkSession, out: DataFrame, prefix: str) -> DataFrame:

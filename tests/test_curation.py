@@ -1,0 +1,105 @@
+"""Corpus-curation operators: PII redaction, repetition signals, md5-hash
+sampling/splits (llm/curation.py)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from migdar_data_pipelines_spark.llm.curation import (
+    deterministic_sample,
+    md5_bucket,
+    pii_counts,
+    redact_pii,
+    repetition_stats,
+    train_val_split,
+)
+
+
+def test_redact_pii_kinds_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "mail a@b.co then ssn 123-45-6789 ip 10.0.0.7 "
+                "phone +1 (555) 123-4567 end",
+            )
+        ],
+        "text string",
+    )
+    out = df.select(redact_pii("text").alias("r")).first()["r"]
+    assert "<EMAIL>" in out and "<SSN>" in out and "<IP>" in out and "<PHONE>" in out
+    assert "a@b.co" not in out and "123-45-6789" not in out
+    # order contract: the SSN was NOT consumed by the looser phone pattern
+    assert out.count("<SSN>") == 1 and out.count("<PHONE>") == 1
+
+
+def test_pii_counts(spark):
+    df = spark.createDataFrame(
+        [("x@y.io and z@w.net, ssn 123-45-6789",), ("clean text",)],
+        "text string",
+    )
+    counts = pii_counts("text")
+    rows = df.select(
+        counts["n_email"].alias("e"), counts["n_ssn"].alias("s")
+    ).collect()
+    assert (rows[0]["e"], rows[0]["s"]) == (2, 1)
+    assert (rows[1]["e"], rows[1]["s"]) == (0, 0)
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "once\nupon\na time"),  # no dup lines
+            (2, "same\nsame\nother"),  # 1 of 3 lines duplicate
+            (3, "a b a b a b"),  # grams: ab ba ab ba ab -> top 3/5
+        ],
+        "id long, text string",
+    )
+    stats = repetition_stats("text")
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            stats["dup_line_frac"].alias("dlf"),
+            stats["top_bigram_share"].alias("tbs"),
+        ).collect()
+    }
+    assert rows[1]["dlf"] == 0.0
+    assert abs(rows[2]["dlf"] - 1 / 3) < 1e-3
+    assert abs(rows[3]["tbs"] - 0.6) < 1e-9
+
+
+def test_md5_bucket_matches_hashlib(spark):
+    rows = spark.range(50).select(
+        "id", md5_bucket("id").alias("b")
+    ).collect()
+    for r in rows:
+        expect = int(hashlib.md5(str(r["id"]).encode()).hexdigest()[:6], 16)
+        assert r["b"] == expect
+
+
+def test_sample_and_split_properties(spark):
+    df = spark.range(20000)
+    frac = df.filter(deterministic_sample("id", 0.25)).count() / 20000
+    assert abs(frac - 0.25) < 0.02
+    # stability under repartitioning
+    a = {r["id"] for r in df.filter(deterministic_sample("id", 0.1)).collect()}
+    b = {
+        r["id"]
+        for r in df.repartition(17).filter(deterministic_sample("id", 0.1)).collect()
+    }
+    assert a == b
+    # nested holdout: a smaller val set is a subset of a larger one
+    v05 = {
+        r["id"]
+        for r in df.withColumn("s", train_val_split("id", 0.05))
+        .filter("s = 'val'")
+        .collect()
+    }
+    v10 = {
+        r["id"]
+        for r in df.withColumn("s", train_val_split("id", 0.10))
+        .filter("s = 'val'")
+        .collect()
+    }
+    assert v05 < v10
+    assert abs(len(v10) / 20000 - 0.10) < 0.02
