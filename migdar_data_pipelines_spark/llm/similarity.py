@@ -218,6 +218,78 @@ def top_cells(
     return df.withColumn(out_col, _cells(F.col(vec_col)))
 
 
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus as an IVF index: parquet PARTITIONED BY cell.
+
+    This is the write-once/search-many layout the in-memory helpers allude
+    to: at 100 TB the assignment job runs once, and every later search
+    touches only the probed cells' files (partition pruning at the scan —
+    asserted in tests), ~nprobe/n_cells of the corpus."""
+    assign_cells(df, centroids, vec_col, cell_col).write.partitionBy(
+        cell_col
+    ).mode(mode).parquet(path)
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Search a ``write_ivf_index`` layout: compute each query's nprobe
+    cells, statically prune the index scan to that cell set (the probe list
+    is |queries| x nprobe — bounded and driver-safe), then exact-rerank.
+
+    The ``isin`` filter on the partition column turns into
+    ``PartitionFilters`` on the parquet scan — non-probed cells are never
+    read, which is the entire point of the partitioned layout. (A broadcast
+    join on the partition column would achieve the same via dynamic
+    partition pruning; the static form keeps the plan deterministic.)"""
+    q = top_cells(queries, centroids, vec_col, nprobe).select(
+        F.col(query_id).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode("cells").alias("qcell"),
+    )
+    probe_cells = sorted({r["qcell"] for r in q.select("qcell").distinct().collect()})
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            F.col(corpus_id).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            F.col("cell").alias("ccell"),
+        )
+    )
+    pairs = corpus.join(F.broadcast(q), F.col("qcell") == F.col("ccell"))
+    if exclude_self:
+        pairs = pairs.filter(F.col("qid") != F.col("cid"))
+    scored = pairs.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbour_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def ivf_build_and_search(
     queries: DataFrame,
     corpus: DataFrame,

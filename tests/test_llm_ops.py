@@ -160,6 +160,41 @@ def test_ivf_sample_plan_is_scale_safe(spark, sf_dir):
     assert a == b
 
 
+def test_ivf_partitioned_index_prunes_and_matches(spark, sf_dir, tmp_path):
+    """write_ivf_index/search_ivf_index: the persisted partitionBy(cell)
+    layout returns the same results as the in-memory multi-probe path, and
+    the scan actually prunes — PartitionFilters on cell, fewer partition
+    dirs read than exist."""
+    from migdar_data_pipelines_spark.llm.similarity import (
+        ivf_build_and_search,
+        search_ivf_index,
+        train_ivf_centroids,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(e, "embedding", n_cells=8, seed=7)
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_index(e, idx, cents)
+
+    queries = e.filter("vec_id < 5")
+    got = search_ivf_index(
+        spark, idx, queries, "vec_id", "vec_id", cents, k=3, nprobe=2
+    )
+    expect = ivf_build_and_search(
+        queries, e, "vec_id", "vec_id", n_cells=8, k=3, seed=7, nprobe=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expect.collect()))
+
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cell#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    # the probed cell set is a strict subset of the 8 written partitions
+    assert len(m.group(1).split(",")) < 8, plan
+
+
 def test_ivf_nprobe_recall(spark):
     """VERDICT r3 ask #6: learned IVF with nprobe>1 + exact rerank reaches
     recall >= 0.95 vs brute-force top-k at sf0.1 at fixed (n_cells=16,
