@@ -102,6 +102,27 @@ def repetition_stats(col: Column | str) -> dict[str, Column]:
     return {"dup_line_frac": dup_line_frac, "top_bigram_share": top_bigram_share}
 
 
+def chunk_text(col: Column | str, chunk_words: int = 100, overlap: int = 20) -> Column:
+    """Split a document into overlapping word-window chunks (the standard
+    long-document segmentation before tokenization: fixed window, fixed
+    stride, last window ragged). Returns ``array<string>`` — callers
+    ``posexplode`` to get (chunk_id, chunk) rows.
+
+    Scan-local expression; the explode multiplies rows ~n_words/stride
+    but carries no shuffle. Empty/whitespace docs produce zero chunks."""
+    if overlap >= chunk_words:
+        raise ValueError("overlap must be < chunk_words")
+    c = F.col(col) if isinstance(col, str) else col
+    ws = words(c)
+    n = F.size(ws)
+    stride = chunk_words - overlap
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.array_join(F.slice(ws, s + 1, chunk_words), " ")
+    )
+    return F.when(n > 0, chunks).otherwise(F.array().cast("array<string>"))
+
+
 def md5_bucket(col: Column | str, hex_digits: int = 6) -> Column:
     """Deterministic engine-portable bucket in [0, 16^hex_digits): the first
     ``hex_digits`` md5 hex chars of the stringified id as an integer.
@@ -154,6 +175,7 @@ __all__ = [
     "redact_pii",
     "pii_counts",
     "repetition_stats",
+    "chunk_text",
     "md5_bucket",
     "md5_bucket_sql",
     "deterministic_sample",

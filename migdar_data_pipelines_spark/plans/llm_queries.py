@@ -774,6 +774,51 @@ def repetition_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents",
+    sql=f"""
+WITH w AS (
+  SELECT doc_id, {_W} AS ws FROM documents
+), c AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) > 0
+              THEN list_transform(generate_series(1, len(ws), 80),
+                                  s -> array_to_string(list_slice(ws, s, s + 99), ' '))
+              ELSE [] END AS chunks
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(generate_series(1, len(chunks))) AS cid, chunks FROM c
+)
+SELECT doc_id, CAST(cid - 1 AS INT) AS chunk_id, chunks[cid] AS chunk,
+       CAST(len(list_filter(string_split_regex(trim(chunks[cid]), '\\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_words
+FROM e
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking: 100-word windows, 20-word overlap (stride
+    80), last window ragged — the segmentation pass before tokenization.
+    posexplode multiplies rows scan-locally; no shuffle at any scale.
+    Oracle builds the identical windows with list_slice (end-inclusive, so
+    s..s+99 == Spark's slice(start, length=100))."""
+    from ..llm.curation import chunk_text
+
+    d = _t(spark, sf_dir, "documents")
+    from ..llm.textanalysis import words as _words
+
+    return d.select(
+        "doc_id",
+        F.posexplode(chunk_text("text", chunk_words=100, overlap=20)).alias(
+            "chunk_id", "chunk"
+        ),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk",
+        F.size(_words("chunk")).cast("long").alias("n_words"),
+    )
+
+
+@register(
     "corpus_split_documents",
     sql=f"""
 SELECT doc_id,

@@ -103,3 +103,23 @@ def test_sample_and_split_properties(spark):
     }
     assert v05 < v10
     assert abs(len(v10) / 20000 - 0.10) < 0.02
+
+
+def test_chunk_text_windows(spark):
+    from migdar_data_pipelines_spark.llm.curation import chunk_text
+
+    text = " ".join(f"w{i}" for i in range(250))
+    df = spark.createDataFrame([(text,), ("",), ("   ",)], "text string")
+    rows = df.select(chunk_text("text", 100, 20).alias("c")).collect()
+    chunks = rows[0]["c"]
+    # stride 80 over 250 words -> starts 0,80,160,240 -> 4 chunks
+    assert len(chunks) == 4
+    assert chunks[0].split()[0] == "w0" and chunks[0].split()[-1] == "w99"
+    assert chunks[1].split()[0] == "w80"  # 20-word overlap
+    assert chunks[3].split() == [f"w{i}" for i in range(240, 250)]  # ragged tail
+    assert rows[1]["c"] == [] and rows[2]["c"] == []
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_text("text", 50, 50)
