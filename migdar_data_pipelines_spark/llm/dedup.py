@@ -428,8 +428,12 @@ def ngram_jaccard_pairs(
         else (F.length(text_col) / F.lit(64)).cast("long")
     )
     base = df.select(F.col(id_col).alias("id"), grams.alias("g"), block.alias("blk"))
-    idx = base.select(
-        "blk", "id", F.size("g").alias("sz"), F.explode("g").alias("gram")
+    # The self-join reads the index from BOTH sides; without a persist each
+    # side re-runs the shingling+explode subtree (regex split + distinct per
+    # doc — the expensive part, measured ~40% of the query). Scoped-persisted
+    # so the per-query release hook frees the blocks after the action.
+    idx = scoped_persist(
+        base.select("blk", "id", F.size("g").alias("sz"), F.explode("g").alias("gram"))
     )
     a = idx.select(
         "blk", "gram", F.col("id").alias("id_a"), F.col("sz").alias("sz_a")

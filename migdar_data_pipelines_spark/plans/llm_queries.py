@@ -365,7 +365,13 @@ def ngram_jaccard_pairs_invidx_documents(spark: SparkSession, sf_dir: str) -> Da
     registered alongside the blocked-kernel variant per VERDICT r2 ask #9 so
     BOTH strategies carry a timing signal in every BENCH_r{N}.json and the
     choice between them is measured, not remembered. The two are
-    row-identical by construction (also asserted in tests/test_llm_ops.py)."""
+    row-identical by construction (also asserted in tests/test_llm_ops.py).
+
+    Measured at sf0.1 (20k docs, ~600-doc length blocks): kernel ~2.5-4s,
+    index join ~9-16s — the index join's (block, gram) self-join pays k^2
+    hit expansion on popular grams at this block shape, so the kernel is the
+    registered primary here; the index join wins when blocks are few and
+    huge (where a per-block kernel segment would not fit a task)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(
         d.select(
