@@ -557,6 +557,60 @@ def embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_groups",
+    sql=f"""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id AS id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+), scored AS (
+  SELECT x.id AS id_a, y.id AS id_b,
+         round({_COS.replace('qv', 'x.embedding').replace('cv', 'y.embedding')}, 4) AS cosine
+  FROM corpus x, corpus y WHERE x.id < y.id
+), p AS (
+  SELECT id_a, id_b FROM scored WHERE cosine >= 0.99
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), cc(id, comp) AS (
+  SELECT id, id FROM corpus
+  UNION
+  SELECT e.v, cc.comp FROM cc JOIN edges e ON e.u = cc.id
+), lab AS (
+  SELECT id, min(comp) AS comp FROM cc GROUP BY id
+)
+SELECT id AS vec_id, comp AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS group_size
+FROM lab
+""",
+)
+def semantic_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup groups: cosine near-dup pairs (two-tier
+    matmul + exact rescore, label cells as blocking) -> connected components
+    -> one canonical keeper per semantic cluster. The same group-assembly
+    operator as dedup_groups_lsh composed over a different similarity
+    channel — text LSH and embedding cosine feed one dedup surface. Oracle
+    computes the BLOCKING-FREE exact pair set (every i<j pair) plus a
+    recursive-CTE closure, so the label-cell blocking is also validated as
+    lossless at this threshold (cross-cell near-dups at cosine>=0.99 would
+    make it fail)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    corpus = e.unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label")
+    )
+    pairs = embedding_near_dup_matmul(
+        corpus, "embedding", "vec_id", "label", threshold=0.99
+    )
+    out = canonical_groups(corpus.select("vec_id"), pairs, "vec_id")
+    return out.select(
+        F.col("vec_id"),
+        "canonical_id",
+        F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
+@register(
     "multimodal_features",
     sql="""
 WITH m AS (SELECT doc_id AS media_id, text, md5(text) AS h FROM documents)
