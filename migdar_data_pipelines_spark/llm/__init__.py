@@ -31,5 +31,21 @@ from .dedup import (  # noqa: F401
     embedding_near_dup,
     embedding_near_dup_matmul,
 )
-from .similarity import cosine_topk, ivf_topk  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_topk,
+    ivf_build_and_search,
+    ivf_topk,
+    search_ivf_index,
+    train_ivf_centroids,
+    write_ivf_index,
+)
+from .curation import (  # noqa: F401
+    chunk_text,
+    deterministic_sample,
+    md5_bucket,
+    pii_counts,
+    redact_pii,
+    repetition_stats,
+    train_val_split,
+)
 from .multimodal import binary_features, decode_stub  # noqa: F401
