@@ -99,6 +99,109 @@ def binary_features(
     return df.mapInPandas(extract, schema=out_schema)
 
 
+def frame_sample(
+    df: DataFrame,
+    n_frames: int = 5,
+    content_col: str = "content",
+    duration_col: str = "duration_ms",
+    id_col: str = "media_id",
+    feature_dim: int = 4,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Video frame sampling: N evenly-spaced frame timestamps per media row
+    (midpoint rule in pure integer math: ``ts_i = (2i+1)*duration //
+    (2N)``), each "decoded" to a frame digest + feature vector. Output is
+    one row PER FRAME — the explode happens inside the Arrow batch, so
+    bytes never round-trip through Python row objects and the output batch
+    is written columnar.
+
+    The real decoder (ffmpeg seek + decode at ts_i) drops into the stub's
+    place with the same signature; the deterministic fake derives the frame
+    digest from md5(content_md5 ':' ts) so the full plumbing — schema,
+    batch explode, per-frame features — is testable and SQL-oracle-able.
+    Rows with NULL/non-positive duration yield zero frames (not an error —
+    images mix with videos in one media table).
+
+    At 100 TB: row count multiplies by n_frames inside the scan stage with
+    no shuffle; downstream embedding/dedup operators consume frame rows
+    exactly like document rows."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_ts_ms", T.LongType()),
+            T.StructField("frame_md5", T.StringType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    fake, dim, n = deterministic_fake, feature_dim, n_frames
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            tss: list = []
+            fmd5s: list = []
+            feats: list = []
+            for mid, blob, dur in zip(
+                pdf[id_col], pdf[content_col], pdf[duration_col]
+            ):
+                if dur is None or pd.isna(dur) or int(dur) <= 0:
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "frame decoding requires ffmpeg/video libraries not "
+                        "present in this environment"
+                    )
+                dur = int(dur)
+                cmd5 = _hashlib.md5(blob or b"").hexdigest()
+                for i in range(n):
+                    ts = ((2 * i + 1) * dur) // (2 * n)
+                    fm = _hashlib.md5(f"{cmd5}:{ts}".encode()).hexdigest()
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(ts)
+                    fmd5s.append(fm)
+                    feats.append(
+                        [int(fm[2 * j : 2 * j + 2], 16) / 255.0 for j in range(dim)]
+                    )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame_md5": pd.Series(fmd5s, dtype="object"),
+                    "features": pd.Series(feats, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(sample, schema=out_schema)
+
+
+def resize_plan(
+    df: DataFrame,
+    max_side: int = 256,
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Aspect-preserving resize PLAN: target dimensions in pure integer
+    expressions (``out = side * max_side // longest`` when the longest side
+    exceeds ``max_side``, identity otherwise; degenerate 0-dims pass
+    through). The byte transform itself is the decoder's job — computing
+    the plan engine-side keeps the Python hop free of metadata math and
+    makes the geometry oracle-checkable."""
+    w, h = F.col(width_col).cast("long"), F.col(height_col).cast("long")
+    longest = F.greatest(w, h)
+    needs = longest > max_side
+    out_w = F.when(needs, (w * max_side).cast("long") / longest).otherwise(w)
+    out_h = F.when(needs, (h * max_side).cast("long") / longest).otherwise(h)
+    return df.withColumn("out_width", F.floor(out_w).cast("int")).withColumn(
+        "out_height", F.floor(out_h).cast("int")
+    )
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Adapter for testing: treat each document's UTF-8 bytes as an opaque
     blob with image-ish metadata, so the multimodal path runs on the driver's

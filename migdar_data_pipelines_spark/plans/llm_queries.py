@@ -557,6 +557,65 @@ def embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frame_sample_media",
+    sql="""
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS cmd5, doc_id % 60000 + 1000 AS dur
+  FROM documents
+), f AS (
+  SELECT media_id, unnest(generate_series(0, 4)) AS i, cmd5, dur FROM m
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       CAST(((2*i+1)*dur) // 10 AS BIGINT) AS frame_ts_ms,
+       md5(cmd5 || ':' || CAST(CAST(((2*i+1)*dur) // 10 AS BIGINT) AS VARCHAR)) AS frame_md5
+FROM f
+""",
+)
+def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: 5 midpoint-rule frame timestamps per
+    media row (integer math), per-frame digest from the deterministic fake
+    decoder, exploded INSIDE the Arrow batch via mapInPandas. The oracle
+    recomputes timestamps and digests from the same md5 chain — the
+    schema/batch-shape/explode plumbing is what's being verified; a real
+    ffmpeg seek-decode drops into the stub's place unchanged."""
+    from ..llm.multimodal import frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        (F.col("doc_id") % 60000 + 1000).cast("long").alias("duration_ms"),
+    )
+    return frame_sample(media, n_frames=5).select(
+        "media_id", "frame_idx", "frame_ts_ms", "frame_md5"
+    )
+
+
+@register(
+    "resize_plan_media",
+    sql="""
+WITH m AS (SELECT doc_id AS media_id, doc_id % 640 AS w, doc_id % 480 AS h FROM documents)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CASE WHEN greatest(w, h) > 256 THEN (w * 256) // greatest(w, h) ELSE w END AS INT) AS out_width,
+       CAST(CASE WHEN greatest(w, h) > 256 THEN (h * 256) // greatest(w, h) ELSE h END AS INT) AS out_height
+FROM m
+""",
+)
+def resize_plan_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize geometry computed engine-side (pure integer
+    expressions, scan-local): longest side clamped to 256, the other scaled
+    proportionally, identity below the clamp. The byte resize is the
+    decoder's job; the plan math is what belongs in the engine and what the
+    oracle checks."""
+    from ..llm.multimodal import documents_as_media, resize_plan
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return resize_plan(media, max_side=256).select(
+        "media_id", "width", "height", "out_width", "out_height"
+    )
+
+
+@register(
     "semantic_dedup_groups",
     sql=f"""
 WITH RECURSIVE corpus AS (

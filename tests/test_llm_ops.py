@@ -400,3 +400,43 @@ def test_lsh_verification_join_is_broadcast(spark):
     # upstream is legitimately a shuffle join and is not asserted on.
     verif = [l for l in plan.splitlines() if "Join" in l and "__sid" in l]
     assert len(verif) == 2 and all("BroadcastHashJoin" in l for l in verif), plan
+
+
+def test_frame_sample_plumbing(spark):
+    """frame_sample: midpoint timestamps, per-frame digests, in-batch
+    explode, zero frames for NULL/zero durations."""
+    import hashlib
+
+    from migdar_data_pipelines_spark.llm.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [
+            (1, b"videobytes", 10000),
+            (2, b"img", None),  # image row: no frames
+            (3, b"", 0),  # degenerate duration: no frames
+        ],
+        "media_id long, content binary, duration_ms long",
+    )
+    rows = frame_sample(df, n_frames=4).collect()
+    assert {r["media_id"] for r in rows} == {1}
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2, 3]
+    # midpoint rule: (2i+1)*10000 // 8
+    assert [r["frame_ts_ms"] for r in rows] == [1250, 3750, 6250, 8750]
+    cmd5 = hashlib.md5(b"videobytes").hexdigest()
+    expect = hashlib.md5(f"{cmd5}:1250".encode()).hexdigest()
+    assert rows[0]["frame_md5"] == expect
+    assert rows[0]["features"] == [int(expect[2 * j : 2 * j + 2], 16) / 255.0 for j in range(4)]
+
+
+def test_resize_plan_geometry(spark):
+    from migdar_data_pipelines_spark.llm.multimodal import resize_plan
+
+    df = spark.createDataFrame(
+        [(1, 640, 480), (2, 100, 50), (3, 0, 0), (4, 256, 512)],
+        "media_id long, width int, height int",
+    )
+    rows = {r["media_id"]: r for r in resize_plan(df, 256).collect()}
+    assert (rows[1]["out_width"], rows[1]["out_height"]) == (256, 192)
+    assert (rows[2]["out_width"], rows[2]["out_height"]) == (100, 50)  # identity
+    assert (rows[3]["out_width"], rows[3]["out_height"]) == (0, 0)  # degenerate
+    assert (rows[4]["out_width"], rows[4]["out_height"]) == (128, 256)
