@@ -557,6 +557,136 @@ def embedding_near_dup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_filter_documents",
+    sql=f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 4 = 1 THEN text || chr(10) || text
+           WHEN doc_id % 4 = 2 THEN array_to_string(list_slice({_W}, 1, 5), ' ')
+           WHEN doc_id % 4 = 3 THEN array_to_string(list_slice({_W}, 1, 30), ' ')
+                                    || ' !! ?? ## $$ %% ^^ && ** (( ))'
+           ELSE text
+         END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM corpus
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(generate_series(1, len(words)-1),
+                                  i -> words[i] || ' ' || words[i+1])
+              ELSE [] END AS grams
+  FROM w
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), topg AS (
+  SELECT doc_id, max(c) AS top_c
+  FROM (SELECT doc_id, gram, count(*) AS c FROM e GROUP BY doc_id, gram)
+  GROUP BY doc_id
+), m AS (
+  SELECT w.doc_id,
+         round(0.25 * (
+           least(len(words) / 100.0, 1.0)
+           + CASE WHEN len(words) > 0 AND CAST(len(text) AS DOUBLE) / len(words) >= 3
+                       AND CAST(len(text) AS DOUBLE) / len(words) <= 10
+                  THEN 1.0 ELSE 0.5 END
+           + least(CASE WHEN len(words) > 0
+                        THEN CAST(len(list_filter(words, x -> lower(x) IN
+                             ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                             / len(words) ELSE 0.0 END * 5.0, 1.0)
+           + greatest(0.0, 1.0 - CASE WHEN len(text) > 0
+                 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                      / len(text) ELSE 0.0 END * 5.0)
+         ), 4) AS quality,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CASE WHEN len(lines) > 0
+              THEN round((len(lines) - len(list_distinct(lines)))
+                         / CAST(len(lines) AS DOUBLE), 4) ELSE 0.0 END AS dlf,
+         CASE WHEN len(g.grams) > 0
+              THEN round(topg.top_c / CAST(len(g.grams) AS DOUBLE), 4)
+              ELSE 0.0 END AS tbs,
+         len(list_filter(words, x -> lower(x) IN ('the','and','of','is'))) AS s_en,
+         len(list_filter(words, x -> lower(x) IN ('el','la','de','que'))) AS s_es,
+         len(list_filter(words, x -> lower(x) IN ('le','la','et','les'))) AS s_fr,
+         len(list_filter(words, x -> lower(x) IN ('der','die','und','das'))) AS s_de
+  FROM w JOIN g ON w.doc_id = g.doc_id LEFT JOIN topg ON w.doc_id = topg.doc_id
+), lang AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+              WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+              WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+              WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+              ELSE 'und' END AS l
+  FROM m
+), r AS (
+  SELECT m.doc_id,
+         list_filter([
+           CASE WHEN m.quality < 0.7 THEN 'low_quality' END,
+           CASE WHEN m.n_words < 10 THEN 'too_short' END,
+           CASE WHEN m.dlf > 0.3 OR m.tbs > 0.2 THEN 'repetitive' END,
+           CASE WHEN lang.l NOT IN ('en', 'und') THEN 'non_target_lang' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM m JOIN lang ON m.doc_id = lang.doc_id
+)
+SELECT doc_id, len(reasons) = 0 AS keep, reasons FROM r
+""",
+)
+def corpus_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision: keep/drop with an auditable reasons
+    list — low_quality (quality < 0.7), too_short (< 10 words), repetitive
+    (dup-line frac > 0.3 or top-bigram share > 0.2), non_target_lang. The
+    corpus is seeded so every reason fires: doc_id%4==1 line-doubled,
+    %4==2 truncated to 5 words, %4==3 truncated + punctuation spam. All
+    signals are scan-local expressions composed from the tested operators
+    (quality_score, token_stats, repetition_stats, language_id) — at 100 TB
+    this whole decision runs inside the scan stage with zero shuffle, which
+    is the property that makes corpus filtering cheap enough to re-run per
+    recipe change."""
+    from ..llm.curation import repetition_stats
+    from ..llm.textanalysis import words as _words
+
+    d = _t(spark, sf_dir, "documents")
+    ws = _words("text")
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 1, F.concat("text", F.lit("\n"), "text"))
+        .when(F.col("doc_id") % 4 == 2, F.array_join(F.slice(ws, 1, 5), " "))
+        .when(
+            F.col("doc_id") % 4 == 3,
+            F.concat(
+                F.array_join(F.slice(ws, 1, 30), " "),
+                F.lit(" !! ?? ## $$ %% ^^ && ** (( ))"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    rep = repetition_stats("text")
+    reasons = F.filter(
+        F.array(
+            F.when(quality_score("text") < 0.7, F.lit("low_quality")),
+            F.when(token_stats("text")["n_words"] < 10, F.lit("too_short")),
+            F.when(
+                (rep["dup_line_frac"] > 0.3) | (rep["top_bigram_share"] > 0.2),
+                F.lit("repetitive"),
+            ),
+            F.when(~language_id("text").isin("en", "und"), F.lit("non_target_lang")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return corpus.select(
+        "doc_id",
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+@register(
     "frame_sample_media",
     sql="""
 WITH m AS (
