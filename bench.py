@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Benchmark harness: runs EVERY registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"oracle_sec": {...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+compact JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ...}; the full detail (oracle timings, capped list,
+slowest queries) is written to bench_full.json beside this script.
 
 Each query is forced with a count() action (no driver-side collect of big
 results); a warmup pass absorbs JVM/codegen startup so the numbers measure the
@@ -151,30 +152,60 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         clean()
 
+    # The stdout contract is ONE compact JSON line the driver tail-captures.
+    # r3's line (53 queries + the full oracle map) outgrew that capture and
+    # recorded parsed:null — so the line now carries only the driver-contract
+    # keys (metric/value/unit/queries/sf) plus small summary fields, rounded
+    # and with compact separators, and EVERYTHING (oracle timings, caps,
+    # slowest list) goes to bench_full.json next to this script.
     result = {
+        "metric": "suite_total_sec",
+        "value": round(sum(timings.values()), 2),
+        "unit": "sec",
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    full = {
         "metric": "suite_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": result["sf"],
+        "slowest": sorted(timings, key=timings.get, reverse=True)[:5],
     }
 
     if os.environ.get("SPARK_GRAFT_ORACLE", "1") != "0":
         cap_s = float(os.environ.get("SPARK_GRAFT_ORACLE_CAP", "60"))
         oracle_sec, oracle_capped = time_oracles(names, oracle_sqls(), sf_dir, cap_s)
-        result["oracle_sec"] = oracle_sec
-        result["oracle_capped"] = oracle_capped
+        full["oracle_sec"] = oracle_sec
+        full["oracle_capped"] = oracle_capped
         known = [
             (timings[n], oracle_sec[n]) for n in names if oracle_sec.get(n)
         ]
         if known:
             # Suite-level engine/oracle ratio over the oracle-comparable set
             # (capped oracles enter at the cap — a conservative lower bound).
-            result["vs_oracle_ratio"] = round(
-                sum(e for e, _ in known) / sum(o for _, o in known), 4
-            )
+            ratio = round(sum(e for e, _ in known) / sum(o for _, o in known), 4)
+            result["vs_oracle_ratio"] = ratio
+            full["vs_oracle_ratio"] = ratio
 
-    print(json.dumps(result))
+    # Setup-vs-compute split for the streaming drains (VERDICT r3 ask #8):
+    # an AvailableNow drain pays query start/checkpoint/state-store lifecycle
+    # once per JOB — on a cluster the stream starts once — so the split shows
+    # the steady-state operator cost inside the recorded wall time. Keyed by
+    # drain prefix; the timed pass ran last, so newest entry per prefix wins.
+    from migdar_data_pipelines_spark.streaming.windows import STREAM_RUN_STATS
+
+    if STREAM_RUN_STATS:
+        split: dict[str, dict] = {}
+        for qname, stats in STREAM_RUN_STATS.items():
+            split[qname.rsplit("_", 1)[0]] = stats
+        full["streaming_split"] = split
+
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(result, separators=(",", ":")))
 
 
 if __name__ == "__main__":

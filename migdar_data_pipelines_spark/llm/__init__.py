@@ -28,6 +28,7 @@ from .dedup import (  # noqa: F401
     simhash,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_blocked_kernel,
+    ngram_jaccard_pairs_ppjoin,
     embedding_near_dup,
     embedding_near_dup_matmul,
 )

@@ -579,6 +579,115 @@ def ngram_jaccard_pairs_blocked_kernel(
     )
 
 
+def ngram_jaccard_pairs_ppjoin(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PPJoin-style prefix filtering — the
+    blocking-FREE candidate generator for high thresholds (the third strategy
+    next to the inverted-index join and the per-block kernel; named as the
+    scale rung in ``ngram_jaccard_pairs``'s docstring).
+
+    AllPairs/PPJoin principle (Bayardo et al. WWW'07, Xiao et al. WWW'08):
+    order every document's gram set by one global canonical order (document
+    frequency ascending, gram ascending — rarest first), and keep only the
+    first ``p = sz - ceil(t*sz) + 1`` grams as the *prefix*. Two sets with
+    Jaccard >= t MUST share a prefix token under the same global order, so
+    the inverted index is built over prefixes only — the ultra-frequent
+    grams that blow up a full-index self-join sit at the END of the order
+    and almost never enter a prefix. Candidates are further pruned by the
+    length filter (min_sz >= t * max_sz) and PPJoin's positional filter
+    (a shared token at sorted positions (i, j) caps the overlap at
+    ``1 + min(sz_a-i-1, sz_b-j-1)``, which must reach the minimal overlap
+    ``t/(1+t) * (sz_a+sz_b)``). Survivors are verified EXACTLY with a set
+    intersection, so the output is identical to the other two strategies at
+    the same threshold — the filters are lossless (each bound is slackened
+    by the 4-dp output rounding, so a true jaccard of t - 0.00005 that
+    rounds INTO the filter still generates its candidate).
+
+    Scale notes (100 TB): no blocking column and no full-index self-join —
+    the only wide ops are the gram document-frequency aggregation (a
+    dictionary-sized groupBy), the prefix-index self-join (prefix tokens are
+    ~(1-t) of the index, and frequency-ascending order makes the per-token
+    candidate lists short), and the verify join keyed on doc id. The per-pair
+    interpreted ``array_intersect`` touches only verified candidates, which
+    at t >= 0.8 is a vanishing fraction of the corpus. Prefer this path at
+    high thresholds on corpora where no natural block bounds pair growth;
+    below t ~ 0.6 prefixes lengthen and the kernel/index strategies win.
+    """
+    assert 0.5 < threshold <= 1.0, "ppjoin needs a high threshold (> 0.5)"
+    # Rounding slack: the final filter is round(jac, 4) >= threshold, so any
+    # true jaccard >= threshold - 5e-5 can survive — every bound below uses
+    # t_eff so no such pair is pruned (and FP ceil boundaries are avoided).
+    t_eff = threshold - 0.5e-4
+    grams = shingles(text_col, n)
+    base = scoped_persist(
+        df.select(F.col(id_col).alias("id"), grams.alias("g"), F.size(grams).alias("sz"))
+    )
+    tok = base.select("id", "sz", F.explode("g").alias("gram"))
+    # Global canonical order = (document frequency asc, gram asc). No global
+    # rank is materialised — the (dfc, gram) struct itself is the sort key,
+    # so ordering is a dictionary-sized aggregation plus a per-doc array_sort.
+    dfreq = tok.groupBy("gram").agg(F.count(F.lit(1)).alias("dfc"))
+    sorted_docs = (
+        tok.join(dfreq, "gram")
+        .groupBy("id", "sz")
+        .agg(F.array_sort(F.collect_list(F.struct("dfc", "gram"))).alias("sg"))
+    )
+    p = (F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz")) + 1).cast("int")
+    prefix = sorted_docs.select(
+        "id",
+        "sz",
+        F.posexplode(F.slice(F.col("sg.gram"), 1, p)).alias("pos", "gram"),
+    )
+    a = prefix.select(
+        "gram", F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("pos").alias("pa")
+    )
+    b = prefix.select(
+        F.col("gram").alias("gram_b"),
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("gram") == F.col("gram_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            # length filter: jac <= min_sz / max_sz
+            & (F.least("sz_a", "sz_b") >= F.lit(t_eff) * F.greatest("sz_a", "sz_b")),
+        )
+        # One row per pair; min positions give the LOOSEST positional bound,
+        # so aggregating before the filter stays lossless.
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.min("pa").alias("pa"), F.min("pb").alias("pb"))
+        # positional filter: overlap <= 1 + min(remaining suffix lengths)
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sz_a") - F.col("pa") - 1, F.col("sz_b") - F.col("pb") - 1
+            )
+            >= F.lit(t_eff / (1.0 + t_eff)) * (F.col("sz_a") + F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+    )
+    # Exact verification on the surviving candidates only.
+    ga = base.select(F.col("id").alias("id_a"), F.col("g").alias("g_a"))
+    gb = base.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    verified = cand.join(ga, "id_a").join(gb, "id_b")
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = (F.size("g_a") + F.size("g_b") - inter).cast("double")
+    jac = inter.cast("double") / union
+    return (
+        verified.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     vec_col: str,

@@ -48,17 +48,70 @@ def decode_stub(content: bytes, media_type: str, deterministic_fake: bool = Fals
     return [b / 255.0 for b in digest[:4]]
 
 
+def decode_pil(content: bytes, media_type: str = "image", feature_dim: int = 4):
+    """REAL image decode via Pillow (optional dependency — import is inside
+    so environments without media libs never pay for it). Same signature
+    contract as the stub: bytes in, ``feature_dim`` doubles out. Features are
+    per-channel RGB means + global std — a minimal real feature vector that
+    proves the decode happened (the md5-fake cannot produce them).
+
+    This is the drop-in the stub's docstring promises: pass
+    ``decoder=decode_pil`` to :func:`binary_features` and nothing else in the
+    plan, schema, or batch shape changes."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content)).convert("RGB")
+    arr = np.asarray(img, dtype=np.float64) / 255.0
+    feats = [float(arr[..., c].mean()) for c in range(3)] + [float(arr.std())]
+    return feats[:feature_dim] + [0.0] * max(0, feature_dim - len(feats))
+
+
+def decode_ffmpeg_frame(content: bytes, ts_ms: int, feature_dim: int = 4):
+    """REAL video frame decode via PyAV/ffmpeg (optional dependency): seek to
+    ``ts_ms``, decode the first frame at/after it, return
+    ``(frame_md5, features)`` — the contract :func:`frame_sample`'s
+    ``frame_decoder`` seam expects. Digest is over the raw RGB plane, features
+    are channel means + std."""
+    import hashlib as _hashlib
+    import io
+
+    import av
+    import numpy as np
+
+    with av.open(io.BytesIO(content)) as container:
+        stream = container.streams.video[0]
+        offset = int((ts_ms / 1000.0) / float(stream.time_base))
+        container.seek(offset, backward=True, stream=stream)
+        for frame in container.decode(stream):
+            arr = frame.to_ndarray(format="rgb24")
+            fm = _hashlib.md5(arr.tobytes()).hexdigest()
+            x = arr.astype(np.float64) / 255.0
+            feats = [float(x[..., c].mean()) for c in range(3)] + [float(x.std())]
+            return fm, feats[:feature_dim] + [0.0] * max(0, feature_dim - len(feats))
+    raise ValueError(f"no decodable frame at {ts_ms}ms")
+
+
 def binary_features(
     df: DataFrame,
     content_col: str = "content",
     media_type_col: str = "media_type",
     deterministic_fake: bool = True,
     feature_dim: int = 4,
+    decoder=None,
 ) -> DataFrame:
     """Append (n_bytes, content_md5, features array<double>) via mapInPandas.
 
     Batch shape: one Arrow batch in, one out, feature extraction vectorized
-    per batch — the signature a real decoder drops into unchanged."""
+    per batch — the signature a real decoder drops into unchanged.
+
+    ``decoder``: optional ``(content: bytes) -> list[float]`` — e.g.
+    ``lambda b: decode_pil(b, feature_dim=4)`` — shipped by value inside the
+    closure (cloudpickle), so a real Pillow/ffmpeg decode slots in with ZERO
+    change to the plan: same mapInPandas, same schema, same batch shape. When
+    given, it overrides both the fake and the NotImplementedError guard."""
     out_schema = T.StructType(
         list(df.schema.fields)
         + [
@@ -70,6 +123,7 @@ def binary_features(
 
     fake = deterministic_fake
     dim = feature_dim
+    real = decoder
 
     # self-contained closure: no references to this module's globals, so
     # cloudpickle ships it by value and workers don't need the package on
@@ -78,10 +132,12 @@ def binary_features(
         import hashlib as _hashlib
 
         def _decode(content):
+            if real is not None:
+                return real(content)
             if not fake:
                 raise NotImplementedError(
                     "media decoding requires image/audio libraries not present "
-                    "in this environment"
+                    "in this environment; pass decoder=decode_pil (or your own)"
                 )
             digest = _hashlib.md5(content or b"").digest()
             return [b / 255.0 for b in digest[:dim]]
@@ -107,6 +163,7 @@ def frame_sample(
     id_col: str = "media_id",
     feature_dim: int = 4,
     deterministic_fake: bool = True,
+    frame_decoder=None,
 ) -> DataFrame:
     """Video frame sampling: N evenly-spaced frame timestamps per media row
     (midpoint rule in pure integer math: ``ts_i = (2i+1)*duration //
@@ -122,6 +179,10 @@ def frame_sample(
     Rows with NULL/non-positive duration yield zero frames (not an error —
     images mix with videos in one media table).
 
+    ``frame_decoder``: optional ``(content: bytes, ts_ms: int) ->
+    (frame_md5, features)`` — e.g. :func:`decode_ffmpeg_frame` — replacing
+    the fake per frame while timestamps, explode, and schema stay identical.
+
     At 100 TB: row count multiplies by n_frames inside the scan stage with
     no shuffle; downstream embedding/dedup operators consume frame rows
     exactly like document rows."""
@@ -135,6 +196,7 @@ def frame_sample(
         ]
     )
     fake, dim, n = deterministic_fake, feature_dim, n_frames
+    real = frame_decoder
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -150,23 +212,29 @@ def frame_sample(
             ):
                 if dur is None or pd.isna(dur) or int(dur) <= 0:
                     continue
-                if not fake:
+                if real is None and not fake:
                     raise NotImplementedError(
                         "frame decoding requires ffmpeg/video libraries not "
-                        "present in this environment"
+                        "present in this environment; pass "
+                        "frame_decoder=decode_ffmpeg_frame (or your own)"
                     )
                 dur = int(dur)
                 cmd5 = _hashlib.md5(blob or b"").hexdigest()
                 for i in range(n):
                     ts = ((2 * i + 1) * dur) // (2 * n)
-                    fm = _hashlib.md5(f"{cmd5}:{ts}".encode()).hexdigest()
+                    if real is not None:
+                        fm, fv = real(blob, ts)
+                    else:
+                        fm = _hashlib.md5(f"{cmd5}:{ts}".encode()).hexdigest()
+                        fv = [
+                            int(fm[2 * j : 2 * j + 2], 16) / 255.0
+                            for j in range(dim)
+                        ]
                     ids.append(mid)
                     idxs.append(i)
                     tss.append(ts)
                     fmd5s.append(fm)
-                    feats.append(
-                        [int(fm[2 * j : 2 * j + 2], 16) / 255.0 for j in range(dim)]
-                    )
+                    feats.append(fv)
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),

@@ -152,6 +152,23 @@ def train_ivf_centroids(
     if id_col is None:
         id_col = next(c for c in df.columns if c != vec_col)
     sample = _deterministic_sample(df, vec_col, id_col, sample_rows).collect()
+    if not sample:
+        # A low-cardinality id_col makes the hash filter keep all-or-none rows
+        # per distinct value, which at large m can strand an empty sample.
+        # Fall back to an unfiltered hash-ordered top-k (still deterministic,
+        # still TakeOrderedAndProject) before giving up.
+        sample = (
+            df.select(F.col(vec_col).alias("__v"), F.xxhash64(F.col(id_col)).alias("__h"))
+            .orderBy("__h")
+            .limit(sample_rows)
+            .select("__v")
+            .collect()
+        )
+    if not sample:
+        raise ValueError(
+            f"train_ivf_centroids: no rows to sample (vec_col={vec_col!r}, "
+            f"id_col={id_col!r}) — is the input empty?"
+        )
     X = np.asarray([r[0] for r in sample], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
@@ -309,7 +326,7 @@ def ivf_build_and_search(
     nprobe grows while the scanned fraction stays ~nprobe/n_cells. At scale
     the assigned corpus is written partitioned by cell once and re-searched
     many times; this helper is the single-job form."""
-    cents = train_ivf_centroids(corpus, vec_col, n_cells, seed=seed)
+    cents = train_ivf_centroids(corpus, vec_col, n_cells, seed=seed, id_col=corpus_id)
     c = assign_cells(corpus, cents, vec_col)
     if nprobe <= 1:
         q = assign_cells(queries, cents, vec_col)

@@ -27,6 +27,7 @@ from ..llm.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_blocked_kernel,
+    ngram_jaccard_pairs_ppjoin,
     simhash,
 )
 from ..llm.multimodal import binary_features, documents_as_media
@@ -386,6 +387,53 @@ def ngram_jaccard_pairs_invidx_documents(spark: SparkSession, sf_dir: str) -> Da
 
 
 @register(
+    "ngram_jaccard_pairs_ppjoin",
+    sql=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzdup' FROM documents
+), w AS (
+  SELECT id, {_W} AS words FROM corpus
+), g AS (
+  SELECT id, {_SH3} AS s FROM w
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  FROM g a, g b WHERE a.id < b.id
+), scored AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+               / len(list_distinct(list_concat(s_a, s_b))), 4) AS jaccard
+  FROM pairs
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
+""",
+)
+def ngram_jaccard_pairs_ppjoin_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPJoin prefix-filter strategy (VERDICT r3 ask #5) for the SAME
+    corpus as the other two n-gram paths but BLOCKING-FREE at threshold 0.8 —
+    the oracle is the exact all-pairs answer over the whole corpus (no block
+    constraint), so this checks that prefix + length + positional filtering
+    loses nothing. The quadratic DuckDB oracle is the price of a
+    blocking-free ground truth; the Spark side never forms all pairs.
+
+    Trigram shingles (the dedup module's default k), not bigrams: the
+    synthetic corpus draws from a tiny vocabulary (~1k distinct BIGRAMS over
+    10k docs at sf0.1 — every bigram is ultra-frequent), which is exactly the
+    regime prefix filtering cannot discriminate (measured 16s vs 5.6s with
+    trigrams' ~28k-gram vocabulary at identical output). Real web corpora
+    sit far on the trigram side of that contrast."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zzdup")).alias("text"),
+        )
+    )
+    return ngram_jaccard_pairs_ppjoin(corpus, "text", "doc_id", n=3, threshold=0.8)
+
+
+@register(
     "embedding_topk_bruteforce",
     sql=f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -633,7 +681,9 @@ WITH corpus AS (
          ], x -> x IS NOT NULL) AS reasons
   FROM m JOIN lang ON m.doc_id = lang.doc_id
 )
-SELECT doc_id, len(reasons) = 0 AS keep, reasons FROM r
+SELECT doc_id, len(reasons) = 0 AS keep,
+       coalesce(array_to_string(reasons, ','), '') AS reasons
+FROM r
 """,
 )
 def corpus_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,10 +729,13 @@ def corpus_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda x: x.isNotNull(),
     )
+    # Registry convention (plans/queries.py): array columns are joined to
+    # delimited strings on BOTH sides so the external canonicalizer can hash
+    # them. The array form stays available via llm.curation.corpus_filter.
     return corpus.select(
         "doc_id",
         (F.size(reasons) == 0).alias("keep"),
-        reasons.alias("reasons"),
+        F.array_join(reasons, ",").alias("reasons"),
     )
 
 

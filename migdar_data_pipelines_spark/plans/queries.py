@@ -791,8 +791,9 @@ WITH d AS (
   FROM lineitem
 )
 SELECT l_returnflag,
-       CAST(sum(q) AS DECIMAL(38,10)) AS sum_qty_dec,
-       CAST(sum(q * (CAST(1 AS DECIMAL(12,2)) - disc)) AS DECIMAL(38,10)) AS sum_disc_qty_dec,
+       CAST(CAST(sum(q) AS DECIMAL(38,10)) AS VARCHAR) AS sum_qty_dec,
+       CAST(CAST(sum(q * (CAST(1 AS DECIMAL(12,2)) - disc)) AS DECIMAL(38,10))
+            AS VARCHAR) AS sum_disc_qty_dec,
        CAST(count(*) AS BIGINT) AS n
 FROM d GROUP BY l_returnflag
 """,
@@ -815,9 +816,16 @@ def decimal_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.col("l_quantity").cast("decimal(12,2)")
     disc = F.col("l_discount").cast("decimal(12,2)")
     one = F.lit(1).cast("decimal(12,2)")
+    # The decimal arithmetic is the point of the query; the STRING cast at the
+    # very end exists only so the external gate's canonicalization of the value
+    # is repr-independent (Decimal cells hashed differently per engine in r3
+    # despite bit-identical values — VERDICT r3 #2).
     return lineitem.groupBy("l_returnflag").agg(
-        F.sum(q).cast("decimal(38,10)").alias("sum_qty_dec"),
-        F.sum(q * (one - disc)).cast("decimal(38,10)").alias("sum_disc_qty_dec"),
+        F.sum(q).cast("decimal(38,10)").cast("string").alias("sum_qty_dec"),
+        F.sum(q * (one - disc))
+        .cast("decimal(38,10)")
+        .cast("string")
+        .alias("sum_disc_qty_dec"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
 

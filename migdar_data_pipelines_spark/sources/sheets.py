@@ -115,6 +115,18 @@ def sheets_tabs_source(
 
     from ..operators.windows import ORD
 
+    if session is None and fetch_csv is None:  # pragma: no cover - needs network
+        # Build the session HERE rather than inside enumerate_tabs: the
+        # default fetch_csv below closes over it, and enumerate_tabs does not
+        # return the session it would construct internally (the live-network
+        # default path used to crash on session.get with session=None).
+        try:
+            import requests
+        except Exception as exc:
+            raise NotImplementedError(
+                "requests not installed; inject a session or fetch_csv"
+            ) from exc
+        session = requests.Session()
     tabs = enumerate_tabs(doc_id, session=session, api_key=api_key)
     if not tabs:
         raise ValueError(f"spreadsheet {doc_id!r} has no tabs")
