@@ -42,8 +42,10 @@ from .similarity import (  # noqa: F401
 )
 from .curation import (  # noqa: F401
     chunk_text,
+    decontaminate,
     deterministic_sample,
     md5_bucket,
+    mix_sources,
     pii_counts,
     redact_pii,
     repetition_stats,

@@ -11,7 +11,7 @@ digits rather than engine-specific hash functions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textanalysis import words
@@ -170,6 +170,79 @@ def train_val_split(col: Column | str, val_fraction: float = 0.1, hex_digits: in
     ).otherwise(F.lit("val"))
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that shares at
+    least one word n-gram with an evaluation/benchmark corpus — the standard
+    guard against test-set leakage into training data (the n=13 variant is
+    the common published recipe; n is a parameter).
+
+    Output: ``docs`` + ``n_contaminated_grams`` (count of the doc's DISTINCT
+    n-grams that appear anywhere in the benchmark) + ``contaminated`` bool.
+
+    Scale shape (100 TB corpus vs kilobyte-scale benchmarks): the benchmark
+    gram set is exploded, deduplicated, and BROADCAST — eval suites are tiny
+    compared to any training corpus, so the contamination check is a
+    broadcast hash join inside the corpus scan stage. The only shuffle is the
+    per-doc hit count aggregation, which carries HIT rows only (rare by
+    construction), and the final attach joins that dimension-sized hit table
+    back on doc id. No corpus-sized wide exchange anywhere."""
+    from .dedup import shingles
+
+    bench_grams = (
+        bench.select(F.explode(shingles(bench_text_col, n)).alias("gram")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("__did"), F.explode(shingles(text_col, n)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("__did")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_grams"))
+    )
+    return (
+        docs.join(hits, docs[id_col] == hits["__did"], "left")
+        .drop("__did")
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).cast("long"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    hex_digits: int = 6,
+) -> DataFrame:
+    """Deterministic source mixing: keep each row with its source's sampling
+    fraction (a weight in [0, 1]) — how a training mix like "50% web, 100%
+    books, 20% code" is materialized. Sources absent from ``weights`` are
+    dropped (explicit mix only).
+
+    The keep decision hashes ``id:source`` through the engine-portable md5
+    fold (``md5_bucket``), so the mix is stable across partitioning, retries,
+    and engines, and INDEPENDENT of the train/val split hash (which folds the
+    bare id — salting with the source decorrelates the two decisions). Pure
+    scan-local predicate: zero shuffle at any corpus size."""
+    c = F.lit(None).cast("double")
+    for src, w in sorted(weights.items()):
+        c = F.when(F.col(source_col) == src, F.lit(float(w))).otherwise(c)
+    space = 16**hex_digits
+    salted = F.concat_ws(":", F.col(id_col).cast("string"), F.col(source_col))
+    keep = md5_bucket(salted, hex_digits) < (c * space).cast("long")
+    return df.filter(keep)
+
+
 __all__ = [
     "PII_PATTERNS",
     "redact_pii",
@@ -180,4 +253,6 @@ __all__ = [
     "md5_bucket_sql",
     "deterministic_sample",
     "train_val_split",
+    "decontaminate",
+    "mix_sources",
 ]

@@ -1146,6 +1146,74 @@ def corpus_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SH5 = (
+    "CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')] "
+    "ELSE list_distinct(list_transform(generate_series(1, len(words)-4), "
+    "i -> array_to_string(list_slice(words, i, i+4), ' '))) END"
+)
+
+
+@register(
+    "decontaminate_documents",
+    sql=f"""
+WITH w AS (SELECT doc_id, {_W} AS words FROM documents),
+g AS (SELECT doc_id, {_SH5} AS s FROM w),
+bg AS (SELECT list_distinct(flatten(list(s))) AS bl FROM g WHERE doc_id % 97 = 0)
+SELECT doc_id,
+       CAST(len(list_intersect(s, bl)) AS BIGINT) AS n_contaminated_grams,
+       len(list_intersect(s, bl)) > 0 AS contaminated
+FROM g CROSS JOIN bg
+""",
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every doc sharing a 5-gram with the
+    "benchmark" subset (doc_id % 97 == 0 — guaranteed positives: the bench
+    docs flag themselves, plus any true collisions) gets its distinct-hit
+    count. The benchmark gram set is broadcast; the corpus side never
+    shuffles except the (rare) hit rows — the shape that lets a 100 TB
+    corpus be decontaminated against kilobyte-scale eval suites in one
+    scan."""
+    from ..llm.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(d, bench, "text", "doc_id", "text", n=5).select(
+        "doc_id", "n_contaminated_grams", "contaminated"
+    )
+
+
+@register(
+    "mix_sources_documents",
+    sql=f"""
+WITH s AS (
+  SELECT doc_id, ['web', 'books', 'code'][(doc_id % 3) + 1] AS source
+  FROM documents
+)
+SELECT doc_id, source FROM s
+WHERE {md5_bucket_sql("CAST(doc_id AS VARCHAR) || ':' || source")}
+      < CAST(floor(CASE source WHEN 'web' THEN 0.9 WHEN 'books' THEN 0.5
+                               WHEN 'code' THEN 0.2 END * 16777216) AS BIGINT)
+""",
+)
+def mix_sources_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix materialization: per-source sampling
+    fractions (web 0.9 / books 0.5 / code 0.2) applied via the engine-
+    portable md5 fold over id:source — salting with the source decorrelates
+    the mix from the train/val split's bare-id hash. Pure scan-local
+    predicate: the mix of a 100 TB corpus is a filter, not a shuffle."""
+    from ..llm.curation import mix_sources
+
+    d = _t(spark, sf_dir, "documents")
+    src = F.element_at(
+        F.array(F.lit("web"), F.lit("books"), F.lit("code")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    tagged = d.select("doc_id", src.alias("source"))
+    return mix_sources(
+        tagged, {"web": 0.9, "books": 0.5, "code": 0.2}, "source", "doc_id"
+    ).select("doc_id", "source")
+
+
 def _drain_stream(spark: SparkSession, out: DataFrame, prefix: str) -> DataFrame:
     """Run a streaming frame to completion with Trigger.AvailableNow into a
     uniquely-named memory sink and return the drained table. Checkpoint dirs

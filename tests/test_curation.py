@@ -123,3 +123,50 @@ def test_chunk_text_windows(spark):
 
     with pytest.raises(ValueError):
         chunk_text("text", 50, 50)
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from migdar_data_pipelines_spark.llm.curation import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains bench 5-gram
+            (2, "totally clean words none shared here at all"),
+            (3, "short doc"),  # <5 words: whole-doc shingle, no collision
+            (10, "alpha beta gamma delta epsilon"),  # the benchmark doc itself
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 10")
+    out = {
+        r.doc_id: (r.n_contaminated_grams, r.contaminated)
+        for r in decontaminate(docs, bench, n=5).collect()
+    }
+    # doc 1 has 2 distinct 5-grams; one ("alpha..epsilon") is the bench doc
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)
+    assert out[10] == (1, True)  # bench doc flags itself
+
+
+def test_mix_sources_fractions_and_determinism(spark):
+    from migdar_data_pipelines_spark.llm.curation import mix_sources
+
+    rows = [(i, ["web", "books", "code"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = mix_sources(df, {"web": 1.0, "books": 0.5, "code": 0.0}).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src.get("web", ())) == 1000  # weight 1.0 keeps everything
+    assert "code" not in by_src  # weight 0.0 drops everything
+    assert 400 <= len(by_src["books"]) <= 600  # ~half
+    # unknown sources are dropped, not passed through
+    extra = spark.createDataFrame([(1, "mystery")], "doc_id long, source string")
+    assert mix_sources(extra, {"web": 1.0}).count() == 0
+    # stable under partitioning
+    kept2 = {
+        (r.doc_id, r.source)
+        for r in mix_sources(df.repartition(17), {"web": 1.0, "books": 0.5, "code": 0.0}).collect()
+    }
+    assert kept2 == {(r.doc_id, r.source) for r in kept}
