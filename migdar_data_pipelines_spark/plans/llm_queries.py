@@ -1214,6 +1214,58 @@ def mix_sources_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@register(
+    "lakehouse_merge_documents",
+    sql="""
+WITH delta AS (
+  SELECT doc_id, 'UPDATED: ' || text AS text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+)
+SELECT b.doc_id, b.text
+FROM documents b LEFT JOIN delta d ON b.doc_id = d.doc_id
+WHERE d.doc_id IS NULL
+UNION ALL
+SELECT doc_id, text FROM delta
+""",
+)
+def lakehouse_merge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2's lakehouse MERGE executed END-TO-END through storage in the
+    correctness gate (not just unit tests): write the documents table as a
+    copy-on-write lakehouse table, MERGE a delta that updates every 10th doc
+    and inserts new ids, re-apply the SAME delta (the idempotent-re-run path
+    — the version must not advance), and read the committed snapshot back.
+    The oracle is the relational definition of upsert: target-anti-join-source
+    union source. The read-back is localCheckpoint'ed so the temp table dir
+    can be removed before returning (same lifetime pattern as the streaming
+    drains' memory sinks)."""
+    import shutil
+    import tempfile
+
+    from ..sinks.lakehouse import LakehouseTable
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.concat(F.lit("UPDATED: "), "text").alias("text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="lakehouse_q_")
+    try:
+        t = LakehouseTable(tmp)
+        t.merge(d, ["doc_id"])
+        v1 = t.merge(delta, ["doc_id"])
+        v2 = t.merge(delta, ["doc_id"])  # idempotent re-run
+        assert v2 == v1, f"re-applied merge advanced the version: {v1} -> {v2}"
+        return t.read(spark).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _drain_stream(spark: SparkSession, out: DataFrame, prefix: str) -> DataFrame:
     """Run a streaming frame to completion with Trigger.AvailableNow into a
     uniquely-named memory sink and return the drained table. Checkpoint dirs

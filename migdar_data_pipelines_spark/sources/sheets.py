@@ -115,7 +115,7 @@ def sheets_tabs_source(
 
     from ..operators.windows import ORD
 
-    if session is None and fetch_csv is None:  # pragma: no cover - needs network
+    if session is None and fetch_csv is None:
         # Build the session HERE rather than inside enumerate_tabs: the
         # default fetch_csv below closes over it, and enumerate_tabs does not
         # return the session it would construct internally (the live-network

@@ -177,3 +177,47 @@ def test_publications_flow_via_sheets_connector(spark, tmp_path):
     assert set(rows) == {"M1", "M2", "Z1"}  # keyless/'None' rows dropped
     assert rows["M1"]["doc_id"] == "publications/M1"
     assert rows["M1"]["year"] == 2015 and rows["M2"]["year"] == 1999
+
+
+def test_sheets_tabs_source_builds_default_session(spark, monkeypatch):
+    """The live-network default path (no session, no fetch_csv injected) must
+    build its own requests.Session and thread it through BOTH the tab
+    enumeration and the CSV fetch — it used to close the default fetch_csv
+    over a still-None session (ADVICE r3). requests is faked at the module
+    level so the default path runs without network."""
+    import sys
+    import types
+
+    from migdar_data_pipelines_spark.sources.sheets import sheets_tabs_source
+
+    class FakeResp:
+        def __init__(self, url):
+            self.url = url
+
+        def json(self):
+            return {
+                "sheets": [
+                    {"properties": {"sheetId": 7, "title": "tab"}},
+                ]
+            }
+
+        @property
+        def text(self):
+            return "a,b\n1,2\n"
+
+    class FakeSession:
+        def __init__(self):
+            self.gets = []
+
+        def get(self, url, params=None):
+            self.gets.append(url)
+            return FakeResp(url)
+
+    fake = types.ModuleType("requests")
+    fake.Session = FakeSession
+    monkeypatch.setitem(sys.modules, "requests", fake)
+
+    df = sheets_tabs_source(spark, "docid")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["a"] == "1" and rows[0]["__tab"] == "7"
