@@ -34,8 +34,10 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     cosine_topk,
+    dequantize_expr,
     ivf_build_and_search,
     ivf_topk,
+    quantize_int8,
     search_ivf_index,
     train_ivf_centroids,
     write_ivf_index,

@@ -98,6 +98,43 @@ def ivf_topk(
     )
 
 
+# ------------------------------------------------------ int8 quantization
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization: ``scale = max|x|/127``,
+    ``q_i = round(x_i / scale)`` in [-127, 127] stored as ``array<tinyint>``
+    — 4x smaller than float32 (8x vs double), the standard memory/IO lever
+    for ANN corpora: a 100 TB float32 embedding store becomes 25 TB, and the
+    reconstruction error is bounded per coordinate by ``scale/2``.
+
+    Pure expressions (scan-local, zero shuffle); zero vectors quantize to
+    zeros with scale 0 rather than dividing by zero (ANSI mode would throw).
+    Search pattern: score candidates on dequantized ints, exact-rescore the
+    top-k' on the full-precision column — same two-tier shape as
+    ``embedding_near_dup_matmul``/IVF rerank."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = amax / F.lit(127.0)
+    q = F.when(
+        amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x.cast("double") / scale).cast("tinyint"))
+    )
+    return df.withColumn(q_col, q).withColumn(scale_col, scale)
+
+
+def dequantize_expr(q_col: str = "qvec", scale_col: str = "qscale") -> F.Column:
+    """array<double> reconstruction of a quantized vector: ``q_i * scale``.
+    Compose with :func:`linalg.cosine` for quantized candidate scoring."""
+    return F.transform(
+        F.col(q_col), lambda i: i.cast("double") * F.col(scale_col)
+    )
+
+
 # ----------------------------------------------------------- learned IVF
 def _deterministic_sample(
     df: DataFrame, vec_col: str, id_col: str, sample_rows: int

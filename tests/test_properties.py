@@ -131,3 +131,35 @@ def test_fix_url_always_schemed(spark, batch):
     # idempotent: applying twice changes nothing
     again = _run(spark, got, fix_url("v"))
     assert again == got
+
+
+# ------------------------------------------------------- PPJoin losslessness
+doc_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]),
+    min_size=1,
+    max_size=12,
+).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(doc_words, min_size=2, max_size=14),
+    st.sampled_from([0.6, 0.75, 0.8, 0.9, 1.0]),
+)
+def test_ppjoin_matches_exact_join_path(spark, texts, threshold):
+    """Prefix + length + positional filtering must lose NOTHING across random
+    corpora and thresholds: ngram_jaccard_pairs_ppjoin row-identical to the
+    inverted-index path run blocking-free at the same threshold. A tiny
+    8-word vocabulary maximizes shared grams — the adversarial regime where a
+    buggy filter would actually drop qualifying pairs."""
+    from migdar_data_pipelines_spark.llm.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_ppjoin,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    exact = ngram_jaccard_pairs(
+        df, "text", "id", n=2, block_col=F.lit(0), threshold=threshold
+    )
+    pp = ngram_jaccard_pairs_ppjoin(df, "text", "id", n=2, threshold=threshold)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, pp.collect()))
