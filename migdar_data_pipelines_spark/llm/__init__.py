@@ -48,6 +48,7 @@ from .curation import (  # noqa: F401
     deterministic_sample,
     md5_bucket,
     mix_sources,
+    pack_sequences,
     pii_counts,
     redact_pii,
     repetition_stats,

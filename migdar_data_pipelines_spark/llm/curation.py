@@ -11,7 +11,7 @@ digits rather than engine-specific hash functions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textanalysis import words
@@ -243,6 +243,43 @@ def mix_sources(
     return df.filter(keep)
 
 
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str,
+    shard_col: str,
+    order_col: str,
+    capacity: int = 512,
+) -> DataFrame:
+    """Sequence packing: concatenate documents in deterministic
+    (shard, order) order and cut fixed-``capacity`` context windows — the
+    standard "concat and chunk" step that turns a ragged document corpus
+    into dense fixed-length training sequences with no padding waste.
+
+    Adds per row: ``seq_index`` (which window the doc STARTS in),
+    ``offset_in_seq`` (token offset of the doc inside that window), and
+    ``crosses_boundary`` (the doc spills into the next window — the rows a
+    downstream attention-masking or resplit step needs to look at).
+
+    Scale shape: one window cumsum PARTITIONED BY the shard — packing is
+    per-shard by construction (each training worker consumes one shard's
+    stream), so the sort is a hash-exchange on shard + in-partition sort,
+    never a global single-partition window. Shards are how real pipelines
+    parallelize this exact step; an unsharded global pack would serialize
+    the corpus through one task at any scale."""
+    w = Window.partitionBy(shard_col).orderBy(order_col)
+    end = F.sum(F.col(tokens_col)).over(w)  # inclusive running token count
+    start = end - F.col(tokens_col)
+    cap = F.lit(capacity)
+    return (
+        df.withColumn("seq_index", F.floor(start / cap).cast("long"))
+        .withColumn("offset_in_seq", (start % cap).cast("long"))
+        .withColumn(
+            "crosses_boundary",
+            F.floor((end - 1) / cap) > F.floor(start / cap),
+        )
+    )
+
+
 __all__ = [
     "PII_PATTERNS",
     "redact_pii",
@@ -255,4 +292,5 @@ __all__ = [
     "train_val_split",
     "decontaminate",
     "mix_sources",
+    "pack_sequences",
 ]

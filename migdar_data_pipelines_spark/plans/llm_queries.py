@@ -1215,6 +1215,42 @@ def mix_sources_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences_documents",
+    sql=f"""
+WITH w AS (
+  SELECT doc_id, doc_id % 4 AS shard, CAST(len({_W}) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS endo
+  FROM w
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor((endo - n_tokens) / 512) AS BIGINT) AS seq_index,
+       CAST((endo - n_tokens) % 512 AS BIGINT) AS offset_in_seq,
+       floor((endo - 1) / 512) > floor((endo - n_tokens) / 512) AS crosses_boundary
+FROM c
+""",
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the documents corpus: 4 shards (doc_id % 4),
+    deterministic doc_id order, 512-token windows. The oracle recomputes the
+    per-shard running token count with a plain window cumsum — checking both
+    the packing arithmetic and the shard-parallel shape (the cumsum
+    partitions by shard; nothing global)."""
+    from ..llm.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        token_stats("text")["n_words"].cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(tagged, "n_tokens", "shard", "doc_id", capacity=512)
+
+
+@register(
     "embedding_quantize_int8",
     sql="""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

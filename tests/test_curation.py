@@ -202,3 +202,29 @@ def test_mix_sources_plan_is_shuffle_free(spark):
     out = mix_sources(df, {"web": 0.5, "books": 0.5})
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_arithmetic(spark):
+    """Packing arithmetic on a hand-checked shard: window indices, offsets,
+    boundary crossings, and the empty-doc edge (0 tokens never 'crosses')."""
+    from migdar_data_pipelines_spark.llm.curation import pack_sequences
+
+    rows = [  # (id, shard, tokens) — capacity 10
+        (1, 0, 4),   # [0, 4)   seq 0 off 0
+        (2, 0, 6),   # [4, 10)  seq 0 off 4, touches boundary but fits
+        (3, 0, 0),   # [10,10)  empty: seq 1 off 0, no crossing
+        (4, 0, 12),  # [10,22)  seq 1 off 0, crosses into seq 2
+        (5, 0, 3),   # [22,25)  seq 2 off 2
+        (6, 1, 11),  # other shard restarts at 0 and crosses
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n_tokens long")
+    out = {
+        r.doc_id: (r.seq_index, r.offset_in_seq, r.crosses_boundary)
+        for r in pack_sequences(df, "n_tokens", "shard", "doc_id", capacity=10).collect()
+    }
+    assert out[1] == (0, 0, False)
+    assert out[2] == (0, 4, False)  # ends exactly at the boundary: no cross
+    assert out[3] == (1, 0, False)  # empty doc
+    assert out[4] == (1, 0, True)
+    assert out[5] == (2, 2, False)
+    assert out[6] == (0, 0, True)  # shards pack independently
