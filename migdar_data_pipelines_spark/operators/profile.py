@@ -1,0 +1,61 @@
+"""Table profiling: per-column quality stats in ONE scan.
+
+The reference refines inferred schemas progressively and validates fields ad
+hoc (SURVEY §1.3, §2.10 X4/X5 — unused_fields, whitelists, percent sanity);
+this operator is the systematic form: for every column, row/null/distinct
+counts and min/max, the report that drives schema refinement, whitelist
+construction, and drift detection between pipeline runs.
+
+Scale notes: one aggregation pass over the scan — no joins, no per-column
+jobs. With ``exact=True`` the multiple COUNT(DISTINCT) rewrite goes through
+Spark's EXPAND (rows duplicated once per distinct-agg — exact but data-volume
+multiplying); at 100 TB call with ``exact=False`` to use
+``approx_count_distinct`` (HyperLogLog, one pass, no expand) — the report is
+diagnostic, ±2% cardinality is fine. min/max are computed in the column's own
+type and cast to string only for presentation, so numeric/date ordering is
+preserved (a lexicographic min of stringified numbers would be wrong).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """One row per profiled column:
+    (column, n_rows, n_null, n_distinct, min_str, max_str).
+
+    ``n_distinct`` counts non-null distinct values (exact or HLL-approx per
+    ``exact``); min/max are typed aggregates presented as strings.
+    """
+    cols = columns or df.columns
+    distinct = F.count_distinct if exact else F.approx_count_distinct
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs.append(
+            F.struct(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(col.isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null"),
+                distinct(col).cast("long").alias("n_distinct"),
+                F.min(col).cast("string").alias("min_str"),
+                F.max(col).cast("string").alias("max_str"),
+            ).alias(f"__p_{c}")
+        )
+    one = df.agg(*aggs)
+    stack = (
+        f"stack({len(cols)}, "
+        + ", ".join(f"'{c}', `__p_{c}`" for c in cols)
+        + ") as (column, p)"
+    )
+    return one.selectExpr(stack).select("column", "p.*")
+
+
+__all__ = ["profile"]

@@ -830,6 +830,54 @@ def decimal_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_BLOCK = """
+SELECT '{name}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       CAST(min({expr}) AS VARCHAR) AS min_str,
+       CAST(max({expr}) AS VARCHAR) AS max_str
+FROM src
+"""
+
+_PROFILE_COLS = {
+    "o_orderkey": "o_orderkey",
+    "o_orderstatus": "o_orderstatus",
+    "o_orderpriority": "o_orderpriority",
+    "o_orderdate_s": "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+    "status_nn": "nullif(o_orderstatus, 'O')",
+}
+
+
+@register(
+    "profile_orders",
+    sql="WITH src AS (SELECT * FROM orders)\n"
+    + "\nUNION ALL\n".join(
+        _PROFILE_BLOCK.format(name=n, expr=e) for n, e in _PROFILE_COLS.items()
+    ),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (operators/profile.py): per-column row/null/
+    distinct counts and typed min/max — the systematic form of the
+    reference's ad-hoc field validation (unused_fields / whitelists /
+    percent sanity, SURVEY §2.10). The timestamp is pre-formatted so string
+    presentation is engine-exact; ``status_nn`` nullifies the modal status to
+    exercise the null accounting. The oracle recomputes each column's block
+    independently — the Spark side does all five in ONE aggregation pass."""
+    from ..operators.profile import profile
+
+    d = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate_s"),
+        F.when(F.col("o_orderstatus") == "O", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_nn"),
+    )
+    return profile(d).withColumnRenamed("column", "col_name")
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 

@@ -311,3 +311,24 @@ def test_forward_fill_distributed_leading_nulls_stay_null(spark):
     )
     assert got == [(0, None), (1, None), (2, "a"), (3, "a")]
     release_scoped()
+
+
+def test_profile_counts_and_minmax(spark):
+    """profile(): exact per-column stats in one pass; approx mode agrees on
+    this tiny frame; typed min/max (numeric ordering, not lexicographic)."""
+    from migdar_data_pipelines_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, "b", None), (2, "a", 5.0), (10, "a", None)],
+        "k long, s string, v double",
+    )
+    rows = {r.column: r for r in profile(df).collect()}
+    assert rows["k"].n_rows == 3 and rows["k"].n_null == 0
+    assert rows["k"].n_distinct == 3
+    # numeric ordering: min 1, max 10 (lexicographic would give max "2")
+    assert (rows["k"].min_str, rows["k"].max_str) == ("1", "10")
+    assert rows["s"].n_distinct == 2 and rows["s"].min_str == "a"
+    assert rows["v"].n_null == 2 and rows["v"].n_distinct == 1
+
+    approx = {r.column: r for r in profile(df, exact=False).collect()}
+    assert approx["k"].n_distinct == 3  # HLL exact at this cardinality
