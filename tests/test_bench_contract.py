@@ -1,0 +1,42 @@
+"""bench.py driver contract: the LAST stdout line must be one parseable JSON
+object with the keys the round driver records (round 3 shipped a line that
+outgrew the driver's tail capture — BENCH_r03.json recorded parsed:null)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_stdout_is_one_compact_json_line():
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_ONLY="q1_pricing_summary,decimal_pricing_summary",
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_ORACLE="0",
+        SPARK_GRAFT_CPUS="4",
+    )
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = proc.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    assert d["metric"] == "suite_total_sec"
+    assert d["unit"] == "sec"
+    assert set(d["queries"]) == {"q1_pricing_summary", "decimal_pricing_summary"}
+    assert d["sf"] == 0.001
+    # compactness: separators carry no spaces (the full-registry line must
+    # stay inside the driver's tail capture)
+    assert '", "' not in line and '": ' not in line
+    # the full-detail sidecar exists and is a superset of the stdout line
+    full = json.load(open(os.path.join(REPO, "bench_full.json")))
+    assert set(d["queries"]) == set(full["queries"])
+    assert "slowest" in full
