@@ -1344,11 +1344,18 @@ def lakehouse_merge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _drain_stream(spark: SparkSession, out: DataFrame, prefix: str) -> DataFrame:
+def _drain_stream(
+    spark: SparkSession,
+    out: DataFrame,
+    prefix: str,
+    output_mode: str = "append",
+) -> DataFrame:
     """Run a streaming frame to completion with Trigger.AvailableNow into a
     uniquely-named memory sink and return the drained table. Checkpoint dirs
     are per-invocation temp dirs (queries must be re-runnable: the driver and
-    bench call each registry entry several times)."""
+    bench call each registry entry several times). Windowed aggregations
+    drain in ``complete`` mode: under ``append`` the final watermark never
+    passes the last window, so its rows would be withheld at termination."""
     import shutil
     import tempfile
     import uuid
@@ -1358,7 +1365,7 @@ def _drain_stream(spark: SparkSession, out: DataFrame, prefix: str) -> DataFrame
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
     try:
-        run_available_now(out, ckpt, query_name=name, output_mode="append")
+        run_available_now(out, ckpt, query_name=name, output_mode=output_mode)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
@@ -1423,6 +1430,25 @@ def streaming_cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(spark, out, "t_cdc").select(
         "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"), "status"
     )
+
+
+@register(
+    "streaming_tumbling_events",
+    sql=QUERIES["tumbling_window_events"]["sql"],
+)
+def streaming_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 watermarked WINDOW aggregation as a TRUE stream in the gate —
+    the third streaming code path next to the two applyInPandasWithState
+    queries: readStream -> withWatermark -> window groupBy, drained with
+    AvailableNow in complete mode (append would withhold the final window:
+    the watermark never passes it at termination) and checked against the
+    batch date_trunc oracle. With the 1h watermark the state store GC's
+    closed windows — the property that lets this plan run forever."""
+    from ..streaming import read_events_stream
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = tumbling_agg(stream, "1 hour", watermark="1 hour")
+    return _drain_stream(spark, out, "t_tumbling", output_mode="complete")
 
 
 @register(
