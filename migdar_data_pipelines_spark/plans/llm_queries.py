@@ -1478,3 +1478,61 @@ def session_window_native_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark's native session_window on the batch path (window end = last
     event + gap, per streaming semantics) — oracle reproduces via lag/cumsum."""
     return session_window_agg(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@register(
+    "streaming_session_events",
+    sql=QUERIES["session_window_native_events"]["sql"],
+)
+def streaming_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 session_window as a TRUE stream in the gate — the engine's
+    dynamic-gap session state (merging sessions as late rows arrive) drained
+    with AvailableNow in complete mode and checked against the same batch
+    lag+cumsum oracle as the native batch form. Together with
+    streaming_tumbling_events and the two applyInPandasWithState queries,
+    every streaming aggregation family the engine ships is now exercised as
+    an actual stream, not only via batch parity."""
+    from ..streaming import read_events_stream
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    out = session_window_agg(stream)
+    return _drain_stream(spark, out, "t_session", output_mode="complete")
+
+
+@register(
+    "embedding_topk_quantized",
+    sql=f"""
+WITH c0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+cq AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM c0),
+cd AS (SELECT vec_id AS cid,
+              CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                   ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER) * scale)
+              END AS cv
+       FROM cq),
+q AS (SELECT vec_id AS qid, list_transform(embedding, x -> x::DOUBLE) AS qv
+      FROM embeddings WHERE vec_id < 5),
+scored AS (SELECT qid, cid, round({_COS}, 4) AS cosine FROM q, cd WHERE qid <> cid),
+r AS (SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored)
+SELECT qid AS query_id, cid AS neighbour_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+""",
+)
+def embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k search against the int8-QUANTIZED corpus (full-precision
+    queries, dequantized corpus scoring) — what an ANN deployment actually
+    runs against a 4x-compressed store. The oracle recomputes the
+    quantize -> dequantize -> cosine chain bit-identically, so this gates
+    the whole quantized search arithmetic, not just the codes. At scale the
+    corpus column is array<tinyint> on disk; the dequantize is a scan-local
+    expression fused into scoring."""
+    from ..llm.similarity import dequantize_expr, quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = quantize_int8(e).select("vec_id", dequantize_expr().alias("dv"))
+    queries = e.filter(F.col("vec_id") < 5)
+    return cosine_topk(
+        queries, corpus, "vec_id", "vec_id",
+        query_vec="embedding", corpus_vec="dv", k=5,
+    )
