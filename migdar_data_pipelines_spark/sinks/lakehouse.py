@@ -131,7 +131,11 @@ class LakehouseTable:
 
     def _commit(self, manifest: dict) -> int:
         version = manifest["version"]
-        with open(os.path.join(self.path, f"_v{version}.json"), "w") as f:
+        # exclusive create: two writers racing to commit the same version get
+        # a FileExistsError instead of one silently overwriting the other —
+        # the optimistic-concurrency primitive Delta/Iceberg build on (retry
+        # by re-reading latest_version and re-merging)
+        with open(os.path.join(self.path, f"_v{version}.json"), "x") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         # pointer swap last: rename is atomic on one filesystem, so a reader
         # resolves either the old complete snapshot or the new complete one
