@@ -194,6 +194,24 @@ class EsSink:
         self.client_factory = client_factory
         self.opts = opts
 
+    @classmethod
+    def from_env(cls, client_factory=None, **opts) -> "EsSink":
+        """Production switch-on path: configure from the environment —
+        ``MIGDAR_ES_HOSTS`` (comma-separated), ``MIGDAR_ES_TIMEOUT``
+        (seconds), ``MIGDAR_ES_API_KEY`` (forwarded to the client). The
+        reference reads its ES connection the same way (env-provided URL,
+        dump_to_es.py via the pipeline env); credential material stays
+        outside the repo. ``client_factory`` still injects for tests."""
+        import os
+
+        hosts_s = os.environ.get("MIGDAR_ES_HOSTS", "")
+        hosts = [h.strip() for h in hosts_s.split(",") if h.strip()] or None
+        timeout = int(os.environ.get("MIGDAR_ES_TIMEOUT", "60"))
+        api_key = os.environ.get("MIGDAR_ES_API_KEY")
+        if api_key:
+            opts = {"api_key": api_key, **opts}
+        return cls(hosts=hosts, timeout=timeout, client_factory=client_factory, **opts)
+
     def _client(self):
         if self.client_factory is not None:
             return self.client_factory()

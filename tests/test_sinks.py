@@ -216,3 +216,24 @@ def test_es_sink_write_chunks(spark):
     sink.write(df, "idx", chunk=3)
     bulks = [op for op in log if op[0] == "bulk"]
     assert [len(b[1]) for b in bulks] == [6, 6, 2]  # 3+3+1 docs as pairs
+
+
+def test_es_sink_from_env(monkeypatch):
+    """The production switch-on path: EsSink.from_env reads hosts/timeout/
+    api-key from the environment and still accepts an injected client
+    factory, so the live wiring is tested up to the network boundary."""
+    from migdar_data_pipelines_spark.sinks.es import EsSink
+
+    monkeypatch.setenv("MIGDAR_ES_HOSTS", "https://es1:9200, https://es2:9200")
+    monkeypatch.setenv("MIGDAR_ES_TIMEOUT", "30")
+    monkeypatch.setenv("MIGDAR_ES_API_KEY", "secret")
+    sink = EsSink.from_env(client_factory=lambda: None)
+    assert sink.hosts == ["https://es1:9200", "https://es2:9200"]
+    assert sink.timeout == 30
+    assert sink.opts["api_key"] == "secret"
+
+    monkeypatch.delenv("MIGDAR_ES_HOSTS")
+    monkeypatch.delenv("MIGDAR_ES_API_KEY")
+    sink2 = EsSink.from_env(client_factory=lambda: None)
+    assert sink2.hosts == ["http://localhost:9200"]  # default preserved
+    assert "api_key" not in sink2.opts
