@@ -26,6 +26,8 @@ from .dedup import (  # noqa: F401
     minhash_signature,
     minhash_lsh_pairs,
     simhash,
+    simhash_fast,
+    simhash_near_dup,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_blocked_kernel,
     ngram_jaccard_pairs_ppjoin,

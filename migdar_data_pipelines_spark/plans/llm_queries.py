@@ -1536,3 +1536,51 @@ def embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, "vec_id", "vec_id",
         query_vec="embedding", corpus_vec="dv", k=5,
     )
+
+
+@register(
+    "simhash_near_dup_pairs",
+    sql=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzdup' FROM documents
+), w AS (
+  SELECT id, unnest({_W}) AS word FROM corpus
+), h AS (
+  SELECT id, {md5_bucket_sql("word", 8)} AS hw FROM w
+), bits AS (
+  SELECT id, b.bit,
+         sum(CASE WHEN (hw >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 31)) AS bit) b
+  GROUP BY id, b.bit
+), sh AS (
+  SELECT id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sh
+  FROM bits GROUP BY id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sh a, sh b
+WHERE a.id < b.id AND bit_count(xor(a.sh, b.sh)) <= 3
+""",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash completed into a dedup operator: banded hamming-ball pair
+    search (4 bands of 8 bits over a 32-bit signature -> lossless for
+    hamming <= 3 by pigeonhole) over the same doc+perturbed-copy corpus as
+    the other near-dup queries; the oracle is the exact quadratic hamming
+    answer. The Spark side never forms all pairs — candidates come from the
+    (band, value) equi-join. 32-bit, not the 16-bit signature of
+    ``simhash_documents``: 4-bit bands have only 16 values, so at 20k docs
+    every bucket holds ~1.2k docs and the join degenerates toward quadratic
+    (measured 13s; 8-bit bands: ~1.3s at identical output semantics)."""
+    from ..llm.dedup import simhash_near_dup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zzdup")).alias("text"),
+        )
+    )
+    return simhash_near_dup(corpus, "text", "doc_id", max_hamming=3, bits=32)

@@ -600,3 +600,55 @@ def test_quantize_int8_bound_and_dtype(spark):
             assert abs(orig - rec) <= r.qscale / 2 + 1e-12
     zero = out.filter("vec_id = 3").first()
     assert zero.qvec == [0, 0, 0, 0] and zero.qscale == 0.0
+
+
+def test_simhash_fast_matches_expression_path(spark):
+    """simhash_fast (numpy per Arrow batch) must produce the identical
+    signature as the expression-fold simhash at both widths — the fast path
+    is only allowed to exist because equality holds."""
+    from migdar_data_pipelines_spark.llm.dedup import simhash_fast
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark engine fast query"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "x"),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    for bits in (16, 32):
+        got = df.select(
+            "id",
+            simhash("text", bits).alias("a"),
+            simhash_fast("text", bits).alias("b"),
+        ).collect()
+        for r in got:
+            assert r.a == r.b, (bits, r.id, r.a, r.b)
+
+
+def test_simhash_near_dup_banding_is_lossless(spark):
+    """Banded hamming search must equal the quadratic answer on a corpus
+    with pairs at, below, and beyond the max_hamming boundary."""
+    from migdar_data_pipelines_spark.llm.dedup import simhash_fast, simhash_near_dup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),                      # hamming 0
+        (3, base + " extra"),           # near
+        (4, "completely different words here entirely now ok yes"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup(df, "text", "id", max_hamming=3, bits=32).collect()
+    }
+    sigs = {r.id: r.s for r in df.select("id", simhash_fast("text", 32).alias("s")).collect()}
+    expect = {}
+    for a in sigs:
+        for b in sigs:
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                expect[(a, b)] = bin(sigs[a] ^ sigs[b]).count("1")
+    assert got == expect
+    assert got[(1, 2)] == 0
