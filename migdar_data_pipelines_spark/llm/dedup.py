@@ -21,6 +21,9 @@ from pyspark.sql import functions as F
 from ..operators.caching import scoped_persist
 from .linalg import dot, norm
 from .textanalysis import words
+from .._serde import register_self_contained
+
+register_self_contained(__name__)
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -22,6 +22,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from .._serde import register_self_contained
+
+register_self_contained(__name__)
+
 
 MEDIA_SCHEMA = T.StructType(
     [

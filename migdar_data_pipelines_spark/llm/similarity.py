@@ -21,6 +21,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .linalg import cosine
+from .._serde import register_self_contained
+
+register_self_contained(__name__)
 
 
 def cosine_topk(

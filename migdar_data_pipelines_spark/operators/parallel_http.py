@@ -18,6 +18,9 @@ from typing import Callable, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+from .._serde import register_self_contained
+
+register_self_contained(__name__)
 
 
 def parallel_enrich(

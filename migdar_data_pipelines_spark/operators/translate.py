@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 
 from .caching import scoped_persist
 from .textops import clean_string, split_to_array
+from .._serde import register_self_contained
+
+register_self_contained(__name__)
 
 
 def levenshtein_similarity(a: Column, b: Column) -> Column:
@@ -103,7 +106,12 @@ def uqratio_similarity(a: Column, b: Column) -> Column:
     This is a pandas UDF (LCS needs a real DP) — use it where the reference
     uses it: scoring the small fuzzy-miss set against a broadcast table,
     never as a corpus-scale hot path. (The udf is wrapped lazily so the
-    module imports without an active SparkSession.)"""
+    module imports without an active SparkSession.)
+
+    The module is registered pickle-by-value (_serde.py) so executors do NOT
+    need this package on their PYTHONPATH: a by-reference cloudpickle of a
+    module-level fn would make every Python worker import
+    migdar_data_pipelines_spark."""
     udf = F.pandas_udf(_uqratio_batch, "double")
     return udf(full_process(a), full_process(b))
 

@@ -23,6 +23,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .caching import scoped_persist
+from .._serde import register_self_contained
+
+register_self_contained(__name__)
+
 
 ORD = "__ord"
 

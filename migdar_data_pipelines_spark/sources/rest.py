@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.windows import ORD
+from .._serde import register_self_contained
+
+register_self_contained(__name__)
 
 
 def paginated_rest_source(

@@ -24,6 +24,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
+from .._serde import register_self_contained
+
+register_self_contained(__name__)
 
 
 def streaming_first_seen(
