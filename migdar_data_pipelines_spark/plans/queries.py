@@ -878,6 +878,56 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(d).withColumnRenamed("column", "col_name")
 
 
+@register(
+    "asof_join_events_purchase",
+    sql="""
+WITH p AS (
+  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS prev_purchase_id,
+         round(max(value), 4) AS prev_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.event_type,
+       p.prev_purchase_id, p.prev_purchase_value
+FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+""",
+)
+def asof_join_events_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every event enriched with the same user's
+    most recent at-or-before purchase (operators/asof.py::asof_join) —
+    checked against DuckDB's NATIVE ``ASOF LEFT JOIN``, so the oracle is an
+    independent engine's implementation of the semantics, not a re-derivation.
+    The union-merge plan shuffles each input ONCE on user_id (sort-merge-join
+    asymptotics; no l.ts >= r.ts range-join candidate explosion), which is
+    what makes "state as of this event" enrichment viable on 100 TB of
+    events. The right side is pre-aggregated unique per (user_id, ts) so the
+    matched row is deterministic in both engines; purchases match themselves
+    (inclusive at equality) — both engines agree."""
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("prev_purchase_id"),
+            F.round(F.max("value"), 4).alias("prev_purchase_value"),
+        )
+    )
+    return asof_join(
+        ev,
+        p,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        fields={
+            "prev_purchase_id": "prev_purchase_id",
+            "prev_purchase_value": "prev_purchase_value",
+        },
+    ).select(
+        "event_id", "user_id", "event_type", "prev_purchase_id", "prev_purchase_value"
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 

@@ -1,0 +1,101 @@
+"""As-of join operator (operators/asof.py) — direction, tolerance, tie and
+null-payload semantics on a hand-computable frame. The registered query
+(`asof_join_events_purchase`) checks the backward path against DuckDB's
+native ASOF LEFT JOIN at driver scale; these tests pin the corners."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from migdar_data_pipelines_spark.operators.asof import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "a", _ts(0)),   # before any right row -> null
+            (2, "a", _ts(5)),   # exactly at r1 -> inclusive match
+            (3, "a", _ts(7)),   # between r1 and r2 -> r1
+            (4, "a", _ts(30)),  # far after r2 -> r2 (tolerance test drops it)
+            (5, "b", _ts(9)),   # other key -> its own stream
+            (6, "c", _ts(9)),   # key with no right rows at all -> null
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("a", _ts(5), 10.0),
+            ("a", _ts(10), None),  # NULL value must still advance the pointer
+            ("b", _ts(8), 7.0),
+        ],
+        "k string, rts timestamp, v double",
+    )
+    return left, right
+
+
+def _rows(df):
+    return {r["id"]: (r["v"], r["m_ts"]) for r in df.collect()}
+
+
+def test_backward(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        fields={"v": "v"}, right_ts_as="m_ts",
+    )
+    got = _rows(out)
+    assert got[1] == (None, None)
+    assert got[2] == (10.0, _ts(5))      # inclusive at equality
+    assert got[3] == (10.0, _ts(5))
+    assert got[4] == (None, _ts(10))     # null payload, pointer advanced
+    assert got[5] == (7.0, _ts(8))
+    assert got[6] == (None, None)
+
+
+def test_forward(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        fields={"v": "v"}, right_ts_as="m_ts", direction="forward",
+    )
+    got = _rows(out)
+    assert got[1] == (10.0, _ts(5))      # earliest at-or-after
+    assert got[2] == (10.0, _ts(5))      # inclusive at equality
+    assert got[3] == (None, _ts(10))
+    assert got[4] == (None, None)        # nothing after minute 30
+    assert got[5] == (None, None)        # b's only right row is before
+    assert got[6] == (None, None)
+
+
+def test_tolerance_drops_stale_matches(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        fields={"v": "v"}, right_ts_as="m_ts", tolerance_s=600,
+    )
+    got = _rows(out)
+    assert got[3] == (10.0, _ts(5))      # 2 min gap <= 10 min: kept
+    assert got[4] == (None, None)        # 25 min gap: match nulled, row kept
+    assert len(got) == 6                 # left-join: no rows dropped
+
+
+def test_single_shuffle_plan(frames):
+    # The whole point vs a range join: ONE exchange on the key, no join node.
+    left, right = frames
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", fields={"v": "v"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_left_columns_preserved(frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", fields={"v": "v"})
+    assert out.columns == ["id", "k", "ts", "v"]
+    assert out.count() == left.count()
