@@ -151,6 +151,106 @@ def md5_bucket_sql(expr: str, hex_digits: int = 6) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+#: Knuth's multiplicative-hash constant — the weight scrambler for
+#: hashed_classifier_sum. 4095 * K < 2^63, so the BIGINT product never
+#: overflows in either engine.
+_CLS_MULT = 2654435761
+
+
+def hashed_classifier_sum(
+    words_col: Column, hex_digits: int = 3, multiplier: int = _CLS_MULT
+) -> Column:
+    """fastText-style linear model scored IN THE SCAN: each token hashes to a
+    feature bucket (md5 fold, 16^hex_digits features), each bucket carries a
+    deterministic integer weight in [-space/2, space/2), and the document
+    score is the weight sum — returned as the raw INTEGER sum so it is exact
+    and summation-order-independent (a double accumulation would make the
+    result depend on element order and engine libm, breaking both
+    reproducibility and cross-engine parity). Callers derive
+    ``logit = sum / (space * n_words)`` and ``keep = sum > 0`` — IEEE division
+    of exact integers is correctly rounded, so those are engine-exact too.
+
+    This is the shape of every production quality/language/toxicity filter
+    over a 100 TB corpus: broadcast-free (weights are arithmetic, a real
+    model would broadcast a weight array), zero shuffle, whole-stage codegen
+    end to end. Swapping the arithmetic weight for a trained vector lookup
+    changes one lambda."""
+    space = 16**hex_digits
+    return F.aggregate(
+        F.transform(
+            words_col,
+            lambda w: F.pmod(
+                F.conv(F.substring(F.md5(F.lower(w)), 1, hex_digits), 16, 10).cast(
+                    "long"
+                )
+                * F.lit(multiplier),
+                F.lit(space),
+            )
+            - F.lit(space // 2),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hashed_classifier_sum_sql(
+    words_expr: str, hex_digits: int = 3, multiplier: int = _CLS_MULT
+) -> str:
+    """DuckDB mirror of ``hashed_classifier_sum`` (kept adjacent so they can
+    only drift together). list_sum of integers is exact; cast from HUGEINT."""
+    space = 16**hex_digits
+    bucket = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(lower(w)),{i + 1},1))-1)"
+        f"*{16 ** (hex_digits - 1 - i)}"
+        for i in range(hex_digits)
+    )
+    return (
+        f"CAST(coalesce(list_sum(list_transform({words_expr}, "
+        f"w -> (({bucket}) * {multiplier}) % {space} - {space // 2})), 0) AS BIGINT)"
+    )
+
+
+#: Query parameters stripped by normalize_url — the standard tracking set.
+TRACKING_PARAMS = r"(utm_[a-z]+|gclid|fbclid|ref)"
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL for web-corpus dedup: lowercase scheme+host, drop the
+    fragment, strip tracking query params (TRACKING_PARAMS), collapse the
+    leftover ``?&``/trailing ``?``/``&`` artifacts, drop a trailing slash on
+    a non-root path. Pure regexp chain (no lookaround — the same pattern
+    class the PII redactor commits to, so Java regex and RE2 agree), fully
+    codegen'd in the scan: URL canonicalization at 100 TB is a zero-shuffle
+    map, and the dedup it feeds is one hash-groupBy on the canon string."""
+    c = F.col(col) if isinstance(col, str) else col
+    # fragment first so '#' never shields params from the strips below
+    c = F.regexp_replace(c, r"#.*$", "")
+    prefix = F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(c, F.length(prefix) + 1, F.lit(1 << 30))
+    c = F.concat(F.lower(prefix), rest)
+    c = F.regexp_replace(c, r"([?&])" + TRACKING_PARAMS + r"=[^&#]*", "$1")
+    c = F.regexp_replace(c, r"\?&+", "?")
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    c = F.regexp_replace(c, r"(://[^/]+/.+?)/+$", "$1")
+    return c
+
+
+def normalize_url_sql(expr: str) -> str:
+    """DuckDB mirror of ``normalize_url`` (RE2: global flag 'g' is explicit,
+    backrefs are ``\\1``). Kept adjacent so the chains can only drift
+    together."""
+    c = f"regexp_replace({expr}, '#.*$', '', 'g')"
+    prefix = f"regexp_extract({c}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)"
+    c = f"lower({prefix}) || substr({c}, len({prefix}) + 1)"
+    c = f"regexp_replace({c}, '([?&]){TRACKING_PARAMS}=[^&#]*', '\\1', 'g')"
+    c = f"regexp_replace({c}, '\\?&+', '?', 'g')"
+    c = f"regexp_replace({c}, '&&+', '&', 'g')"
+    c = f"regexp_replace({c}, '[?&]+$', '', 'g')"
+    c = f"regexp_replace({c}, '(://[^/]+/.+?)/+$', '\\1', 'g')"
+    return c
+
+
 def deterministic_sample(col: Column | str, fraction: float, hex_digits: int = 6) -> Column:
     """Boolean keep-predicate sampling ``fraction`` of rows by id hash.
     Unlike ``DataFrame.sample`` this is stable across partitioning, retries,
@@ -288,6 +388,8 @@ __all__ = [
     "chunk_text",
     "md5_bucket",
     "md5_bucket_sql",
+    "hashed_classifier_sum",
+    "hashed_classifier_sum_sql",
     "deterministic_sample",
     "train_val_split",
     "decontaminate",

@@ -1584,3 +1584,116 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return simhash_near_dup(corpus, "text", "doc_id", max_hamming=3, bits=32)
+
+
+@register(
+    "classifier_score_documents",
+    sql=None,  # assigned below: needs the generated weight-fold fragment
+)
+def classifier_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier scored in the scan
+    (llm/curation.py::hashed_classifier_sum): tokens hash to 4096 feature
+    buckets (md5 fold), each bucket carries a deterministic integer weight,
+    and the document's keep decision is sign(weight sum). The INTEGER sum is
+    the parity surface — exact and order-independent, where a double
+    accumulation would depend on element order and libm; logit =
+    sum/(space*n) is a correctly-rounded IEEE division of exact integers so
+    it hashes identically too. This is the fastText-quality-filter shape:
+    zero shuffle, whole-stage codegen, weights swappable for a trained
+    broadcast vector without changing the plan."""
+    from ..llm.curation import hashed_classifier_sum
+    from ..llm.textanalysis import words as _words_fn
+
+    d = _t(spark, sf_dir, "documents")
+    ws = _words_fn("text")
+    base = d.select(
+        "doc_id",
+        hashed_classifier_sum(ws).alias("wsum"),
+        F.size(ws).alias("n"),
+    )
+    return base.select(
+        "doc_id",
+        "wsum",
+        F.when(
+            F.col("n") > 0,
+            F.round(F.col("wsum") / (F.lit(4096.0) * F.col("n")), 6),
+        ).alias("logit"),
+        (F.col("wsum") > 0).alias("keep"),
+    )
+
+
+def _install_classifier_sql() -> None:
+    from ..llm.curation import hashed_classifier_sum_sql
+
+    QUERIES["classifier_score_documents"]["sql"] = f"""
+WITH w AS (SELECT doc_id, {_W} AS words FROM documents),
+s AS (SELECT doc_id, {hashed_classifier_sum_sql('words')} AS wsum,
+             len(words) AS n
+      FROM w)
+SELECT doc_id, wsum,
+       CASE WHEN n > 0 THEN round(wsum / (4096.0 * n), 6) END AS logit,
+       wsum > 0 AS keep
+FROM s
+"""
+
+
+_install_classifier_sql()
+
+
+def _install_url_dedup_sql() -> None:
+    from ..llm.curation import normalize_url_sql
+
+    url = (
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN 'http://example' || (doc_id % 50) || '.com/p/' || (doc_id % 200) || '?id=7' "
+        "WHEN 1 THEN 'HTTP://EXAMPLE' || (doc_id % 50) || '.COM/p/' || (doc_id % 200) || '/' "
+        "WHEN 2 THEN 'http://example' || (doc_id % 50) || '.com/p/' || (doc_id % 200) "
+        "|| '?utm_source=x&utm_campaign=y&id=7' "
+        "ELSE 'http://example' || (doc_id % 50) || '.com/p/' || (doc_id % 200) "
+        "|| '?utm_source=a&utm_medium=b#frag' END"
+    )
+    QUERIES["url_dedup_documents"]["sql"] = f"""
+WITH u AS (SELECT doc_id, {url} AS url FROM documents),
+c AS (SELECT doc_id, {normalize_url_sql('url')} AS canon_url FROM u)
+SELECT canon_url, CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(min(doc_id) AS BIGINT) AS keeper
+FROM c GROUP BY canon_url
+"""
+
+
+@register("url_dedup_documents", sql=None)  # SQL installed below (generated chain)
+def url_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL canonicalization + dedup (llm/curation.py::
+    normalize_url): deterministic dirty variants — uppercase scheme/host,
+    trailing slash, utm/gclid tracking params, fragments — are synthesized
+    per doc, normalized by the pure-regexp chain (no lookaround, so Java
+    regex and RE2 agree literally), and deduped with one hash-groupBy on the
+    canonical string keeping min(doc_id). The oracle rebuilds the SAME chain
+    from normalize_url_sql, generated from the same constants. At 100 TB the
+    canonicalization is scan-local; the groupBy is the only exchange and
+    carries just (canon_url, id)."""
+    from ..llm.curation import normalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 50).cast("string")
+    m = (F.col("doc_id") % 200).cast("string")
+    base = F.concat(F.lit("http://example"), k, F.lit(".com/p/"), m)
+    loud = F.concat(F.lit("HTTP://EXAMPLE"), k, F.lit(".COM/p/"), m, F.lit("/"))
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(base, F.lit("?id=7")))
+        .when(F.col("doc_id") % 4 == 1, loud)
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(base, F.lit("?utm_source=x&utm_campaign=y&id=7")),
+        )
+        .otherwise(F.concat(base, F.lit("?utm_source=a&utm_medium=b#frag")))
+    )
+    u = d.select("doc_id", url.alias("url"))
+    c = u.select("doc_id", normalize_url("url").alias("canon_url"))
+    return c.groupBy("canon_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min("doc_id").cast("long").alias("keeper"),
+    )
+
+
+_install_url_dedup_sql()

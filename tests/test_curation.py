@@ -228,3 +228,70 @@ def test_pack_sequences_arithmetic(spark):
     assert out[4] == (1, 0, True)
     assert out[5] == (2, 2, False)
     assert out[6] == (0, 0, True)  # shards pack independently
+
+
+def test_normalize_url_edges(spark):
+    """Corners the registered query's generator can't produce: root slash
+    kept, schemeless passthrough, all-tracking query fully stripped, mixed
+    params preserving order, multiple trailing slashes."""
+    from migdar_data_pipelines_spark.llm.curation import normalize_url
+
+    cases = {
+        "HTTPS://WWW.Site.COM/": "https://www.site.com/",      # root slash kept
+        "https://site.com/a/b///": "https://site.com/a/b",     # multi-slash
+        "http://x.com/p?utm_source=a&utm_medium=b": "http://x.com/p",
+        "http://x.com/p?a=1&utm_source=x&b=2#frag": "http://x.com/p?a=1&b=2",
+        "http://x.com/p?gclid=9&fbclid=8&ref=t": "http://x.com/p",
+        "not a url at all": "not a url at all",                # passthrough
+        "ftp://Host.Org/File.TXT": "ftp://host.org/File.TXT",  # path case kept
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["canon"] for r in df.select("url", normalize_url("url").alias("canon")).collect()}
+    assert got == cases
+
+
+def test_normalize_url_sql_mirror(spark):
+    """The generated DuckDB chain produces byte-identical canon URLs."""
+    import duckdb
+
+    from migdar_data_pipelines_spark.llm.curation import normalize_url, normalize_url_sql
+
+    urls = [
+        "HTTP://EXAMPLE3.COM/p/7/",
+        "http://example3.com/p/7?utm_source=x&utm_campaign=y&id=7",
+        "https://a.b/c?utm_a=1#z",
+        "plain text",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    spark_out = [r["c"] for r in df.select(normalize_url("url").alias("c")).collect()]
+    con = duckdb.connect()
+    duck_out = [
+        con.sql(
+            f"SELECT {normalize_url_sql('u')} FROM (SELECT ? AS u)", params=[u]
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert spark_out == duck_out
+
+
+def test_hashed_classifier_sum_exactness(spark):
+    """Integer weight sum: permutation-invariant (exact arithmetic) and
+    engine-mirrored via the generated SQL fragment."""
+    import duckdb
+
+    from migdar_data_pipelines_spark.llm.curation import (
+        hashed_classifier_sum,
+        hashed_classifier_sum_sql,
+    )
+
+    words = ["Alpha", "beta", "GAMMA", "delta", "beta"]
+    perm = ["beta", "delta", "Alpha", "beta", "GAMMA"]
+    df = spark.createDataFrame([(words,), (perm,)], "ws array<string>")
+    sums = [r["s"] for r in df.select(hashed_classifier_sum(F.col("ws")).alias("s")).collect()]
+    assert sums[0] == sums[1]  # order-independent
+    con = duckdb.connect()
+    duck = con.sql(
+        f"SELECT {hashed_classifier_sum_sql('ws')} FROM (SELECT ? AS ws)",
+        params=[words],
+    ).fetchone()[0]
+    assert sums[0] == duck
