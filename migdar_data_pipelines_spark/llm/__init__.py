@@ -25,6 +25,7 @@ from .dedup import (  # noqa: F401
     shingles,
     minhash_signature,
     minhash_lsh_pairs,
+    incremental_dedup,
     simhash,
     simhash_fast,
     simhash_near_dup,

@@ -82,6 +82,79 @@ def minhash_signature(df: DataFrame, text_col: str, n_hashes: int = 8, k: int = 
     return out
 
 
+def _shingle_band_frames(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int,
+    bands: int,
+    k: int,
+    persist: bool = True,
+):
+    """Shared LSH front half: the persisted (id, shingle-array) frame and the
+    exploded (id, band-bucket) rows. Salts/multipliers are FIXED constants,
+    so two frames built separately (e.g. a new batch probing a standing
+    corpus index) land in the same bucket space.
+
+    Execution shape (codegen-first, shuffle-light): form the shingle array
+    per-row ONCE (one interpreted higher-order pass — nested functions skip
+    whole-stage codegen) and persist that narrow (id, shingles) frame; then
+    EXPLODE it to shingle rows so hashing and all n_hashes permutations run
+    codegen'd, with one ``groupBy(id)`` computing the permutation minima as
+    plain aggregates. Each shingle is hashed to a long ONCE (xxhash64); the
+    permutations are then universal-hash integer arithmetic. The explode
+    keeps each doc's shingle rows contiguous in their input partition, so
+    map-side partial aggregation collapses them BEFORE the exchange — the
+    signature shuffle carries (id, n_hashes longs) only.
+    """
+    rows = n_hashes // bands
+    # 31-bit Mersenne modulus: keeps a_i*h + b_i inside a long under ANSI
+    # mode (h < 2^31, a_i <= 2*n_hashes+1). A hash collision here can only
+    # MERGE buckets (extra candidates, filtered by verification), never split
+    # them, so the narrower modulus cannot cause false negatives.
+    mersenne = (1 << 31) - 1
+
+    base = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("__sh"))
+    if persist:
+        base = scoped_persist(base)
+
+    # One row per (doc, shingle); shingles() emits the whole-doc join for
+    # docs shorter than k words (incl. [""] for empty docs), so every doc
+    # survives the explode with >= 1 row.
+    shingle_rows = base.select("id", F.explode("__sh").alias("__s")).withColumn(
+        "__h", F.pmod(F.xxhash64("__s"), F.lit(mersenne))
+    )
+
+    # permutation i: min over shingles of (a_i*h + b_i) mod p, with fixed odd
+    # multipliers — deterministic across runs/partitionings, three integer
+    # ops per element.
+    def perm_min(i: int) -> Column:
+        # large odd multipliers (golden-ratio stride) — h < 2^31 and a < 2^31
+        # keep a*h < 2^62, inside a signed long under ANSI mode. Small
+        # multipliers correlate the permutations and measurably raise the
+        # band-miss rate at threshold-grade similarity.
+        a = ((0x9E3779B1 * (i + 1)) % mersenne) | 1
+        b = (0x85EBCA77 * (i + 1)) % mersenne
+        return F.min(F.pmod(F.col("__h") * a + b, F.lit(mersenne)))
+
+    sig = shingle_rows.groupBy("id").agg(
+        *[perm_min(i).alias(f"__m{i}") for i in range(n_hashes)]
+    )
+
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(bnd), *[F.col(f"__m{bnd * rows + r}") for r in range(rows)]
+            )
+            for bnd in range(bands)
+        ]
+    )
+    band_rows = sig.select("id", F.explode(band_keys).alias("bucket"))
+    if persist:
+        band_rows = scoped_persist(band_rows)
+    return base, band_rows
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -129,53 +202,9 @@ def minhash_lsh_pairs(
     (id, bucket) band rows — both sides of the candidate self-join. The
     candidate shuffle carries only 8-byte bucket keys.
     """
-    rows = n_hashes // bands
-    # 31-bit Mersenne modulus: keeps a_i*h + b_i inside a long under ANSI
-    # mode (h < 2^31, a_i <= 2*n_hashes+1). A hash collision here can only
-    # MERGE buckets (extra candidates, filtered by verification), never split
-    # them, so the narrower modulus cannot cause false negatives.
-    mersenne = (1 << 31) - 1
-
-    base = df.select(
-        F.col(id_col).alias("id"), shingles(text_col, k).alias("__sh")
+    base, band_rows = _shingle_band_frames(
+        df, text_col, id_col, n_hashes, bands, k, persist=persist_shingles
     )
-    if persist_shingles:
-        base = scoped_persist(base)
-
-    # One row per (doc, shingle); shingles() emits the whole-doc join for
-    # docs shorter than k words (incl. [""] for empty docs), so every doc
-    # survives the explode with >= 1 row.
-    shingle_rows = base.select(
-        "id", F.explode("__sh").alias("__s")
-    ).withColumn("__h", F.pmod(F.xxhash64("__s"), F.lit(mersenne)))
-
-    # permutation i: min over shingles of (a_i*h + b_i) mod p, with fixed odd
-    # multipliers — deterministic across runs/partitionings, three integer
-    # ops per element.
-    def perm_min(i: int) -> Column:
-        # large odd multipliers (golden-ratio stride) — h < 2^31 and a < 2^31
-        # keep a*h < 2^62, inside a signed long under ANSI mode. Small
-        # multipliers correlate the permutations and measurably raise the
-        # band-miss rate at threshold-grade similarity.
-        a = ((0x9E3779B1 * (i + 1)) % mersenne) | 1
-        b = (0x85EBCA77 * (i + 1)) % mersenne
-        return F.min(F.pmod(F.col("__h") * a + b, F.lit(mersenne)))
-
-    sig = shingle_rows.groupBy("id").agg(
-        *[perm_min(i).alias(f"__m{i}") for i in range(n_hashes)]
-    )
-
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(bnd), *[F.col(f"__m{bnd * rows + r}") for r in range(rows)]
-            )
-            for bnd in range(bands)
-        ]
-    )
-    band_rows = sig.select("id", F.explode(band_keys).alias("bucket"))
-    if persist_shingles:
-        band_rows = scoped_persist(band_rows)
 
     left = band_rows.select("bucket", F.col("id").alias("id_a"))
     right = band_rows.select(
@@ -220,6 +249,90 @@ def minhash_lsh_pairs(
         cand.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup a NEW batch against a STANDING corpus — the production shape at
+    100 TB: the corpus is never re-deduped; the daily increment probes it.
+
+    Two tiers, neither of which shuffles the index:
+      * exact — the batch's content md5 left-joins the index's distinct-hash
+        set (``dup_exact``);
+      * near  — batch LSH band-buckets equi-join the index's band table
+        (same fixed salts, so separately-built frames share a bucket space),
+        candidates verified with true shingle Jaccard (``n_near_index`` =
+        distinct index docs at >= threshold).
+
+    The BATCH side of the probe join is explicitly broadcast (a daily
+    increment is orders of magnitude smaller than the corpus), so the index
+    band table is streamed map-side — no index shuffle; with the band table
+    persisted as parquet bucketed by ``bucket`` this is the write-once /
+    probe-many layout, same as the persisted IVF index
+    (similarity.py::ivf_write_index).
+
+    Returns one row per batch doc: (id, dup_exact, n_near_index, is_new).
+    """
+    bh = batch.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h"))
+    ih = (
+        index.select(F.md5(F.col(text_col)).alias("__h"))
+        .dropDuplicates(["__h"])
+        .withColumn("__hit", F.lit(True))
+    )
+    exact = bh.join(ih, "__h", "left").select(
+        "id", F.coalesce("__hit", F.lit(False)).alias("dup_exact")
+    )
+
+    b_base, b_bands = _shingle_band_frames(batch, text_col, id_col, n_hashes, bands, k)
+    i_base, i_bands = _shingle_band_frames(index, text_col, id_col, n_hashes, bands, k)
+    cand = (
+        F.broadcast(b_bands.select("bucket", F.col("id").alias("id_b")))
+        .join(i_bands.select("bucket", F.col("id").alias("id_i")), "bucket")
+        .select("id_b", "id_i")
+        .dropDuplicates(["id_b", "id_i"])
+    )
+    # Verification: candidates are broadcast against both persisted shingle
+    # frames (same rationale as minhash_lsh_pairs — the candidate list IS the
+    # verification workload and must stay broadcast-small by construction).
+    cand = (
+        F.broadcast(cand)
+        .join(b_base.select(F.col("id").alias("__sid"), F.col("__sh").alias("sh_b")),
+              F.col("id_b") == F.col("__sid"))
+        .drop("__sid")
+    )
+    cand = (
+        F.broadcast(cand)
+        .join(i_base.select(F.col("id").alias("__sid"), F.col("__sh").alias("sh_i")),
+              F.col("id_i") == F.col("__sid"))
+        .drop("__sid")
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_i")).cast("double")
+    union = F.size(F.array_union("sh_b", "sh_i")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    near_counts = (
+        cand.filter(F.round(jac, 4) >= jaccard_threshold)
+        .groupBy("id_b")
+        .agg(F.countDistinct("id_i").alias("n_near_index"))
+    )
+    return (
+        exact.join(near_counts, exact["id"] == near_counts["id_b"], "left")
+        .select(
+            "id",
+            "dup_exact",
+            F.coalesce("n_near_index", F.lit(0)).cast("long").alias("n_near_index"),
+            (~F.col("dup_exact") & F.coalesce("n_near_index", F.lit(0)).eqNullSafe(0)).alias(
+                "is_new"
+            ),
+        )
     )
 
 

@@ -1697,3 +1697,73 @@ def url_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_url_dedup_sql()
+
+
+@register(
+    "incremental_dedup_documents",
+    sql=f"""
+WITH b0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 20 = 0 THEN doc_id + 1
+              WHEN doc_id % 20 = 10 THEN doc_id + 2
+              ELSE doc_id END AS src,
+         doc_id % 20 AS r
+  FROM documents WHERE doc_id % 5 = 0
+), batch AS (
+  SELECT b0.doc_id AS id,
+         CASE WHEN r = 10 THEN d.text || ' qq7 qq8' ELSE d.text END AS text
+  FROM b0 JOIN documents d ON d.doc_id = b0.src
+), idx AS (
+  SELECT doc_id AS id, text FROM documents WHERE doc_id % 5 <> 0
+), bw AS (SELECT id, text, {_W} AS words FROM batch),
+bs AS (SELECT id, md5(text) AS h, {_SH3} AS s FROM bw),
+iw AS (SELECT id, text, {_W} AS words FROM idx),
+isx AS (SELECT id, md5(text) AS h, {_SH3} AS s FROM iw),
+near AS (
+  SELECT b.id, count(DISTINCT i.id) AS n_near
+  FROM bs b, isx i
+  WHERE CAST(least(len(b.s), len(i.s)) AS DOUBLE)
+        / greatest(len(b.s), len(i.s)) >= 0.8
+    AND round(CAST(len(list_intersect(b.s, i.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(b.s, i.s))), 4) >= 0.8
+  GROUP BY b.id
+)
+SELECT bs.id, EXISTS(SELECT 1 FROM isx WHERE isx.h = bs.h) AS dup_exact,
+       CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near_index,
+       NOT EXISTS(SELECT 1 FROM isx WHERE isx.h = bs.h)
+         AND coalesce(near.n_near, 0) = 0 AS is_new
+FROM bs LEFT JOIN near ON bs.id = near.id
+""",
+)
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new batch against a standing corpus index
+    (llm/dedup.py::incremental_dedup) — the 100 TB production shape: the
+    corpus is NEVER re-deduped; the increment probes its hash set (exact
+    tier) and its LSH band table (near tier, batch side broadcast so the
+    index never shuffles). Batch = every 5th doc, seeded so all outcomes
+    occur: %20==0 exact-copies an index doc, %20==10 carries a perturbed
+    near-copy (+2 tokens, jaccard ~0.9), the rest keep their own text. The
+    oracle computes the exact blocking-free batch x index answer (count-ratio
+    prefilter is lossless at jaccard >= 0.8); 32 hashes / 16 bands puts
+    P(band-miss at 0.9) ~ 3e-12, far below the gate's resolution."""
+    from ..llm.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    b0 = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") % 20 == 0, F.col("doc_id") + 1)
+        .when(F.col("doc_id") % 20 == 10, F.col("doc_id") + 2)
+        .otherwise(F.col("doc_id"))
+        .alias("src"),
+        (F.col("doc_id") % 20).alias("r"),
+    )
+    batch = b0.join(d.select("doc_id", "text"), b0["src"] == F.col("doc_id")).select(
+        "id",
+        F.when(F.col("r") == 10, F.concat("text", F.lit(" qq7 qq8")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    idx = d.filter(F.col("doc_id") % 5 != 0).select(F.col("doc_id").alias("id"), "text")
+    return incremental_dedup(
+        batch, idx, "text", "id", n_hashes=32, bands=16, k=3, jaccard_threshold=0.8
+    )
