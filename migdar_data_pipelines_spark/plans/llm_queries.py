@@ -1767,3 +1767,42 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(
         batch, idx, "text", "id", n_hashes=32, bands=16, k=3, jaccard_threshold=0.8
     )
+
+
+@register(
+    "shard_plan_documents",
+    sql=f"""
+WITH s AS (
+  SELECT doc_id, ({md5_bucket_sql('doc_id')}) % 8 AS shard,
+         len({_W}) AS n_words
+  FROM documents
+)
+SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id
+FROM s GROUP BY shard
+""",
+)
+def shard_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard writer's assignment rule (sinks/shards.py::shard_assignment,
+    md5-fold mod n — stable across partitioning/retries/engines) surfaced as
+    a queryable plan: per-shard doc counts, token mass, and id range. This is
+    the pre-flight a training run does before writing 100 TB of shards —
+    checking balance (md5 gives ~uniform mass) without writing a byte; the
+    oracle recomputes the fold from the same generated fragment."""
+    from ..llm.textanalysis import words as _words_fn
+    from ..sinks.shards import shard_assignment
+
+    d = _t(spark, sf_dir, "documents")
+    s = d.select(
+        "doc_id",
+        shard_assignment("doc_id", 8).alias("shard"),
+        F.size(_words_fn("text")).alias("n_words"),
+    )
+    return s.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )

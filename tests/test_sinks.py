@@ -237,3 +237,54 @@ def test_es_sink_from_env(monkeypatch):
     sink2 = EsSink.from_env(client_factory=lambda: None)
     assert sink2.hosts == ["http://localhost:9200"]  # default preserved
     assert "api_key" not in sink2.opts
+
+
+def test_write_training_shards_layout_and_determinism(spark, sf_dir, tmp_path):
+    """Shard writer: md5-stable assignment, shard=K dirs, deterministic
+    content across re-runs (fingerprint equality), maxRecordsPerFile split."""
+    from migdar_data_pipelines_spark.sinks.package import fingerprint
+    from migdar_data_pipelines_spark.sinks.shards import (
+        shard_assignment,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    r1 = write_training_shards(docs, p1, "doc_id", n_shards=4)
+    # different partitioning of the SAME data -> identical layout + content
+    r2 = write_training_shards(docs.repartition(13), p2, "doc_id", n_shards=4)
+    assert r1["rows_per_shard"] == r2["rows_per_shard"]
+    assert sorted(r1["rows_per_shard"]) == [0, 1, 2, 3]
+    assert sum(r1["rows_per_shard"].values()) == docs.count()
+
+    import os
+
+    dirs = sorted(d for d in os.listdir(p1) if d.startswith("shard="))
+    assert dirs == ["shard=0", "shard=1", "shard=2", "shard=3"]
+
+    back1 = spark.read.parquet(p1)
+    back2 = spark.read.parquet(p2)
+    assert fingerprint(back1) == fingerprint(back2)
+    # the persisted shard column matches a fresh recomputation of the rule
+    recomputed = back1.withColumn("re", shard_assignment("doc_id", 4))
+    assert recomputed.filter("shard <> re").count() == 0
+
+    # file-size bounding: each shard splits into ceil(rows/cap) files
+    p3 = str(tmp_path / "c")
+    write_training_shards(docs, p3, "doc_id", n_shards=2, max_records_per_file=10)
+    files = [
+        f
+        for d in os.listdir(p3)
+        if d.startswith("shard=")
+        for f in os.listdir(os.path.join(p3, d))
+        if f.endswith(".parquet")
+    ]
+    import math
+
+    expected = sum(
+        math.ceil(n / 10)
+        for n in write_training_shards(
+            docs, str(tmp_path / "d"), "doc_id", n_shards=2
+        )["rows_per_shard"].values()
+    )
+    assert len(files) == expected
