@@ -1806,3 +1806,35 @@ def shard_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_id"),
         F.max("doc_id").cast("long").alias("max_id"),
     )
+
+
+@register(
+    "streaming_dedup_events",
+    sql="""
+SELECT CAST(event_id AS BIGINT) AS event_id, user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM events
+""",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming at-least-once dedup in the correctness gate
+    (streaming/windows.py::dedup_within_watermark): the event stream is
+    UNIONED WITH ITSELF to simulate redelivery, then
+    dropDuplicatesWithinWatermark(event_id) must emit each event exactly
+    once — the oracle is simply the events table. The operator's state is
+    watermark-bounded (keys GC as event time advances), which is what lets
+    it run unbounded where dropDuplicates' state would grow forever. The
+    duplicate payloads are identical, so which copy wins is immaterial to
+    the output surface."""
+    from ..streaming import read_events_stream
+    from ..streaming.windows import dedup_within_watermark
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    redelivered = stream.unionByName(stream)
+    out = dedup_within_watermark(redelivered, ["event_id"], "ts", "1 hour")
+    return _drain_stream(spark, out, "t_dedup").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )

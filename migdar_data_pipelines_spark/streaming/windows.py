@@ -181,6 +181,28 @@ def session_window_agg(
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup for at-least-once sources
+    (``dropDuplicatesWithinWatermark``): the first record per key is emitted
+    immediately; redeliveries inside the watermark gap are dropped, and the
+    key's dedup state is GARBAGE-COLLECTED once the watermark passes — the
+    property that makes this run forever at 100 TB/day where an unbounded
+    ``dropDuplicates`` state would grow without limit. Batch frames fall
+    back to plain dropDuplicates (same output on a finite input)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return (
+        _ensure_event_time(events, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
+
 # Last drain's setup-vs-compute split per query name (newest wins). A full
 # AvailableNow drain pays a fixed lifecycle tax — query start, checkpoint dir
 # init, state-store load, stop — that is per-JOB, not per-row: on a real
