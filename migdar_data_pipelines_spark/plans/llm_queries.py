@@ -1528,9 +1528,17 @@ def embedding_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus column is array<tinyint> on disk; the dequantize is a scan-local
     expression fused into scoring."""
     from ..llm.similarity import dequantize_expr, quantize_int8
+    from ..operators.caching import scoped_persist
 
     e = _t(spark, sf_dir, "embeddings")
-    corpus = quantize_int8(e).select("vec_id", dequantize_expr().alias("dv"))
+    # Materialize the dequantized corpus BEFORE the query cross-join: the
+    # quantize->dequantize chain is three interpreted array transforms, and
+    # without the persist it re-evaluates once per (query, corpus) pair —
+    # n_queries x the work (measured 2.5s -> 0.7s at sf0.1). At scale this is
+    # the same rule as the IVF index: reconstruct once, score many.
+    corpus = scoped_persist(
+        quantize_int8(e).select("vec_id", dequantize_expr().alias("dv"))
+    )
     queries = e.filter(F.col("vec_id") < 5)
     return cosine_topk(
         queries, corpus, "vec_id", "vec_id",
