@@ -1846,3 +1846,55 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
     )
+
+
+@register(
+    "range_join_events_windows",
+    sql="""
+WITH w AS (
+  SELECT k AS window_id,
+         1704067200000000 + k * 25200000000 AS s_us,
+         1704067200000000 + k * 25200000000 + 32400000000 AS e_us
+  FROM (SELECT unnest(generate_series(0, 99)) AS k)
+), e AS (SELECT event_id, value, epoch_us(ts) AS ts_us FROM events)
+SELECT CAST(window_id AS BIGINT) AS window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM e JOIN w ON e.ts_us BETWEEN w.s_us AND w.e_us
+GROUP BY window_id
+""",
+)
+def range_join_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketing (operators/rangejoin.py): 100 overlapping
+    9-hour analysis windows at a 7-hour stride over January 2024, joined to
+    every event they contain. The naive BETWEEN join is a
+    BroadcastNestedLoopJoin — O(points x intervals); the bucketed form
+    shuffles both sides on an 8-byte bucket key (width = the 9h interval
+    length, so each interval explodes to at most 2 buckets) and applies the
+    exact BETWEEN post-join. Axis is epoch MICROseconds on both sides, so
+    boundary inclusivity is bit-exact against the oracle's plain BETWEEN
+    join. Output is the per-window rollup a monitoring pipeline would feed."""
+    from ..operators.rangejoin import range_join_bucketed
+
+    base_us = 1704067200000000  # 2024-01-01 00:00:00 UTC
+    stride_us = 25200000000  # 7 h
+    length_us = 32400000000  # 9 h
+    windows = spark.range(100).select(
+        F.col("id").alias("window_id"),
+        (F.lit(base_us) + F.col("id") * stride_us).alias("s_us"),
+        (F.lit(base_us) + F.col("id") * stride_us + length_us).alias("e_us"),
+    )
+    # ts is TIMESTAMP_NTZ off parquet; unix_micros needs LTZ. The cast reads
+    # the naive value in the session zone — pinned UTC, same as DuckDB's
+    # epoch_us over its naive timestamps, so the epoch axes agree exactly.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+    joined = range_join_bucketed(ev, windows, "ts_us", "s_us", "e_us", length_us)
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

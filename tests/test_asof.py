@@ -99,3 +99,51 @@ def test_left_columns_preserved(frames):
     out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts", fields={"v": "v"})
     assert out.columns == ["id", "k", "ts", "v"]
     assert out.count() == left.count()
+
+
+class TestRangeJoinBucketed:
+    """operators/rangejoin.py — correctness vs the naive BETWEEN join and
+    the plan property that justifies it (equi-join, not nested-loop)."""
+
+    def _frames(self, spark):
+        points = spark.createDataFrame(
+            [(i, i * 10) for i in range(40)], "pid long, x long"
+        )
+        intervals = spark.createDataFrame(
+            [
+                (0, 0, 35),      # sub-bucket length
+                (1, 30, 170),    # spans several buckets
+                (2, 95, 100),    # boundary-inclusive both ends
+                (3, 400, 9000),  # tail past all points
+                (4, 120, 120),   # degenerate single-point interval
+            ],
+            "iid long, s long, e long",
+        )
+        return points, intervals
+
+    def test_matches_naive_between_join(self, spark):
+        from migdar_data_pipelines_spark.operators.rangejoin import range_join_bucketed
+
+        points, intervals = self._frames(spark)
+        got = {
+            (r.pid, r.iid)
+            for r in range_join_bucketed(points, intervals, "x", "s", "e", 50).collect()
+        }
+        naive = {
+            (r.pid, r.iid)
+            for r in points.join(
+                intervals, (F.col("x") >= F.col("s")) & (F.col("x") <= F.col("e"))
+            ).collect()
+        }
+        assert got == naive
+        assert (0, 2) not in got and (10, 2) in got  # x=100 in [95,100]
+        assert (12, 4) in got                        # degenerate [120,120]
+
+    def test_plan_is_equi_join(self, spark):
+        from migdar_data_pipelines_spark.operators.rangejoin import range_join_bucketed
+
+        points, intervals = self._frames(spark)
+        out = range_join_bucketed(points, intervals, "x", "s", "e", 50)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
