@@ -1,0 +1,132 @@
+"""Engine-portable HyperLogLog — an approximate-distinct sketch whose value
+is REPRODUCIBLE across engines, runs, and partitionings.
+
+Spark's ``approx_count_distinct`` is HLL++ over xxhash64 — fast, but its
+answer is Spark-specific, so it can't be contract-tested against another
+engine and two systems sharing a lakehouse can't agree on the sketch. This
+implementation pays ~2x the hash cost to buy portability:
+
+  * hash = md5 of the stringified value (same portable choice as
+    llm/curation.py::md5_bucket);
+  * register index = first 2 hex chars (b=8 bits, m=256 registers);
+  * rho = leading-zero count of the next 48 bits + 1, computed with INTEGER
+    AND STRING logic ONLY (count '0' hex chars, then a 4-way CASE inside the
+    first non-zero nibble) — never floor(log2(double)), whose boundary
+    behavior is library-dependent;
+  * Z = sum of 2^-M_j over registers: each term is an exact power of two and
+    the 53-bit mantissa spans all 50 magnitudes, so the double sum is EXACT
+    in any order — the estimate is then two correctly-rounded IEEE ops on
+    identical inputs, hence bit-identical across engines.
+
+The aggregation is algebraic: per-partition partial maxima combine map-side,
+the exchange carries at most m rows per partition, and the final reduce is
+m rows total — the sketch costs one scan regardless of corpus size. The
+standard small-range correction (E <= 2.5m with empty registers ->
+m*ln(m/V)) is applied; the 2^32 large-range correction is omitted (the
+64-bit-era variant never needs it at any corpus size this engine targets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+M_REGISTERS = 256  # b = 8 index bits
+_TAIL_HEX = 12  # 48 bits of rho stream
+#: alpha_256 from the HLL paper; a Python literal so Spark and the generated
+#: SQL inline the exact same double.
+ALPHA = 0.7213 / (1 + 1.079 / M_REGISTERS)
+
+
+def _rho(h: Column) -> Column:
+    """Leading-zero-count(+1) of the 48-bit tail of an md5 hex string."""
+    t = F.substring(h, 3, _TAIL_HEX)
+    z = F.length(F.regexp_extract(t, "^(0*)", 1))
+    v = F.conv(F.substring(t, z + 1, 1), 16, 10).cast("int")
+    lz_in_nibble = (
+        F.when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2).otherwise(3)
+    )
+    return F.when(t == F.lit("0" * _TAIL_HEX), F.lit(4 * _TAIL_HEX + 1)).otherwise(
+        z * 4 + lz_in_nibble + 1
+    )
+
+
+def hll_registers(df: DataFrame, col: str | Column) -> DataFrame:
+    """(register, max_rho) rows — the integer-exact sketch state. Union-able
+    across shards/engines by re-aggregating max per register."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c.cast("string"))
+    j = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    return (
+        df.select(j.alias("register"), _rho(h).alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row (hll_estimate, n_registers_used) from hll_registers output."""
+    m = float(M_REGISTERS)
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("zp"),
+        F.count(F.lit(1)).alias("used"),
+    )
+    z = F.col("zp") + (F.lit(m) - F.col("used"))
+    e_raw = F.lit(ALPHA) * F.lit(m * m) / z
+    v = F.lit(m) - F.col("used")
+    e = F.when((e_raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)).otherwise(
+        e_raw
+    )
+    return agg.select(
+        F.round(e, 4).alias("hll_estimate"),
+        F.col("used").cast("long").alias("n_registers_used"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str | Column) -> DataFrame:
+    """One-row portable approximate-distinct estimate of ``col``."""
+    return hll_estimate(hll_registers(df, col))
+
+
+def hll_sql(expr: str, from_sql: str) -> str:
+    """DuckDB mirror: the identical register/rho/estimate arithmetic over
+    ``SELECT {expr} FROM {from_sql}``. Kept beside the Spark form so the two
+    can only drift together."""
+    # bare decimal literals are DECIMAL in DuckDB (whose multiply overflows
+    # at these widths) — every float constant is cast to DOUBLE explicitly
+    a = f"CAST({ALPHA!r} AS DOUBLE)"
+    m = f"CAST({float(M_REGISTERS)!r} AS DOUBLE)"
+    m2 = f"CAST({float(M_REGISTERS) ** 2!r} AS DOUBLE)"
+    thr = f"CAST({2.5 * M_REGISTERS!r} AS DOUBLE)"
+    hexpos = "strpos('0123456789abcdef', substr(t, z + 1, 1)) - 1"
+    j = (
+        "(strpos('0123456789abcdef', substr(h,1,1))-1)*16"
+        " + (strpos('0123456789abcdef', substr(h,2,1))-1)"
+    )
+    return f"""
+WITH hx AS (SELECT md5(CAST({expr} AS VARCHAR)) AS h FROM {from_sql}),
+parts AS (
+  SELECT {j} AS register, substr(h, 3, {_TAIL_HEX}) AS t FROM hx
+), zc AS (
+  SELECT register, t, len(regexp_extract(t, '^(0*)', 1)) AS z FROM parts
+), rho AS (
+  SELECT register,
+         CASE WHEN t = '{'0' * _TAIL_HEX}' THEN {4 * _TAIL_HEX + 1}
+              ELSE 4*z + CASE WHEN ({hexpos}) >= 8 THEN 0
+                              WHEN ({hexpos}) >= 4 THEN 1
+                              WHEN ({hexpos}) >= 2 THEN 2
+                              ELSE 3 END + 1 END AS r
+  FROM zc
+), regs AS (
+  SELECT register, max(r) AS max_rho FROM rho GROUP BY register
+), agg AS (
+  SELECT sum(power(2.0, -max_rho)) AS zp, count(*) AS used FROM regs
+)
+SELECT round(CASE WHEN {a} * {m2} / (zp + ({m} - used)) <= {thr}
+                   AND ({m} - used) > 0
+             THEN {m} * ln({m} / ({m} - used))
+             ELSE {a} * {m2} / (zp + ({m} - used))
+        END, 4) AS hll_estimate,
+       CAST(used AS BIGINT) AS n_registers_used
+FROM agg
+"""

@@ -1898,3 +1898,36 @@ def range_join_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+def _install_hll_sql() -> None:
+    from ..operators.sketches import hll_sql
+
+    QUERIES["hll_distinct_orders"]["sql"] = f"""
+WITH est AS ({hll_sql("o_custkey", "orders")}),
+ex AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders)
+SELECT est.hll_estimate, est.n_registers_used, ex.n_exact FROM est, ex
+"""
+
+
+@register("hll_distinct_orders", sql=None)  # SQL installed below (generated)
+def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (operators/sketches.py): distinct buyers
+    estimated from 256 integer registers derived from md5 — reproducible
+    across engines, runs, and partitionings, unlike approx_count_distinct's
+    Spark-internal HLL++. The oracle recomputes the ENTIRE sketch (register
+    maxima, exact power-of-two Z sum, correction branch) from the generated
+    mirror SQL and must match the estimate to 4dp — which it can, because
+    rho uses integer/string logic only and Z's power-of-two terms sum
+    exactly in any order. The exact distinct count rides along to show the
+    error profile. One scan, algebraic aggregate, 256-row final state: the
+    sketch costs the same at 100 TB."""
+    from ..operators.sketches import hll_distinct
+
+    o = _t(spark, sf_dir, "orders")
+    est = hll_distinct(o, "o_custkey")
+    exact = o.agg(F.countDistinct("o_custkey").cast("long").alias("n_exact"))
+    return est.crossJoin(exact)
+
+
+_install_hll_sql()

@@ -147,3 +147,46 @@ class TestRangeJoinBucketed:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestHllSketch:
+    """operators/sketches.py — portability, mergeability, accuracy."""
+
+    def test_registers_merge_across_shards(self, spark):
+        # re-aggregating per-shard register maxima == whole-corpus registers:
+        # the property that lets shards/engines union their sketch state.
+        from migdar_data_pipelines_spark.operators.sketches import hll_registers
+
+        df = spark.range(2000).select(F.col("id").cast("string").alias("v"))
+        whole = {
+            (r.register, r.max_rho) for r in hll_registers(df, "v").collect()
+        }
+        a = hll_registers(df.filter("id % 2 = 0"), "v")
+        b = hll_registers(df.filter("id % 2 = 1"), "v")
+        merged = {
+            (r.register, r.max_rho)
+            for r in a.unionByName(b)
+            .groupBy("register")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .collect()
+        }
+        assert merged == whole
+
+    def test_estimate_accuracy_and_small_range_branch(self, spark):
+        import duckdb
+
+        from migdar_data_pipelines_spark.operators.sketches import (
+            hll_distinct,
+            hll_sql,
+        )
+
+        con = duckdb.connect()
+        for n in (40, 5000):  # 40 -> small-range ln correction; 5000 -> raw
+            df = spark.range(n).select(F.col("id").cast("string").alias("v"))
+            est = hll_distinct(df, "v").collect()[0]["hll_estimate"]
+            assert abs(est - n) / n < 0.25, (n, est)  # ~3.8 sigma at m=256
+            duck = con.sql(
+                f"WITH src AS (SELECT CAST(range AS VARCHAR) AS v FROM range({n}))"
+                + hll_sql("v", "src").replace("WITH hx", ", hx", 1)
+            ).fetchone()[0]
+            assert est == duck, (n, est, duck)
