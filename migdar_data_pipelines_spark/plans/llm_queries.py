@@ -1931,3 +1931,177 @@ def hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_hll_sql()
+
+
+@register(
+    "exact_percentiles_lineitem",
+    sql="""
+WITH r AS (
+  SELECT l_returnflag, l_extendedprice,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(min(CASE WHEN rn >= CAST(ceil(0.5 * n) AS BIGINT) THEN l_extendedprice END), 2) AS p50,
+       round(min(CASE WHEN rn >= CAST(ceil(0.95 * n) AS BIGINT) THEN l_extendedprice END), 2) AS p95,
+       round(min(CASE WHEN rn >= CAST(ceil(0.99 * n) AS BIGINT) THEN l_extendedprice END), 2) AS p99,
+       CAST(max(n) AS BIGINT) AS n
+FROM r GROUP BY l_returnflag
+""",
+)
+def exact_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles at fact scale — the deterministic rule
+    'smallest value whose rank >= ceil(p*n)' spelled out identically in both
+    engines, rather than approx_percentile (whose t-digest answer is
+    engine-internal) or engine quantile functions (whose interpolation
+    conventions differ). One shuffle on the group key; within each group the
+    window sort is the same per-partition sort a sort-merge agg pays. Ties
+    broken on (orderkey, linenumber) so rn is total — the surface is
+    partitioning-independent."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = lineitem.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p: float):
+        return F.min(
+            F.when(
+                F.col("rn") >= F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("l_extendedprice"),
+            )
+        )
+
+    return r.groupBy("l_returnflag").agg(
+        F.round(pick(0.5), 2).alias("p50"),
+        F.round(pick(0.95), 2).alias("p95"),
+        F.round(pick(0.99), 2).alias("p99"),
+        F.max("n").cast("long").alias("n"),
+    )
+
+
+@register(
+    "vocab_top_terms_documents",
+    sql=f"""
+WITH t AS (SELECT unnest({_W}) AS term FROM documents),
+c AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY term)
+SELECT term, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT) AS rank
+FROM c ORDER BY rank LIMIT 200
+""",
+)
+def vocab_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction — the first step of BPE/tokenizer training and
+    of frequency-based filtering: corpus-wide term counts with a total order
+    (freq DESC, term ASC) and a top-K cut. explode -> count is map-side
+    combinable (partial counts collapse before the exchange), and the top-K
+    is TakeOrderedAndProject — per-partition heaps, never a global sort. The
+    heaviest NL word carries ~1/vocab of the corpus: real skew, handled by
+    the partial aggregation, not salting."""
+    from pyspark.sql import Window
+
+    from ..llm.textanalysis import words as _words_fn
+
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(_words_fn("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    return (
+        c.orderBy(F.desc("freq"), F.asc("term"))
+        .limit(200)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+@register(
+    "weighted_sample_documents",
+    sql=f"""
+WITH u AS (
+  SELECT doc_id, n_chars,
+         ({md5_bucket_sql('doc_id')} + 1.0) / 16777217.0 AS u
+  FROM documents
+), k AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         ln(u) / n_chars AS key
+  FROM u WHERE n_chars > 0
+)
+SELECT doc_id, weight FROM k ORDER BY key DESC, doc_id LIMIT 50
+""",
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws u from the md5 fold (portable, stable
+    across runs/partitionings — never rand()) and ranks by u^(1/w),
+    computed in log space as ln(u)/w. Top-50 by that key IS a weighted
+    sample: selection probability proportional to n_chars. The plan is
+    TakeOrderedAndProject over (double, long) — per-partition heaps, no
+    global sort; at 100 TB this is how you draw a fixed-size quality-
+    weighted eval set in one scan. Output carries (doc_id, weight) only —
+    integers — so the gate surface is exact; the ln-key itself stays
+    internal (libm ulps must not be a contract)."""
+    from ..llm.curation import md5_bucket
+
+    d = _t(spark, sf_dir, "documents")
+    u = (md5_bucket("doc_id") + F.lit(1.0)) / F.lit(16777217.0)
+    k = d.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        (F.log(u) / F.col("n_chars")).alias("key"),
+    )
+    return k.orderBy(F.desc("key"), F.asc("doc_id")).limit(50).select("doc_id", "weight")
+
+
+@register(
+    "label_centroids_embeddings",
+    sql="""
+WITH e AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), q AS (
+  SELECT label, pos - 1 AS dim,
+         CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xq
+  FROM e
+)
+SELECT label, CAST(dim AS INT) AS dim,
+       round(sum(xq) / (1000000.0 * count(*)), 6) AS centroid,
+       CAST(count(*) AS BIGINT) AS n
+FROM q GROUP BY label, dim
+""",
+)
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids with an EXACT parity surface: each
+    coordinate is quantized to an integer (round(x*1e6) — micro-units),
+    summed exactly (order-independent, unlike a float sum), and the mean is
+    one correctly-rounded IEEE division — so the engine and oracle agree
+    bit-for-bit without trusting float accumulation order. posexplode ->
+    groupBy(label, dim) is map-side combinable; the exchange carries
+    (label, dim, partial-sum) rows only. This is the class-prototype
+    computation behind centroid-based dedup/clustering and drift checks."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+    )
+    return q.groupBy("label", "dim").agg(
+        F.round(F.sum("xq") / (F.lit(1000000.0) * F.count(F.lit(1))), 6).alias(
+            "centroid"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
