@@ -2105,3 +2105,64 @@ def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+
+
+@register(
+    "streaming_join_events",
+    sql="""
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       p.user_id,
+       round(p.value, 2) AS purchase_value
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+""",
+)
+def streaming_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join in the correctness gate: purchases joined to the
+    same user's clicks in the preceding hour, both sides true streams of the
+    same source with watermarks — the time-range condition is what lets the
+    engine bound both state stores (a click older than the watermark plus
+    the hour window can never match a future purchase and is evicted), the
+    property that makes stream-stream joins run forever at production rates.
+    Drained AvailableNow; the oracle is the equivalent batch interval join.
+    Completes the streaming surface: windows (tumbling/sliding/session),
+    custom state (first-seen, CDC), dedup, and now two-sided join state."""
+    from ..streaming import read_events_stream
+    from ..streaming.windows import _ensure_event_time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = _ensure_event_time(read_events_stream(spark, f"{sf_dir}/events.parquet"))
+    p = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+    )
+    c = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return _drain_stream(spark, joined, "t_ssjoin").select(
+        F.col("purchase_id").cast("long"),
+        F.col("click_id").cast("long"),
+        F.col("p_user").alias("user_id"),
+        "purchase_value",
+    )
