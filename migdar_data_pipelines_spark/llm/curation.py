@@ -251,6 +251,84 @@ def normalize_url_sql(expr: str) -> str:
     return c
 
 
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Decontamination against a BLOOM FILTER of the benchmark's n-grams —
+    the space-bounded form of :func:`decontaminate` for when the eval-suite
+    gram set itself is too large to broadcast as strings: the filter is
+    ``k_hashes * |grams|`` distinct bit positions in [0, m_bits), integers,
+    ~50x smaller than the grams.
+
+    The filter is held as a RELATION of set bits (not a packed bitset): a
+    probe gram is "in" the filter iff all k of its md5-derived positions
+    join the broadcast bit table — plain equi-joins, portable to the oracle,
+    and the bit table stays the broadcast side at any corpus size. False
+    positives are INHERENT to bloom semantics and deterministic here (md5
+    positions), so engine and oracle agree on every hit, true or false.
+
+    Returns (id, n_grams, n_bloom_hits, contaminated); compare with
+    :func:`decontaminate`'s exact counts to measure the realized FP rate.
+    """
+    from .dedup import shingles
+
+    def positions(gram: Column) -> Column:
+        return F.array(
+            *[
+                F.pmod(
+                    F.conv(
+                        F.substring(F.md5(F.concat(F.lit(f"{i}:"), gram)), 1, 5),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(m_bits),
+                )
+                for i in range(k_hashes)
+            ]
+        )
+
+    bench_grams = (
+        bench.select(F.explode(shingles(text_col, n)).alias("g")).distinct()
+    )
+    bits = (
+        bench_grams.select(F.explode(positions(F.col("g"))).alias("bit"))
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("g")
+    ).distinct()
+    probe = doc_grams.select(
+        "id", "g", F.explode(positions(F.col("g"))).alias("bit")
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("id", "g")
+        .agg((F.sum(F.coalesce("__set", F.lit(0))) == k_hashes).alias("in_bloom"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.col("in_bloom").cast("long")).cast("long").alias("n_bloom_hits"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_bloom_hits", F.lit(0)).cast("long").alias("n_bloom_hits"),
+            (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def deterministic_sample(col: Column | str, fraction: float, hex_digits: int = 6) -> Column:
     """Boolean keep-predicate sampling ``fraction`` of rows by id hash.
     Unlike ``DataFrame.sample`` this is stable across partitioning, retries,

@@ -2166,3 +2166,55 @@ def streaming_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         "purchase_value",
     )
+
+
+def _install_bloom_sql() -> None:
+    from ..llm.curation import md5_bucket_sql
+
+    folds = [
+        "(" + md5_bucket_sql(f"'{i}:' || gm", 5) + ") % 65536" for i in range(3)
+    ]
+    QUERIES["bloom_decontaminate_documents"]["sql"] = f"""
+WITH w AS (SELECT doc_id, {_W} AS words FROM documents),
+g AS (SELECT doc_id, {_SH5} AS s FROM w),
+bg AS (SELECT DISTINCT unnest(s) AS gm FROM g WHERE doc_id % 97 = 0),
+bits AS (
+  SELECT DISTINCT {folds[0]} AS bit FROM bg
+  UNION SELECT DISTINCT {folds[1]} FROM bg
+  UNION SELECT DISTINCT {folds[2]} FROM bg
+),
+dg AS (SELECT DISTINCT doc_id, unnest(s) AS gm FROM g),
+inb AS (
+  SELECT doc_id, gm,
+         {folds[0]} IN (SELECT bit FROM bits)
+         AND {folds[1]} IN (SELECT bit FROM bits)
+         AND {folds[2]} IN (SELECT bit FROM bits) AS in_bloom
+  FROM dg
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       sum(CASE WHEN in_bloom THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM inb GROUP BY doc_id
+"""
+
+
+@register("bloom_decontaminate_documents", sql=None)  # SQL installed below
+def bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-bounded decontamination (llm/curation.py::bloom_decontaminate):
+    the benchmark's 5-gram set compressed to 3 md5-derived bit positions per
+    gram in a 2^16 space, held as a broadcast RELATION of set bits; a doc
+    gram is contaminated iff all 3 positions join. Bloom false positives are
+    deterministic here (md5), so engine and oracle agree on every hit —
+    compare against decontaminate_documents' exact counts for the realized
+    FP rate. At 100 TB the bit table is kilobytes where the gram set would
+    be gigabytes; the corpus side stays scan-local + one broadcast probe."""
+    from ..llm.curation import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return bloom_decontaminate(d, bench, "text", "doc_id", n=5).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_bloom_hits", "contaminated"
+    )
+
+
+_install_bloom_sql()
