@@ -256,6 +256,58 @@ class LakehouseTable:
                     removed.append(rel)
         return removed
 
+    def compact(
+        self, spark: SparkSession, max_files_per_partition: int = 1
+    ) -> int | None:
+        """Small-file compaction — the OPTIMIZE analogue. Incremental merges
+        leave each partition fragmented at the writer's task width; readers
+        then pay per-file open/footer costs that dominate at high file
+        counts. Compaction rewrites only partitions exceeding
+        ``max_files_per_partition`` (coalesce — a file merge, no shuffle),
+        carries the rest forward by manifest reference, and commits a new
+        version. Content is asserted unchanged by recomputing the
+        partition fingerprint and refusing to commit on mismatch — a
+        compaction that changes data is a bug, not a bigger write.
+        Returns the committed version, or the current one if nothing
+        needed rewriting."""
+        v = self.latest_version()
+        if v is None:
+            return None
+        old = self._manifest(v)
+        version = v + 1
+        manifest: dict = {
+            "version": version,
+            "partitions": {},
+            "fingerprints": dict(old["fingerprints"]),
+        }
+        rewrote = False
+        for pkey, rel in old["partitions"].items():
+            src = os.path.join(self.path, rel)
+            n_files = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+            if n_files <= max_files_per_partition:
+                manifest["partitions"][pkey] = rel
+                continue
+            pdf = spark.read.parquet(src).coalesce(max_files_per_partition)
+            new_rel = self._write_partition(pdf, version, pkey)
+            # recompute through _fingerprints so the hash covers the same
+            # keyed row shape the merge-time fingerprint covered
+            fp = self._fingerprints(
+                spark.read.parquet(os.path.join(self.path, new_rel))
+            )[pkey]
+            if fp != str(old["fingerprints"][pkey]):
+                shutil.rmtree(
+                    os.path.join(self.path, new_rel), ignore_errors=True
+                )
+                raise RuntimeError(
+                    f"compaction changed partition {pkey!r} content "
+                    f"({fp} != {old['fingerprints'][pkey]}); aborting commit"
+                )
+            manifest["partitions"][pkey] = new_rel
+            rewrote = True
+        if not rewrote:
+            return v
+        return self._commit(manifest)
+
 
 __all__ = [
     "LakehouseTable",

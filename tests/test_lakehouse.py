@@ -86,3 +86,35 @@ def test_lakehouse_merge_sql_statement():
         "WHEN MATCHED THEN UPDATE SET t.name = s.name, t.v = s.v "
         "WHEN NOT MATCHED THEN INSERT (id, name, v) VALUES (s.id, s.name, s.v)"
     )
+
+
+def test_lakehouse_compact_merges_small_files(spark, tmp_path):
+    t = LakehouseTable(str(tmp_path / "ctbl"), partition_by="region")
+    frag = spark.createDataFrame(
+        [(i, "eu" if i % 2 else "us", i * 10) for i in range(40)],
+        "id long, region string, v long",
+    ).repartition(8)  # fragment each partition dir into many files
+    coalesce_conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_conf)
+    spark.conf.set(coalesce_conf, "false")  # else AQE merges the tiny writes
+    try:
+        t.merge(frag, ["id"])
+    finally:
+        spark.conf.set(coalesce_conf, prev)
+    m0 = json.load(open(os.path.join(t.path, "_v0.json")))
+
+    def n_files(rel):
+        d = os.path.join(t.path, rel)
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    assert any(n_files(rel) > 1 for rel in m0["partitions"].values())
+    before = _rows(t.read(spark))
+
+    assert t.compact(spark, max_files_per_partition=1) == 1
+    m1 = json.load(open(os.path.join(t.path, "_v1.json")))
+    assert all(n_files(rel) == 1 for rel in m1["partitions"].values())
+    # content identical: fingerprints carried, rows equal
+    assert m1["fingerprints"] == m0["fingerprints"]
+    assert _rows(t.read(spark)) == before
+    # already-compact table: no-op, version unchanged
+    assert t.compact(spark, max_files_per_partition=1) == 1
