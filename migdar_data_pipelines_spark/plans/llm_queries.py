@@ -2218,3 +2218,204 @@ def bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 _install_bloom_sql()
+
+
+@register(
+    "pmi_bigrams_documents",
+    sql=f"""
+WITH w AS (SELECT doc_id, {_W} AS words FROM documents),
+uni AS (
+  SELECT unnest(words) AS t FROM w
+), ucnt AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t
+), tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ucnt),
+bg AS (
+  SELECT u.t1 AS t1, u.t2 AS t2 FROM (
+    SELECT unnest(CASE WHEN len(words) >= 2
+                       THEN list_transform(generate_series(1, len(words)-1),
+                                           i -> {{'t1': words[i], 't2': words[i+1]}})
+                       ELSE [] END) AS u
+    FROM w
+  )
+), bcnt AS (
+  SELECT t1, t2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY t1, t2
+), scored AS (
+  SELECT b.t1, b.t2, b.c12, u1.c AS c1, u2.c AS c2,
+         round(ln(CAST(b.c12 AS DOUBLE) * tot.n / (u1.c * u2.c)), 4) AS pmi
+  FROM bcnt b
+  JOIN ucnt u1 ON b.t1 = u1.t
+  JOIN ucnt u2 ON b.t2 = u2.t
+  CROSS JOIN tot
+  WHERE b.c12 >= 5
+)
+SELECT t1, t2, c12, c1, c2, pmi,
+       CAST(row_number() OVER (ORDER BY pmi DESC, t1, t2) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 100
+""",
+)
+def pmi_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-100 adjacent word pairs by pointwise mutual
+    information — the statistic behind phrase detection in tokenizer/embedding
+    pipelines. Counts are exact integers (bigram pairs via a posexplode-lead
+    pair walk; unigram totals map-side combined); only the final ln ratio is
+    floating point, rounded 4dp on identical integer inputs. The c12 >= 5
+    support floor is what keeps PMI from degenerating to rare-pair noise —
+    and keeps the scored set small. Joins to unigram counts broadcast (the
+    vocabulary is dimension-sized relative to the corpus)."""
+    from pyspark.sql import Window
+
+    from ..llm.textanalysis import words as _words_fn
+
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(_words_fn("text").alias("ws"))
+    uni = w.select(F.explode("ws").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    pairs = w.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))),
+                F.slice("ws", 2, F.greatest(F.size("ws") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("t1"), b.alias("t2")),
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    bcnt = (
+        pairs.groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= 5)
+    )
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    scored = (
+        bcnt.join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1", "t2", "c12", "c1", "c2",
+            F.round(
+                F.log(F.col("c12").cast("double") * F.col("n") / (F.col("c1") * F.col("c2"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    rank_w = Window.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2"))
+    return (
+        scored.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2"))
+        .limit(100)
+        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+    )
+
+
+@register(
+    "funnel_events_users",
+    sql="""
+WITH s AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts > s.t_signup
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT s.user_id,
+       strftime(s.t_signup, '%Y-%m-%d %H:%M:%S') AS t_signup,
+       strftime(c.t_click, '%Y-%m-%d %H:%M:%S') AS t_click,
+       strftime(p.t_purchase, '%Y-%m-%d %H:%M:%S') AS t_purchase,
+       CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS funnel_depth
+FROM s LEFT JOIN c ON s.user_id = c.user_id
+       LEFT JOIN p ON s.user_id = p.user_id
+""",
+)
+def funnel_events_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest signup, the earliest
+    click strictly AFTER it, the earliest purchase strictly after THAT — the
+    order constraint is what distinguishes a funnel from three independent
+    mins. Three keyed aggregates, each joined back on user_id: every step
+    shuffles only (user, ts) pairs and each successive step's input shrinks
+    to survivors. Left joins keep drop-offs with their depth (1/2/3)."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = s.join(c, "user_id", "left").join(p, "user_id", "left")
+    fmt = lambda col: F.date_format(col, "yyyy-MM-dd HH:mm:ss")  # noqa: E731
+    return out.select(
+        "user_id",
+        fmt("t_signup").alias("t_signup"),
+        fmt("t_click").alias("t_click"),
+        fmt("t_purchase").alias("t_purchase"),
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+        .alias("funnel_depth"),
+    )
+
+
+@register(
+    "retention_cohorts_events",
+    sql="""
+WITH f AS (
+  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN f ON e.user_id = f.user_id
+)
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(day_offset AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM a GROUP BY cohort_day, day_offset
+""",
+)
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen calendar day, counted on
+    each later day-offset they were active — the standard product-analytics
+    triangle. Two shuffles total (first-seen per user, then the distinct
+    (user, offset) grid collapses into cohort cells); the per-user first-seen
+    frame is broadcast back against events. Dates are derived by calendar
+    truncation in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("cohort_day"))
+    a = (
+        ev.join(F.broadcast(f), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return a.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_users")
+    ).select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        F.col("day_offset").cast("long").alias("day_offset"),
+        "n_active_users",
+    )

@@ -40,3 +40,33 @@ def test_bench_stdout_is_one_compact_json_line():
     full = json.load(open(os.path.join(REPO, "bench_full.json")))
     assert set(d["queries"]) == set(full["queries"])
     assert "slowest" in full
+
+
+def test_full_registry_stdout_line_fits_driver_tail_capture():
+    """The driver tail-captures ~2000 chars; with the real registry's names
+    and worst-case timing widths the final line must stay under that."""
+    sys.path.insert(0, REPO)
+    import bench
+    from migdar_data_pipelines_spark.plans import query_fns
+
+    names = list(query_fns())
+    assert len(names) >= 70  # the full registry, not a filtered run
+    result = {
+        "metric": "suite_total_sec",
+        "value": 12345.67,
+        "unit": "sec",
+        "queries": {n: 123.45 for n in names},
+        "sf": 0.1,
+        "vs_oracle_ratio": 0.1234,
+    }
+    line = bench.compact_stdout_line(result)
+    assert len(line) <= 1800
+    d = json.loads(line)
+    assert d["value"] == 12345.67 and d["sf"] == 0.1
+    assert d["n_queries"] == len(names)
+    assert d["queries_truncated_to_slowest"] is True
+    assert 0 < len(d["queries"]) < len(names)
+
+    # small maps pass through untouched
+    small = dict(result, queries={"a": 1.0})
+    assert json.loads(bench.compact_stdout_line(small))["queries"] == {"a": 1.0}
