@@ -1349,13 +1349,23 @@ def _drain_stream(
     out: DataFrame,
     prefix: str,
     output_mode: str = "append",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run a streaming frame to completion with Trigger.AvailableNow into a
     uniquely-named memory sink and return the drained table. Checkpoint dirs
     are per-invocation temp dirs (queries must be re-runnable: the driver and
     bench call each registry entry several times). Windowed aggregations
     drain in ``complete`` mode: under ``append`` the final watermark never
-    passes the last window, so its rows would be withheld at termination."""
+    passes the last window, so its rows would be withheld at termination.
+
+    ``state_partitions`` sizes the stateful shuffle for a BOUNDED drain:
+    every state partition pays store init/commit per microbatch (x4 stores
+    for a stream-stream join), so an oversized count is pure overhead here —
+    measured 7.9s -> 2.6s on the stream-stream join going 32 -> 8. This is
+    the streaming analogue of what AQE does for batch shuffles; a long-lived
+    production stream sizes it by throughput instead (and can't change it
+    after the first checkpoint). The caller session's conf is restored after
+    the drain — partition count never affects results, only task count."""
     import shutil
     import tempfile
     import uuid
@@ -1364,9 +1374,12 @@ def _drain_stream(
 
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{prefix}_")
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
         run_available_now(out, ckpt, query_name=name, output_mode=output_mode)
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
@@ -2418,4 +2431,70 @@ def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
         F.col("day_offset").cast("long").alias("day_offset"),
         "n_active_users",
+    )
+
+
+@register(
+    "pivot_events_types",
+    sql="""
+SELECT user_id,
+       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+       CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+       CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+       CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+""",
+)
+def pivot_events_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-format pivot: per-user event counts, one column per event type —
+    Spark's ``pivot`` with the value list PINNED (an unpinned pivot runs an
+    extra distinct job to discover values and makes the output schema
+    data-dependent, which breaks at scale and breaks schema contracts).
+    Pinned, it compiles to exactly the oracle's conditional aggregation: one
+    shuffle, map-side combinable."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
+
+
+@register(
+    "cube_orders_status_priority",
+    sql="""
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all four aggregation granularities of
+    (status, priority) in ONE pass — Catalyst expands the cube into an
+    Expand node feeding a single shuffle, where four separate GROUP BYs
+    would scan the fact table four times. Null grouping markers are
+    coalesced to '(all)' so the surface is hash-stable (a real NULL status
+    would be ambiguous with the subtotal marker; orders has none, and at
+    scale you'd use GROUPING() bits as the discriminator)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
     )
