@@ -2498,3 +2498,98 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+@register(
+    "json_props_events",
+    sql="""
+WITH j AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min, CAST(max(k) AS BIGINT) AS k_max
+FROM j GROUP BY event_type
+""",
+)
+def json_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ELT: the events' JSON ``props`` payload parsed with a
+    DECLARED schema (``from_json`` — typed, vectorized, no schema-inference
+    job) and aggregated. The typed path matters at 100 TB: get_json_object
+    per field re-parses the document per extraction, while one from_json
+    parses once into a struct Catalyst can prune. The oracle uses DuckDB's
+    json_extract over the same strings."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    ev = _t(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    j = ev.select(
+        "event_type", F.from_json("props", schema)["k"].alias("k")
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("k_sum"),
+        F.min("k").cast("long").alias("k_min"),
+        F.max("k").cast("long").alias("k_max"),
+    )
+
+
+@register(
+    "corr_pricing_lineitem",
+    sql="""
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem
+), s AS (
+  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS DECIMAL(38,0)) AS sx, CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(x*x) AS DECIMAL(38,0)) AS sxx,
+         CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(38,0)) AS syy
+  FROM q GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4)
+         AS corr_qty_price
+FROM s
+""",
+)
+def corr_pricing_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer moments: price quantized to
+    cents, then the five sums (x, y, x^2, xy, y^2) accumulate in
+    DECIMAL(38,0) — exact in any order, unlike F.corr's float Welford
+    streams whose result depends on partitioning AND engine. The closed-form
+    ratio is evaluated from those exact sums in double at the END, so both
+    engines divide identical numbers. Map-side combinable, one shuffle —
+    same cost as the float version, none of its nondeterminism. (x*x at
+    these magnitudes exceeds a long: the pairwise products are computed in
+    DECIMAL(19,0)x int -> decimal before summing.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice") * 100).cast("long")
+    q = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    dec = "decimal(19,0)"
+    s = q.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sx * sy
+    den = F.sqrt(
+        (nd * F.col("sxx").cast("double") - sx * sx)
+        * (nd * F.col("syy").cast("double") - sy * sy)
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(num / den, 4).alias("corr_qty_price")
+    )

@@ -44,9 +44,24 @@ def load_csv(
     return _stamp(reader.csv(path))
 
 
-def load_parquet(spark: SparkSession, path: str | list[str], stamp_ord: bool = False) -> DataFrame:
-    """S3: reload a previously dumped stage (manifest-described parquet)."""
-    df = spark.read.parquet(*(path if isinstance(path, list) else [path]))
+def load_parquet(
+    spark: SparkSession,
+    path: str | list[str],
+    stamp_ord: bool = False,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """S3: reload a previously dumped stage (manifest-described parquet).
+
+    ``merge_schema=True`` reconciles stages written under an EVOLVED schema
+    (a later pipeline run added a column): the union schema is read from all
+    footers and absent columns come back null — the reference's progressive
+    schema refinement (SURVEY §1.3) applied across stage generations. Off by
+    default: footer merging reads every file's metadata up front, which is a
+    real cost over 100 TB of stage history when schemas are known stable."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*(path if isinstance(path, list) else [path]))
     return _stamp(df) if stamp_ord else df
 
 

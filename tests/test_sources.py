@@ -98,3 +98,25 @@ def test_parallel_rest_source(spark):
         json.loads(r["payload"])["key"] for r in df.collect()
     }
     assert keys == {f"Z{i}" for i in range(40)}
+
+
+def test_load_parquet_merge_schema_across_stage_generations(spark, tmp_path):
+    """A later stage added a column: mergeSchema reconciles the union schema
+    with nulls for the old generation; default strict mode keeps the
+    single-footer schema (cheap path) and must not invent columns."""
+    from migdar_data_pipelines_spark.sources.files import load_parquet
+
+    v1 = str(tmp_path / "gen=1")
+    v2 = str(tmp_path / "gen=2")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(v1)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(v2)
+
+    merged = load_parquet(spark, [v1, v2], merge_schema=True)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+    strict = load_parquet(spark, [v1, v2])
+    assert set(strict.columns).issubset({"id", "name", "score"})
