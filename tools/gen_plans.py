@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans for representative registry
+queries, trimmed to the operator tree plus the scan/exchange/join detail
+blocks (PushedFilters / ReadSchema / partitioning arguments) that the scale
+review actually reads. Run from the repo root."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PICK = {
+    "q5_region_revenue": "Multi-way join: dims broadcast, one fact shuffle",
+    "minhash_lsh_near_dup": "Banded LSH: bucket-key self-join, broadcast verification",
+    "asof_join_events_purchase": (
+        "As-of join: ONE hash exchange; the range semantics live in a window, "
+        "not a join node"
+    ),
+    "range_join_events_windows": "Range join as bucketed equi-join: no nested-loop node",
+    "incremental_dedup_documents": (
+        "Batch probes standing index: batch side broadcast, index never shuffled"
+    ),
+    "embedding_topk_ivf": "IVF: probe only the query's cell",
+    "classifier_score_documents": "In-scan model inference: zero exchange",
+    "hll_distinct_orders": "HLL: algebraic partial aggregation, <=256-row exchange",
+}
+
+KEEP_DETAIL = re.compile(
+    r"PushedFilters|ReadSchema|Location|Arguments: hashpartitioning"
+    r"|Arguments: .*Broadcast|Join condition|Output \[",
+)
+
+
+def trim(formatted: str) -> str:
+    tree, _, detail = formatted.partition("\n\n")
+    kept: list[str] = []
+    block_head = None
+    for line in detail.splitlines():
+        if line.startswith("("):
+            block_head = line
+        elif KEEP_DETAIL.search(line):
+            if block_head:
+                kept.append(block_head)
+                block_head = None
+            kept.append(line.rstrip())
+    return tree.rstrip() + ("\n\n" + "\n".join(kept) if kept else "")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    from migdar_data_pipelines_spark.plans.llm_queries import QUERIES
+
+    out = [
+        "# PLANS — formatted physical plans for representative registry queries",
+        "",
+        "Generated at sf0.01 (local[8], shuffle=8; AQE final plans differ only in",
+        "runtime-coalesced partition counts). Trees are full; per-node detail is",
+        "trimmed to scan pushdown / exchange partitioning / join conditions.",
+        "Regenerate with `python tools/gen_plans.py`.",
+        "",
+    ]
+    for name, note in PICK.items():
+        df = QUERIES[name]["fn"](spark, "/root/testdata/sf0.01")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out += [f"## {name}", "", f"_{note}_", "", "```", trim(buf.getvalue()), "```", ""]
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path} ({os.path.getsize(path)} bytes)")
+
+
+if __name__ == "__main__":
+    main()
