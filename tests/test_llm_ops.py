@@ -652,3 +652,48 @@ def test_simhash_near_dup_banding_is_lossless(spark):
                 expect[(a, b)] = bin(sigs[a] ^ sigs[b]).count("1")
     assert got == expect
     assert got[(1, 2)] == 0
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
+    """llm/pipeline.py::curate_corpus — the five-stage composition: filter,
+    exact dedup, near-dup collapse, split, shard write. Seeds exercise every
+    stage: +100000 ids are perturbed near-copies (collapse in stage 3),
+    +200000 ids are too-short docs (drop in stage 1), +300000 ids are exact
+    copies (drop in stage 2)."""
+    from migdar_data_pipelines_spark.llm.pipeline import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat("text", F.lit(" zzdup")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.lit("too short").alias("text"),
+            )
+        )
+        .unionByName(
+            docs.select((F.col("doc_id") + 300000).alias("doc_id"), "text")
+        )
+    )
+    n = docs.count()
+    out = str(tmp_path / "shards")
+    stats = curate_corpus(corpus, out)
+
+    assert stats["input_rows"] == 4 * n
+    assert stats["after_filter"] == 3 * n          # short docs dropped
+    assert stats["after_exact_dedup"] == 2 * n     # +300000 exact copies dropped
+    # near-dup collapse removes at least the perturbed twin of every original
+    assert stats["after_near_dedup"] <= n
+    assert stats["split"]["train"] + stats["split"].get("val", 0) == stats["after_near_dedup"]
+    assert sum(stats["shards"]["rows_per_shard"].values()) == stats["after_near_dedup"]
+
+    back = spark.read.parquet(out)
+    assert back.count() == stats["after_near_dedup"]
+    assert set(back.columns) >= {"doc_id", "text", "split", "shard"}
+    # survivors are canonical: every kept doc is the smallest id of its group
+    assert back.filter(F.col("doc_id") >= 100000).count() == 0

@@ -113,3 +113,46 @@ def test_streaming_cdc_transitions(spark, tmp_path):
     for r in sorted(rows, key=lambda r: (r["key"], r["ts"])):
         seq[r["key"]].append(r["status"])
     assert seq == {"k1": ["new", "same", "changed"], "k2": ["new"]}
+
+
+def test_stream_merge_into_lakehouse_incremental_and_update(spark, tmp_path):
+    """foreachBatch MERGE sink (streaming/sinks.py): first drain lands the
+    initial file set; resuming from the SAME checkpoint after a new source
+    file arrives processes only the increment, and overlapping keys update
+    in place rather than duplicate."""
+    from migdar_data_pipelines_spark.sinks.lakehouse import LakehouseTable
+    from migdar_data_pipelines_spark.streaming.sinks import stream_merge_into_lakehouse
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    t = LakehouseTable(str(tmp_path / "tbl"))
+
+    spark.createDataFrame(
+        [(i, f"v{i}", 1) for i in range(20)], "id long, payload string, gen int"
+    ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        return stream_merge_into_lakehouse(stream, t, ["id"], ckpt)
+
+    assert drain() == 0
+    first = t.read(spark)
+    assert first.count() == 20
+    assert first.filter("gen = 1").count() == 20
+
+    # increment: 5 overlapping keys (updated payloads) + 5 new keys
+    spark.createDataFrame(
+        [(i, f"w{i}", 2) for i in range(15, 25)], "id long, payload string, gen int"
+    ).write.mode("append").parquet(src)
+    v = drain()
+    assert v == 1  # exactly one more merge commit (only the new file replayed)
+    final = t.read(spark)
+    assert final.count() == 25
+    got = {r["id"]: (r["payload"], r["gen"]) for r in final.collect()}
+    assert got[10] == ("v10", 1)   # untouched
+    assert got[17] == ("w17", 2)   # updated in place
+    assert got[24] == ("w24", 2)   # inserted
+
+    # re-drain with no new source files: no batch, version unchanged
+    assert drain() == 1
