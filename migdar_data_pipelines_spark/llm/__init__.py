@@ -58,3 +58,4 @@ from .curation import (  # noqa: F401
     train_val_split,
 )
 from .multimodal import binary_features, decode_stub  # noqa: F401
+from .pipeline import curate_corpus  # noqa: F401

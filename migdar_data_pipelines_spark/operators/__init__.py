@@ -21,6 +21,9 @@ from .core import (  # noqa: F401
 from .concatenate import concatenate  # noqa: F401
 from .unpivot import unpivot_regex  # noqa: F401
 from .joins import join as join_resources, join_self  # noqa: F401
+from .asof import asof_join  # noqa: F401
+from .rangejoin import range_join_bucketed  # noqa: F401
+from .sketches import hll_distinct, hll_registers  # noqa: F401
 from .windows import (  # noqa: F401
     forward_fill,
     dedup_suffix,

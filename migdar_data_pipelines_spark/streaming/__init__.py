@@ -10,3 +10,5 @@ from .windows import (  # noqa: F401
     read_events_stream,
     run_available_now,
 )
+from .sinks import stream_merge_into_lakehouse  # noqa: F401
+from .windows import dedup_within_watermark  # noqa: F401
