@@ -1,0 +1,143 @@
+"""Byte-pair-encoding tokenizer training and application, Spark-first.
+
+The division of labor every production BPE trainer uses (the original NMT
+recipe and its descendants):
+
+  * the CORPUS-scale work — collapsing 100 TB of text to a (word, count)
+    frequency table — is one explode + one map-side-combinable groupBy in
+    Spark; the table is VOCABULARY-sized (hundreds of thousands of rows at
+    web scale), orders of magnitude smaller than the corpus;
+  * the MERGE LOOP runs driver-side over that table: each round counts
+    adjacent symbol pairs weighted by word frequency, merges the most
+    frequent pair (count desc, pair asc — a total order, so training is
+    deterministic), and rewrites the table. Iterative argmax over shared
+    state is exactly what a distributed engine is worst at and a single
+    process is fine at, because the input is the frequency table, never the
+    corpus;
+  * APPLYING the learned merges back over the corpus is embarrassingly
+    parallel again: merges broadcast to executors, segmentation per word
+    with a per-batch memo, Arrow-batched via mapInPandas.
+
+``</w>`` marks word ends so merges never cross word boundaries, matching the
+classic formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .._serde import register_self_contained
+from .textanalysis import words as _words
+
+register_self_contained(__name__)
+
+END = "</w>"
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the corpus — the only corpus-scale pass of BPE
+    training. Lowercased; one shuffle, partial counts combine map-side."""
+    return (
+        df.select(F.explode(_words(text_col)).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+    )
+
+
+def _symbols(word: str) -> tuple[str, ...]:
+    return tuple(word) + (END,)
+
+
+def learn_bpe(freqs: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Driver-side merge loop over a vocabulary-sized frequency table.
+    Deterministic: ties broken by lexicographic pair order."""
+    table: dict[tuple[str, ...], int] = {_symbols(w): c for w, c in freqs.items()}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, c in table.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        new_table: dict[tuple[str, ...], int] = {}
+        for syms, c in table.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_table[tuple(out)] = new_table.get(tuple(out), 0) + c
+        table = new_table
+    return merges
+
+
+def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word: repeatedly merge the lowest-rank
+    adjacent pair (the standard greedy application, deterministic)."""
+    syms = list(_symbols(word))
+    while len(syms) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Append ``out_col``: the BPE token array of ``text_col``. Merges ship
+    to executors inside the serialized closure (vocabulary-sized); per-batch
+    word memo collapses repeated words; Arrow-batched mapInPandas keeps the
+    corpus pass vectorized at the transport layer."""
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    in_cols = df.columns
+    # fresh StructType: StructType.add mutates the receiver, which would
+    # corrupt df's own resolved schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(StringType()))]
+    )
+    idx = in_cols.index(text_col)
+
+    def run(batches):
+        for pdf in batches:
+            memo: dict[str, list[str]] = {}
+
+            def seg_text(text):
+                toks: list[str] = []
+                for w in (text or "").split():
+                    lw = w.lower()
+                    got = memo.get(lw)
+                    if got is None:
+                        got = memo[lw] = segment_word(lw, ranks)
+                    toks.extend(got)
+                return toks
+
+            pdf[out_col] = pdf.iloc[:, idx].map(seg_text)
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

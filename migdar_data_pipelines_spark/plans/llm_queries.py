@@ -2593,3 +2593,28 @@ def corr_pricing_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", F.round(num / den, 4).alias("corr_qty_price")
     )
+
+
+@register("bpe_token_count_documents", sql=None)
+def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training + application (llm/bpe.py) — registered
+    WITHOUT an oracle: the merge loop is an iterative argmax over shared
+    state, genuinely not SQL-expressible, so the gate records the weaker
+    rows/schema check (the unit test pins semantics: deterministic merges,
+    lossless segmentation, classic-corpus behavior). Shape: ONE corpus pass
+    collapses text to a vocabulary-sized (word,count) table; the merge loop
+    runs driver-side on that table (never the corpus); the learned merges
+    broadcast back inside the mapInPandas closure for segmentation. Output
+    is deterministic end to end — same corpus, same merges, same counts."""
+    from ..llm.bpe import bpe_segment, learn_bpe, word_counts
+    from ..llm.textanalysis import words as _words_fn
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wc = {r["word"]: r["count"] for r in word_counts(d).collect()}
+    merges = learn_bpe(wc, n_merges=100)
+    seg = bpe_segment(d, merges)
+    return seg.select(
+        "doc_id",
+        F.size(_words_fn("text")).cast("long").alias("n_words"),
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )

