@@ -57,3 +57,41 @@ def cdc_counts(classified: DataFrame) -> DataFrame:
     """A3: totals of new/changed/same/stale rows
     (obsolete/prepare_data_for_es.py:90-169 keeps running counters)."""
     return classified.groupBy("__status").agg(F.count(F.lit(1)).alias("n"))
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    attr_cols: list[str],
+    ts_col: str,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from attribute
+    snapshots: one row per (key, unbroken run of equal attributes) with
+    ``valid_from`` (first snapshot showing the state), ``valid_to`` (the
+    NEXT state's valid_from; null while current) and ``is_current``.
+
+    Two windows over one shuffle on the key: change rows are where the
+    attribute hash differs from its lag (or no lag — the first snapshot);
+    lead() over the surviving change rows closes each interval. This is the
+    warehouse-standard materialization of the hash-diff CDC stream above —
+    D1's classification turned into queryable validity intervals. Snapshots
+    must be unique per (key, ts)."""
+    from pyspark.sql import Window
+
+    from .textops import content_hash
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    h = content_hash(attr_cols)
+    marked = df.withColumn("__h", h).withColumn(
+        "__prev", F.lag("__h").over(w)
+    )
+    changes = marked.filter(
+        F.col("__prev").isNull() | (F.col("__h") != F.col("__prev"))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(ts_col)
+    return (
+        changes.withColumn("valid_to", F.lead(ts_col).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .withColumnRenamed(ts_col, "valid_from")
+        .drop("__h", "__prev")
+    )

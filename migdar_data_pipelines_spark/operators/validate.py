@@ -50,6 +50,66 @@ def validate_range(
     return n
 
 
+def constraint_report(
+    df: DataFrame,
+    row_rules: dict[str, F.Column] | None = None,
+    unique: dict[str, list[str]] | None = None,
+    foreign_keys: dict[str, tuple[DataFrame, list[str], list[str]]] | None = None,
+) -> DataFrame:
+    """Declarative constraint suite -> one (rule, n_violations) report frame,
+    the expectations-style generalization of the point validators above.
+
+    ``row_rules``: {name: violation predicate Column} — ALL evaluated in ONE
+    aggregation pass over one scan (each rule is a summed flag), however many
+    rules there are; this is the property that keeps a 50-rule suite the
+    same cost as one rule at 100 TB.
+    ``unique``: {name: key columns} — one groupBy per ruleset counting rows
+    beyond the first per key.
+    ``foreign_keys``: {name: (parent_df, child_cols, parent_cols)} — orphan
+    rows counted with a left-anti join (parent side broadcast by AQE when
+    dimension-sized).
+    """
+    spark = df.sparkSession
+    reports: list[DataFrame] = []
+    if row_rules:
+        aggs = [
+            F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+            for name, pred in row_rules.items()
+        ]
+        one = df.agg(*aggs)
+        stack = (
+            f"stack({len(row_rules)}, "
+            + ", ".join(f"'{n}', `{n}`" for n in row_rules)
+            + ") as (rule, n_violations)"
+        )
+        reports.append(one.selectExpr(stack))
+    for name, keys in (unique or {}).items():
+        dup = (
+            df.groupBy(*keys)
+            .agg((F.count(F.lit(1)) - 1).alias("extra"))
+            .agg(F.sum("extra").cast("long").alias("n_violations"))
+            .select(F.lit(name).alias("rule"), F.coalesce("n_violations", F.lit(0)).alias("n_violations"))
+        )
+        reports.append(dup)
+    for name, (parent, child_cols, parent_cols) in (foreign_keys or {}).items():
+        orphans = df.join(
+            parent.select(
+                *[F.col(p).alias(c) for c, p in zip(child_cols, parent_cols)]
+            ).dropDuplicates(child_cols),
+            child_cols,
+            "left_anti",
+        )
+        reports.append(
+            orphans.agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+                F.lit(name).alias("rule"), "n_violations"
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def unused_fields(df: DataFrame, mapped: list[str]) -> list[str]:
     """X4 header audit: plan-time check of df.columns vs the alias map
     (datasets.py:250-268) — returns unmapped columns instead of warning."""

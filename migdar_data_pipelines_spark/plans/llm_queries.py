@@ -2618,3 +2618,164 @@ def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_words_fn("text")).cast("long").alias("n_words"),
         F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
     )
+
+
+@register(
+    "constraint_report_orders",
+    sql="""
+SELECT 'status_whitelist' AS rule,
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM orders
+UNION ALL
+SELECT 'positive_price',
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'null_priority',
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'unique_orderkey',
+       CAST(coalesce(sum(c - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'fk_customer',
+       CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS
+  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+""",
+)
+def constraint_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/validate.py::
+    constraint_report): whitelist, range, not-null (all folded into ONE
+    aggregation pass — a 50-rule suite costs the same scan as one rule),
+    key uniqueness (one groupBy), and referential integrity against
+    customer (left-anti, parent side dimension-sized). The violation COUNTS
+    are the oracle surface; real pipelines assert the frame is all-zero
+    (here fk/unique genuinely are, making the zero path itself checked)."""
+    from ..operators.validate import constraint_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return constraint_report(
+        o,
+        row_rules={
+            "status_whitelist": ~F.col("o_orderstatus").isin("O", "F", "P")
+            | F.col("o_orderstatus").isNull(),
+            "positive_price": F.col("o_totalprice") <= 0,
+            "null_priority": F.col("o_orderpriority").isNull(),
+        },
+        unique={"unique_orderkey": ["o_orderkey"]},
+        foreign_keys={"fk_customer": (c, ["o_custkey"], ["c_custkey"])},
+    )
+
+
+@register(
+    "scd2_orders_history",
+    sql="""
+WITH snaps AS (
+  SELECT o_orderkey, g,
+         CASE WHEN (o_orderkey + g) % 7 = 0 THEN 'X' || CAST(g AS VARCHAR)
+              ELSE o_orderstatus END AS status,
+         DATE '2024-02-01' + to_days(CAST(g AS INT)) AS snap_day
+  FROM orders, (SELECT unnest(generate_series(0, 2)) AS g)
+), m AS (
+  SELECT o_orderkey, status, snap_day,
+         lag(status) OVER (PARTITION BY o_orderkey ORDER BY snap_day) AS prev
+  FROM snaps
+), ch AS (
+  SELECT o_orderkey, status, snap_day FROM m
+  WHERE prev IS NULL OR status <> prev
+)
+SELECT o_orderkey, status,
+       strftime(snap_day, '%Y-%m-%d') AS valid_from,
+       strftime(lead(snap_day) OVER (PARTITION BY o_orderkey ORDER BY snap_day),
+                '%Y-%m-%d') AS valid_to,
+       lead(snap_day) OVER (PARTITION BY o_orderkey ORDER BY snap_day) IS NULL
+         AS is_current
+FROM ch
+""",
+)
+def scd2_orders_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history (operators/cdc.py::scd2_history): three synthetic
+    daily snapshots of order status (every 7th key drifts each day — runs of
+    equal state, real changes, and never-changed keys all occur) collapsed
+    into validity intervals with is_current flags. One shuffle on the key;
+    both windows share its sort. This is D1's hash-diff stream materialized
+    the way a warehouse actually stores it — the reference's revision
+    counter (dump_to_es.py:43-79) answers 'is this row current', SCD2
+    answers 'what was true WHEN'."""
+    from ..operators.cdc import scd2_history
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    g = spark.range(3).select(F.col("id").cast("int").alias("g"))
+    snaps = o.crossJoin(F.broadcast(g)).select(
+        "o_orderkey",
+        F.when(
+            (F.col("o_orderkey") + F.col("g")) % 7 == 0,
+            F.concat(F.lit("X"), F.col("g").cast("string")),
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.date_add(F.lit("2024-02-01").cast("date"), F.col("g")).alias("snap_day"),
+    )
+    hist = scd2_history(snaps, ["o_orderkey"], ["status"], "snap_day")
+    return hist.select(
+        "o_orderkey",
+        "status",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+        "is_current",
+    )
+
+
+@register(
+    "rolling_7day_events",
+    sql="""
+WITH d AS (
+  SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dn,
+         round(sum(value), 2) AS day_value,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY dn
+)
+SELECT CAST(dn AS BIGINT) AS day_number,
+       strftime(DATE '2024-01-01' + to_days(CAST(dn AS INT)), '%Y-%m-%d') AS day,
+       day_value, n_events,
+       round(sum(day_value) OVER w, 2) AS value_7d,
+       round(avg(day_value) OVER w, 4) AS avg_7d
+FROM d
+WINDOW w AS (ORDER BY dn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_7day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day metrics: daily totals plus a RANGE-frame rolling
+    sum/avg keyed on day NUMBER (an integer axis — a RANGE frame over dates
+    needs interval arithmetic that engines disagree on; the datediff axis is
+    portable and makes gaps in the calendar behave correctly, which ROWS
+    BETWEEN would not). The daily pre-aggregation collapses the fact table
+    before any window runs, so the window operates on ~days rows regardless
+    of corpus size — the only full-data cost is the day groupBy."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("dn"),
+            "value",
+        )
+        .groupBy("dn")
+        .agg(
+            F.round(F.sum("value"), 2).alias("day_value"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    w = Window.orderBy("dn").rangeBetween(-6, 0)
+    return d.select(
+        F.col("dn").cast("long").alias("day_number"),
+        F.date_format(
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("dn").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+        "day_value",
+        "n_events",
+        F.round(F.sum("day_value").over(w), 2).alias("value_7d"),
+        F.round(F.avg("day_value").over(w), 4).alias("avg_7d"),
+    )
