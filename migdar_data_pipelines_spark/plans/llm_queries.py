@@ -2779,3 +2779,40 @@ def rolling_7day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("day_value").over(w), 2).alias("value_7d"),
         F.round(F.avg("day_value").over(w), 4).alias("avg_7d"),
     )
+
+
+@register(
+    "setops_nations_coverage",
+    sql="""
+WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+both_k AS (SELECT nk FROM cn INTERSECT SELECT nk FROM sn),
+conly AS (SELECT nk FROM cn EXCEPT SELECT nk FROM sn),
+sonly AS (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+SELECT n.n_name AS nation,
+       CASE WHEN n.n_nationkey IN (SELECT nk FROM both_k) THEN 'both'
+            WHEN n.n_nationkey IN (SELECT nk FROM conly) THEN 'customers_only'
+            WHEN n.n_nationkey IN (SELECT nk FROM sonly) THEN 'suppliers_only'
+            ELSE 'neither' END AS coverage
+FROM nation n
+""",
+)
+def setops_nations_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 set operations: INTERSECT / EXCEPT over the distinct nation-key
+    sets of customers and suppliers, labelled per nation. Spark plans
+    intersect/subtract as hash semi/anti joins over the deduplicated sides
+    — dimension-sized here, broadcast by AQE; at fact scale the distinct
+    collapses before any join."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    n = _t(spark, sf_dir, "nation")
+    both_k = c.intersect(s).withColumn("cov", F.lit("both"))
+    conly = c.subtract(s).withColumn("cov", F.lit("customers_only"))
+    sonly = s.subtract(c).withColumn("cov", F.lit("suppliers_only"))
+    labels = both_k.unionByName(conly).unionByName(sonly)
+    return n.join(
+        F.broadcast(labels), n["n_nationkey"] == labels["nk"], "left"
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.coalesce("cov", F.lit("neither")).alias("coverage"),
+    )
