@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Regenerate SCALING.md: steady-state wall time for scale-critical queries
+across the three testdata scale factors (10x data per step), with the
+time-growth factor per step. A scale-safe plan grows at most linearly with
+the data (factor <= ~10 per step, usually far less while fixed costs
+dominate); super-linear growth flags a plan that would not survive 100x.
+Run from the repo root with nothing else on the machine."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ["0.001", "0.01", "0.1"]
+PICK = [
+    # (query, what scales, dominant cost)
+    ("q1_pricing_summary", "lineitem rows", "scan + map-side-combined groupBy"),
+    ("global_ordinal_lineitem", "lineitem rows", "range exchange + per-partition index"),
+    ("asof_join_events_purchase", "events rows", "one key shuffle + per-key sort"),
+    ("range_join_events_windows", "events rows", "bucket equi-join"),
+    ("minhash_lsh_near_dup", "documents + dup corpus", "shingle explode + band join"),
+    ("ngram_jaccard_pairs", "documents + dup corpus", "per-block segment kernel"),
+    ("embedding_near_dup_cells", "embedding corpus", "cell-blocked matmul + rescore"),
+    ("incremental_dedup_documents", "batch x index", "hash probe + band probe"),
+    ("dedup_exact_documents", "documents", "one hash groupBy"),
+    ("classifier_score_documents", "documents", "scan-local expressions"),
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    from migdar_data_pipelines_spark.plans.llm_queries import QUERIES
+
+    times: dict[str, dict[str, float]] = {}
+    for name, _, _ in PICK:
+        fn = QUERIES[name]["fn"]
+        times[name] = {}
+        for sf in SFS:
+            d = f"/root/testdata/sf{sf}"
+            fn(spark, d).count()  # steady-state: warm run absorbs codegen/scan setup
+            t0 = time.time()
+            fn(spark, d).count()
+            times[name][sf] = time.time() - t0
+
+    lines = [
+        "# SCALING — steady-state wall time across scale factors",
+        "",
+        "Each step multiplies the data by 10x. `xN` columns show the time-growth",
+        "factor per step; a scale-safe plan stays well under the 10x data growth",
+        "while fixed costs (scheduling floor, dimension work) dominate, and at most",
+        "linear once data dominates. Times are the SECOND run at each SF (warm",
+        "scan/codegen), local[32]. Regenerate with `python tools/gen_scaling.py`.",
+        "",
+        "| query | what scales | sf0.001 | sf0.01 | x | sf0.1 | x | dominant cost |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for name, scales, cost in PICK:
+        t = times[name]
+        a, b, c = (t[sf] for sf in SFS)
+        lines.append(
+            f"| {name} | {scales} | {a:.2f}s | {b:.2f}s | x{b / a:.1f} "
+            f"| {c:.2f}s | x{c / b:.1f} | {cost} |"
+        )
+    lines += [
+        "",
+        "Reading: an `x` near 1 means the fixed floor still dominates at that step;",
+        "the sf0.01 -> sf0.1 factor is the honest signal. Factors well under 10",
+        "mean the plan's scale-bearing stages (shuffles, joins, kernels) grow",
+        "sub-linearly in wall time because parallel slots absorb the growth —",
+        "the property that carries to a 1000-executor cluster. Any factor ABOVE",
+        "10 would mean super-linear work (e.g. a pair explosion) and fails review.",
+        "",
+    ]
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}")
+    for name, _, _ in PICK:
+        t = times[name]
+        print(name, {k: round(v, 2) for k, v in t.items()})
+
+
+if __name__ == "__main__":
+    main()
