@@ -163,3 +163,99 @@ def test_ppjoin_matches_exact_join_path(spark, texts, threshold):
     )
     pp = ngram_jaccard_pairs_ppjoin(df, "text", "id", n=2, threshold=threshold)
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, pp.collect()))
+
+
+# ------------------------------------------------------- asof / range joins
+asof_case = st.tuples(
+    # left rows: (key, ts)
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)), min_size=1, max_size=25
+    ),
+    # right rows: (key, ts, value) — unique (key, ts) enforced below
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(-5, 5)),
+        min_size=0,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+
+
+@settings(**_SETTINGS)
+@given(asof_case)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    """Differential oracle: pandas.merge_asof implements the same backward
+    at-or-before semantics independently; asof_join must agree on arbitrary
+    key/timestamp layouts, including ties, empty right sides, and keys with
+    no matches."""
+    import pandas as pd
+
+    from migdar_data_pipelines_spark.operators.asof import asof_join
+
+    left_rows, right_rows = case
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "id long, k long, ts long"
+    )
+    right = spark.createDataFrame([], "k long, rts long, v long") if not right_rows else (
+        spark.createDataFrame(right_rows, "k long, rts long, v long")
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in asof_join(
+            left.withColumn("ts", F.col("ts").cast("timestamp")),
+            right.withColumn("rts", F.col("rts").cast("timestamp")),
+            on="k",
+            left_ts="ts",
+            right_ts="rts",
+            fields={"v": "v"},
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], columns=["id", "k", "ts"]
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(right_rows or [], columns=["k", "ts", "v"]).sort_values(
+        "ts", kind="stable"
+    )
+    if rp.empty:
+        expected = {i: None for i, _ in enumerate(left_rows)}
+    else:
+        m = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        expected = {
+            int(r.id): (None if pd.isna(r.v) else int(r.v)) for r in m.itertuples()
+        }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(0, 200), min_size=1, max_size=30),
+    st.lists(
+        st.tuples(st.integers(0, 200), st.integers(0, 60)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(1, 80),
+)
+def test_range_join_matches_naive(spark, points, iv, width):
+    """Bucketed range join == naive BETWEEN join for arbitrary points,
+    intervals (any length vs bucket width), and bucket widths."""
+    from migdar_data_pipelines_spark.operators.rangejoin import range_join_bucketed
+
+    p = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(points)], "pid long, x long"
+    )
+    ivs = spark.createDataFrame(
+        [(j, s, s + ln) for j, (s, ln) in enumerate(iv)], "iid long, s long, e long"
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_bucketed(p, ivs, "x", "s", "e", width).collect()
+    }
+    naive = {
+        (i, j)
+        for i, x in enumerate(points)
+        for j, (s, ln) in enumerate(iv)
+        if s <= x <= s + ln
+    }
+    assert got == naive
