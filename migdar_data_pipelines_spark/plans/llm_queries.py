@@ -2816,3 +2816,100 @@ def setops_nations_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").alias("nation"),
         F.coalesce("cov", F.lit("neither")).alias("coverage"),
     )
+
+
+@register(
+    "outliers_events_zscore",
+    sql="""
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cv
+  FROM events
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cv) AS DECIMAL(38,0)) AS s1,
+         CAST(sum(CAST(cv AS DECIMAL(19,0)) * cv) AS DECIMAL(38,0)) AS s2
+  FROM q GROUP BY event_type
+)
+SELECT q.event_id, q.event_type,
+       round(q.cv / 100.0, 2) AS value,
+       round((q.cv - CAST(m.s1 AS DOUBLE) / m.n)
+             / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                    - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n)),
+             4) AS zscore
+FROM q JOIN m ON q.event_type = m.event_type
+WHERE abs((q.cv - CAST(m.s1 AS DOUBLE) / m.n)
+          / sqrt(CAST(m.s2 AS DOUBLE) / m.n
+                 - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n))) > 2.5
+""",
+)
+def outliers_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging from EXACT integer moments: values
+    quantized to cents, sums and sum-of-squares in DECIMAL(38,0) (exact in
+    any order — the same parity discipline as corr_pricing_lineitem), the
+    z-score one IEEE expression over identical inputs. The tiny per-group
+    moment frame broadcasts back against the fact scan — flagging is then
+    scan-local; two passes total, no window. The >2.5-sigma threshold is
+    evaluated on the same expression both sides so the kept set is exact."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cv")
+    )
+    dec = "decimal(19,0)"
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cv").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("cv").cast(dec) * F.col("cv")).cast("decimal(38,0)").alias("s2"),
+    )
+    j = q.join(F.broadcast(m), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (F.col("cv") - mean) / F.sqrt(var)
+    return (
+        j.filter(F.abs(z) > 2.5)
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("cv") / 100.0, 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "histogram_lineitem_price",
+    sql="""
+WITH b AS (
+  SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin, l_extendedprice
+  FROM lineitem
+)
+SELECT bin, round(bin * 5000.0, 1) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM b GROUP BY bin
+""",
+)
+def histogram_lineitem_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over the fact table: bin index from integer
+    floor division (exact), counts map-side combined, per-bin min/max for
+    the render. One scan, one dimension-sized exchange — the distribution
+    profile that sits next to exact_percentiles in a data-quality report."""
+    li = _t(spark, sf_dir, "lineitem")
+    b = F.floor(F.col("l_extendedprice") / 5000).cast("long")
+    return (
+        li.select(b.alias("bin"), "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("bin") * 5000.0, 1).alias("bin_lo"),
+            "n",
+            "lo",
+            "hi",
+        )
+    )
