@@ -332,3 +332,65 @@ def test_profile_counts_and_minmax(spark):
 
     approx = {r.column: r for r in profile(df, exact=False).collect()}
     assert approx["k"].n_distinct == 3  # HLL exact at this cardinality
+
+
+def test_scd2_history_edges(spark):
+    """scd2_history: single snapshot -> one open interval; unbroken equal
+    runs collapse; A->B->A reopens a NEW interval (history, not distinct)."""
+    import datetime as dt
+
+    from migdar_data_pipelines_spark.operators.cdc import scd2_history
+
+    d = dt.date
+    rows = [
+        (1, "A", d(2024, 1, 1)),                      # single snapshot
+        (2, "A", d(2024, 1, 1)), (2, "A", d(2024, 1, 2)), (2, "A", d(2024, 1, 3)),
+        (3, "A", d(2024, 1, 1)), (3, "B", d(2024, 1, 2)), (3, "A", d(2024, 1, 3)),
+    ]
+    df = spark.createDataFrame(rows, "k long, attr string, snap date")
+    out = scd2_history(df, ["k"], ["attr"], "snap")
+    got = sorted(
+        (r.k, r.attr, str(r.valid_from), str(r.valid_to) if r.valid_to else None, r.is_current)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "A", "2024-01-01", None, True),
+        (2, "A", "2024-01-01", None, True),            # run collapsed
+        (3, "A", "2024-01-01", "2024-01-02", False),
+        (3, "A", "2024-01-03", None, True),            # reopened interval
+        (3, "B", "2024-01-02", "2024-01-03", False),
+    ]
+
+
+def test_constraint_report_kinds(spark):
+    """constraint_report: row rules in one pass, duplicate counting beyond
+    the first occurrence, FK orphans; clean rules report zero."""
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.operators.validate import constraint_report
+
+    df = spark.createDataFrame(
+        [(1, 10, "x"), (1, -3, "y"), (1, 5, None), (2, 7, "x")],
+        "id long, v long, tag string",
+    )
+    parent = spark.createDataFrame([(1,)], "pid long")
+    rep = {
+        r["rule"]: r["n_violations"]
+        for r in constraint_report(
+            df,
+            row_rules={
+                "neg_v": F.col("v") < 0,
+                "null_tag": F.col("tag").isNull(),
+                "never": F.lit(False),
+            },
+            unique={"unique_id": ["id"]},
+            foreign_keys={"fk_parent": (parent, ["id"], ["pid"])},
+        ).collect()
+    }
+    assert rep == {
+        "neg_v": 1,
+        "null_tag": 1,
+        "never": 0,
+        "unique_id": 2,   # three rows share id=1 -> two beyond the first
+        "fk_parent": 1,   # id=2 has no parent
+    }
