@@ -17,6 +17,7 @@ from .textanalysis import (  # noqa: F401
     quality_score,
     language_id,
     doc_fingerprint,
+    unigram_lm_scores,
 )
 from .dedup import (  # noqa: F401
     canonical_groups,
@@ -34,6 +35,8 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs_ppjoin,
     embedding_near_dup,
     embedding_near_dup_matmul,
+    duplicated_spans,
+    positional_shingles,
 )
 from .similarity import (  # noqa: F401
     cosine_topk,
@@ -59,3 +62,4 @@ from .curation import (  # noqa: F401
 )
 from .multimodal import binary_features, decode_stub  # noqa: F401
 from .pipeline import curate_corpus  # noqa: F401
+from .retrieval import bm25_topk, bm25_sql  # noqa: F401

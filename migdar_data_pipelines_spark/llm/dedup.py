@@ -1069,3 +1069,113 @@ def embedding_near_dup_matmul(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def positional_shingles(col: Column | str, k: int) -> Column:
+    """Word k-shingles WITH position: an array aligned to word index, where
+    element i (0-based) is the shingle starting at word i, null past the last
+    full window. Same O(k)-array-passes zip_with construction as
+    ``shingles`` (see its docstring for why not transform+slice), but keeps
+    duplicates and alignment instead of distinct-ing — the span-merge
+    consumer needs every occurrence and its offset."""
+    ws = words(col)
+    n = F.size(ws)
+    acc = ws
+    for j in range(1, k):
+        shifted = F.slice(ws, j + 1, F.greatest(n - j, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return acc
+
+
+def duplicated_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Substring-level exact dedup signal: per document, the merged spans of
+    word k-grams that occur more than once in the corpus, as
+    (id, n_words, n_dup_spans, dup_words, dup_frac).
+
+    The reference point is suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): find and
+    excise repeated substrings, not just whole near-dup documents. A
+    distributed suffix array is the wrong primitive for Spark; the
+    standard scalable re-expression is positional k-gram matching — any
+    repeated substring of >= k words contains a repeated k-gram, so marking
+    k-gram occurrences whose gram repeats corpus-wide and merging the
+    overlapping [pos, pos+k-1] word intervals per document recovers exactly
+    the maximal repeated regions at k-word resolution.
+
+    Shape at scale: one explode of (id, pos, md5(gram)) — 16-byte fixed
+    keys, never the gram text. Gram multiplicity is a map-side-combinable
+    groupBy (NOT a count-over-window: boilerplate corpora have hot grams,
+    and a window shuffles every occurrence of a hot key to one task with a
+    sort, where the combiner collapses them before the exchange); positions
+    are then inner-joined against only the >1-count gram set, so the second
+    shuffle carries just the duplicated residue plus the (much smaller)
+    dup-gram list. The interval merge is a per-document gaps-and-islands
+    window over that residue. Nothing is ever pairwise.
+    """
+    from pyspark.sql import Window
+
+    ws = words(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(ws).alias("n_words"),
+        positional_shingles(text_col, k).alias("grams"),
+    )
+    occ = base.select(
+        "id",
+        "n_words",
+        F.posexplode("grams").alias("pos", "gram"),
+    ).filter(F.col("gram").isNotNull() & (F.col("n_words") >= k))
+    # engine-internal key: only the dup SET must match the oracle, not the
+    # hash values, so the cheaper 8-byte xxhash64 beats md5 here (the oracle
+    # hashes with md5 on its own side; both collision floors are negligible
+    # for a dedup signal — Lee et al. hash their grams too)
+    occ = scoped_persist(
+        occ.select("id", "n_words", "pos", F.xxhash64("gram").alias("h"))
+    )
+
+    dup_grams = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("h")
+    )
+    dup = occ.join(dup_grams, "h")
+
+    by_doc = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k - 1).over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = (
+        dup.withColumn(
+            "island",
+            F.sum(island).over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "n_words", "island")
+        .agg((F.max(F.col("pos") + k - 1) - F.min("pos") + 1).alias("span_words"))
+        .groupBy("id", "n_words")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum("span_words").cast("long").alias("dup_words"),
+        )
+    )
+
+    docs = df.select(F.col(id_col).alias("id"), F.size(ws).alias("n_words"))
+    return (
+        docs.join(spans.drop("n_words"), "id", "left")
+        .select(
+            "id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_words", F.lit(0)).cast("long").alias("dup_words"),
+            F.round(
+                F.coalesce("dup_words", F.lit(0))
+                / F.greatest(F.col("n_words"), F.lit(1)),
+                4,
+            ).alias("dup_frac"),
+        )
+    )

@@ -1,0 +1,152 @@
+"""BM25 full-text retrieval over a document column: score a (small) query
+set against the whole corpus and return top-k documents per query.
+
+The reference engine's search surface is Elasticsearch (sinks/es.py maps the
+schema into ES and `dump_to_es` feeds it); this module is the engine-native
+rung — the same Okapi BM25 ranking function ES uses as its default
+similarity, computed as one Spark plan so a corpus-scale scoring/eval pass
+doesn't round-trip through a search cluster. Typical uses in a training-data
+pipeline: relevance-mining seed corpora, dedup-by-retrieval spot checks, and
+offline eval of retrieval prompts.
+
+Scale shape: postings (doc, term, tf) are one explode + map-side-combinable
+aggregate; document length and the 1-row (N, avgdl) aggregate are cheap
+scans; per-term df is vocab-sized. The query side is tiny by construction
+and explicitly broadcast, so scoring is a broadcast hash join over the
+postings scan followed by one map-side-combinable sum per (query, doc) —
+no shuffle ever carries more than the matched postings. Top-k per query is
+a per-query window over the scored docs (queries are few; per-query cardinality
+is corpus-sized, so rank on a rounded score with an id tie-break to keep the
+cut deterministic across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .textanalysis import words
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[str, str]],
+    text_col: str,
+    id_col: str,
+    topk: int = 5,
+) -> DataFrame:
+    """Top-``topk`` documents per query by BM25.
+
+    ``queries`` is [(query_id, query_text)]. Returns
+    (query_id, rank, id, score) with score = round(BM25, 4) and rank
+    assigned by (round(score, 6) desc, id asc) — the rounding makes the
+    ordering decision identical across engines whose float sums differ in
+    the last ulp.
+
+    idf uses the standard Lucene/ES form ln(1 + (N - df + .5)/(df + .5)),
+    which is positive even for terms present in most documents.
+    """
+    ws = words(text_col)
+    # two-step projection: materialize the word array BELOW the Generate so
+    # dl reads the array length instead of re-running the regex split per
+    # exploded token (measured 5x on the postings aggregate)
+    base = docs.select(F.col(id_col).alias("id"), ws.alias("__ws"))
+    toks = base.select(
+        "id", F.size("__ws").alias("dl"), F.explode("__ws").alias("w")
+    )
+    postings = toks.groupBy("id", "dl", "w").agg(F.count(F.lit(1)).alias("tf"))
+
+    stats = base.select(F.size("__ws").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+
+    qterms = (
+        spark.createDataFrame(queries, "query_id string, qtext string")
+        .select("query_id", F.explode(words("qtext")).alias("w"))
+        .distinct()
+    )
+
+    joined = (
+        postings.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = joined.groupBy("query_id", "id").agg(
+        F.sum(idf * tf_part).alias("__s")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__s"), 6).desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "id",
+            F.round("__s", 4).alias("score"),
+        )
+    )
+
+
+def bm25_sql(
+    queries: list[tuple[str, str]],
+    topk: int = 5,
+    docs_sql: str = "SELECT doc_id AS id, text FROM documents",
+) -> str:
+    """DuckDB mirror of ``bm25_topk`` over the same corpus, generated from
+    the same constants so the two can only drift together."""
+    qvals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in queries)
+    k1 = f"CAST({K1!r} AS DOUBLE)"
+    b = f"CAST({B!r} AS DOUBLE)"
+    return f"""
+WITH docs AS ({docs_sql}),
+toks AS (
+  SELECT id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS dl,
+         unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w
+  FROM docs
+),
+postings AS (SELECT id, dl, w, count(*) AS tf FROM toks GROUP BY id, dl, w),
+stats AS (SELECT count(*) AS n_docs,
+                 avg(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                     x -> x <> ''))) AS avgdl
+          FROM docs),
+dfreq AS (SELECT w, count(*) AS df FROM postings GROUP BY w),
+q(query_id, qtext) AS (VALUES {qvals}),
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(string_split_regex(trim(qtext), '\\s+'), x -> x <> '')) AS w
+  FROM q
+),
+scored AS (
+  SELECT qt.query_id, p.id,
+         sum(ln(CAST(1 AS DOUBLE) + (s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                                     / (d.df + CAST(0.5 AS DOUBLE)))
+             * (p.tf * ({k1} + 1))
+               / (p.tf + {k1} * (1 - {b} + {b} * p.dl / s.avgdl))) AS s
+  FROM postings p
+  JOIN qterms qt USING (w) JOIN dfreq d USING (w) CROSS JOIN stats s
+  GROUP BY qt.query_id, p.id
+),
+ranked AS (
+  SELECT query_id, id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(s, 6) DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, id, round(s, 4) AS score
+FROM ranked WHERE rank <= {topk}
+"""

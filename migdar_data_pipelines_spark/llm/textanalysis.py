@@ -101,3 +101,45 @@ def doc_fingerprint(col: Column | str) -> Column:
     ws = words(col)
     canon = F.array_join(F.array_sort(F.array_distinct(F.transform(ws, F.lower))), " ")
     return F.md5(canon)
+
+
+def unigram_lm_scores(df, text_col: str, id_col: str):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): score each
+    document by its per-token negative log-likelihood under a unigram
+    language model estimated from the corpus itself, add-one smoothed:
+
+        P(w) = (count(w) + 1) / (total_tokens + vocab_size)
+        nll(doc) = avg over tokens of -ln P(w)
+
+    CCNet ranks Common Crawl documents by KenLM perplexity and keeps the
+    low-perplexity head; the unigram form is the engine-native rung of that
+    ladder (the probabilities are exact rationals from two corpus
+    aggregates, so any engine reproduces them bit-for-bit; only the final
+    ln/avg is floating point, rounded for the contract surface).
+
+    Shape at scale: token explode -> map-side-combinable word-count
+    aggregate (vocab-sized result), a 1-row (total, vocab) aggregate
+    cross-joined in, and the count table joined back to tokens — explicitly
+    broadcast here since real vocabularies (1e6-1e8 terms) fit executor
+    memory; beyond that, drop the hint and let the shuffle join on the word
+    key do it. Per-doc avg is again map-side combinable. No sorts.
+    """
+    from pyspark.sql import DataFrame, functions as F  # noqa: F811
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    totals = counts.agg(
+        F.sum("cw").alias("total_toks"), F.count(F.lit(1)).alias("vocab")
+    )
+    model = F.broadcast(counts.crossJoin(F.broadcast(totals)))
+    scored = toks.join(model, "w")
+    nll = -F.log((F.col("cw") + 1) / (F.col("total_toks") + F.col("vocab")))
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(nll), 4).alias("nll"),
+        )
+    )

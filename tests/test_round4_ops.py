@@ -1,0 +1,194 @@
+"""Unit tests for the round-4 operators: substring dup spans, unigram LM
+scoring, BM25 retrieval, count-min sketch, blocked record linkage."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from migdar_data_pipelines_spark.llm import bm25_topk, duplicated_spans
+from migdar_data_pipelines_spark.llm.textanalysis import unigram_lm_scores
+from migdar_data_pipelines_spark.operators.linkage import (
+    block_histogram,
+    blocked_linkage,
+    phonetic_block_key,
+)
+from migdar_data_pipelines_spark.operators.sketches import (
+    CMS_DEPTH,
+    cms_estimate,
+    cms_sketch,
+)
+
+
+# ---------------------------------------------------------------------------
+# duplicated_spans
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_spans_finds_shared_region(spark):
+    shared = "one two three four five"  # 5-word span shared by docs 1 and 2
+    df = spark.createDataFrame(
+        [
+            (1, f"a b c {shared} x y z"),
+            (2, f"p q {shared} r s t u"),
+            (3, "totally unrelated words here only once ever said now"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r for r in duplicated_spans(df, "text", "id", k=5).collect()}
+    # the shared 5-gram occurs once in each doc -> one 5-word span each
+    assert got[1].n_dup_spans == 1 and got[1].dup_words == 5
+    assert got[2].n_dup_spans == 1 and got[2].dup_words == 5
+    assert got[3].n_dup_spans == 0 and got[3].dup_words == 0
+    assert got[1].dup_frac == round(5 / got[1].n_words, 4)
+
+
+def test_duplicated_spans_merges_overlap(spark):
+    # docs share a 6-word run -> two overlapping 5-grams merge to ONE 6-word span
+    run = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, f"{run} tail1 x"), (2, f"head {run} tail2")],
+        "id long, text string",
+    )
+    got = {r.id: r for r in duplicated_spans(df, "text", "id", k=5).collect()}
+    assert got[1].n_dup_spans == 1 and got[1].dup_words == 6
+    assert got[2].n_dup_spans == 1 and got[2].dup_words == 6
+
+
+def test_duplicated_spans_short_docs_are_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "only three words"), (2, "only three words")], "id long, text string"
+    )
+    got = {r.id: r for r in duplicated_spans(df, "text", "id", k=5).collect()}
+    # below k words: no k-gram exists, even though the docs are identical
+    assert got[1].n_dup_spans == 0 and got[2].dup_words == 0
+
+
+# ---------------------------------------------------------------------------
+# unigram_lm_scores
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_matches_hand_computation(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "id long, text string"
+    )
+    # corpus: a=2, b=2, c=1; T=5, V=3 -> P(a)=3/8, P(b)=3/8, P(c)=2/8
+    got = {r.id: r for r in unigram_lm_scores(df, "text", "id").collect()}
+    nll1 = -(2 * math.log(3 / 8) + math.log(3 / 8)) / 3
+    nll2 = -(math.log(3 / 8) + math.log(2 / 8)) / 2
+    assert got[1].n_tokens == 3 and got[1].nll == round(nll1, 4)
+    assert got[2].n_tokens == 2 and got[2].nll == round(nll2, 4)
+    # rarer words -> higher surprise
+    assert got[2].nll > got[1].nll
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_term_matches_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle join plan"),
+            (2, "spark spark spark unrelated"),
+            (3, "nothing relevant here at all"),
+            (4, "join plan"),
+        ],
+        "id long, text string",
+    )
+    got = bm25_topk(
+        spark, df, [("q", "spark join")], "text", "id", topk=3
+    ).collect()
+    assert [r.rank for r in got] == [1, 2, 3]
+    ids = [r.id for r in got]
+    assert ids[0] == 1  # matches both terms
+    assert 3 not in ids  # no term overlap -> never retrieved
+    assert all(r.score > 0 for r in got)
+
+
+def test_bm25_tie_break_is_id_order(spark):
+    df = spark.createDataFrame(
+        [(7, "same words here"), (3, "same words here")], "id long, text string"
+    )
+    got = bm25_topk(spark, df, [("q", "same")], "text", "id", topk=2).collect()
+    assert [r.id for r in got] == [3, 7]  # equal scores -> ascending id
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_is_exact_when_sparse(spark):
+    rows = [(f"user{i % 7}",) for i in range(70)]
+    df = spark.createDataFrame(rows, "u string")
+    sk = cms_sketch(df, "u")
+    cells = sk.collect()
+    # each input row increments one cell per hash row
+    assert sum(c.cnt for c in cells) == 70 * CMS_DEPTH
+    est = {
+        r.key: r.est
+        for r in cms_estimate(df.select("u").distinct(), "u", sk).collect()
+    }
+    for k, e in est.items():
+        assert e >= 10  # true count per key
+    # 7 keys in 256 buckets: collisions effectively impossible in every row
+    assert all(e == 10 for e in est.values())
+
+
+def test_cms_merges_across_shards(spark):
+    a = spark.createDataFrame([("x",)] * 5, "u string")
+    b = spark.createDataFrame([("x",)] * 3 + [("y",)], "u string")
+    merged = (
+        cms_sketch(a, "u")
+        .unionByName(cms_sketch(b, "u"))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    est = {
+        r.key: r.est
+        for r in cms_estimate(
+            spark.createDataFrame([("x",), ("y",)], "u string"), "u", merged
+        ).collect()
+    }
+    assert est == {"x": 8, "y": 1}
+
+
+# ---------------------------------------------------------------------------
+# blocked record linkage
+# ---------------------------------------------------------------------------
+
+
+def test_phonetic_block_key_invariances(spark):
+    df = spark.createDataFrame(
+        [("small ring",), ("smll ring",), ("small-ring",), ("SMALL RING",)],
+        "n string",
+    )
+    keys = {r[0] for r in df.select(phonetic_block_key("n")).collect()}
+    assert keys == {"sml"}  # vowel drop, hyphenation, case: all same block
+
+
+def test_blocked_linkage_matches_within_threshold_only(spark):
+    left = spark.createDataFrame(
+        [(1, "small ring"), (2, "red widget")], "id long, n string"
+    )
+    right = spark.createDataFrame(
+        [(10, "smll ring"), (20, "ruud wiidgeet"), (30, "small rings")],
+        "id long, n string",
+    )
+    got = {
+        (r.left_id, r.right_id): r.dist
+        for r in blocked_linkage(left, right, "n", "id", max_dist=2).collect()
+    }
+    assert got[(1, 10)] == 1  # dropped vowel
+    assert got[(1, 30)] == 1  # plural
+    # same block ('rdw' consonant skeleton) but 4 edits away: verify rejects
+    assert (2, 20) not in got
+
+
+def test_block_histogram_shape(spark):
+    df = spark.createDataFrame([("aa bb",), ("abb",), ("zz",)], "n string")
+    hist = {r.block: r.n for r in block_histogram(df, "n").collect()}
+    assert hist == {"bb": 2, "zz": 1}
