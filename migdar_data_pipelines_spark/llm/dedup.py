@@ -1179,3 +1179,129 @@ def duplicated_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def srp_planes(dim: int, nbits: int = 32) -> list[list[int]]:
+    """Deterministic signed-random-projection hyperplanes: an nbits x dim
+    matrix of +-1 derived from md5 parity, so any engine (or a re-run years
+    later) regenerates the identical planes from (dim, nbits) alone — the
+    same portability contract as the md5 minhash/HLL constants, materialized
+    Python-side because the planes are tiny compile-time constants, not
+    data."""
+    import hashlib
+
+    out = []
+    for j in range(nbits):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"srp:{j}:{i}".encode()).hexdigest()
+            row.append(1 if int(h[:8], 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def srp_lsh_near_dup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.99,
+    nbits: int = 128,
+    bands: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-dup pairs via signed random projections (Charikar 2002's
+    simhash for real vectors): candidates from banded bit-signature
+    collisions, verified with exact cosine — the blocking-free counterpart
+    to the label-cell-blocked ``embedding_near_dup`` family.
+
+    Each signature bit is sign(v . r_j) for a fixed +-1 hyperplane r_j
+    (``srp_planes``); two vectors disagree on a bit with probability
+    angle/pi, so at near-dup cosines the banded collision probability is
+    effectively 1 (exact duplicates collide with certainty — identical
+    vectors give identical signatures), while random pairs (cosine ~ 0,
+    p_diff ~ 0.5) collide in a b-bit band with probability 2^-b. Band
+    WIDTH is the candidate-volume knob and it matters more than total
+    bits: on the 4k-vector copy corpus, 4-bit bands admit 4.2M candidate
+    pairs where 16-bit bands admit 18k (measured) — at bigger corpora,
+    widen the bands (and add bands to hold recall: at 16 bits x 8 bands
+    the miss probability for a TRUE pair at cosine exactly 0.99 is
+    (1-0.955^16)^8 ~ 0.5%, and falls fast above it).
+
+    Shape at scale: the signature is one Arrow-batched numpy matmul
+    (vectors x planes^T) per batch — nbits dot products per row in
+    compiled BLAS, the same kernel-tier choice as ``simhash_fast`` (the
+    expression form is 32 interpreted ``aggregate(zip_with(...))`` passes
+    per row: higher-order functions skip whole-stage codegen, measured
+    28s -> 1.5s at sf0.1 for the matmul). Band keys are small integers,
+    so the candidate self-join shuffles (band, key, id) rows only; the
+    exact-cosine verify touches just the candidate pairs, broadcast
+    against the (id, vector) frame. Like every near-dup operator here:
+    never all-pairs.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rows_per_band = nbits // bands
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes_np = np.array(srp_planes(dim, nbits), dtype=np.float64)  # nbits x dim
+    # bit -> band-key packing as a matmul too: weight bit (b, r) by 2^(rows-1-r)
+    pack = np.zeros((nbits, bands))
+    for b in range(bands):
+        for r in range(rows_per_band):
+            pack[b * rows_per_band + r, b] = 1 << (rows_per_band - 1 - r)
+
+    @pandas_udf("array<long>")
+    def _band_keys(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy())  # n x dim
+        bits = (X @ planes_np.T) >= 0  # n x nbits
+        keys = bits.astype(np.int64) @ pack.astype(np.int64)  # n x bands
+        return pd.Series(list(keys))
+
+    v = F.col(vec_col)
+    sig = scoped_persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            v.alias("__v"),
+            F.posexplode(_band_keys(v)).alias("band", "key"),
+        )
+    )
+
+    left = sig.select("band", "key", F.col("id").alias("id_a"))
+    right = sig.select(
+        F.col("band").alias("band_r"),
+        F.col("key").alias("key_r"),
+        F.col("id").alias("id_b"),
+    )
+    cand = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_r"))
+            & (F.col("key") == F.col("key_r"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    vecs = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__vv"),
+        norm(F.col(vec_col)).alias("__vn"),
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(vecs, F.col("id_a") == F.col("__vid"))
+        .select("id_a", "id_b", F.col("__vv").alias("v_a"), F.col("__vn").alias("n_a"))
+        .join(vecs, F.col("id_b") == F.col("__vid"))
+        .select(
+            "id_a", "id_b", "v_a", "n_a",
+            F.col("__vv").alias("v_b"), F.col("__vn").alias("n_b"),
+        )
+    )
+    cos = F.try_divide(dot(F.col("v_a"), F.col("v_b")), F.col("n_a") * F.col("n_b"))
+    return (
+        scored.withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -3195,3 +3195,74 @@ def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_right_id",
         )
     )
+
+
+@register(
+    "srp_lsh_near_dup_embeddings",
+    sql=f"""
+WITH corpus AS (
+  SELECT vec_id AS id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings
+),
+scored AS (
+  SELECT x.id AS id_a, y.id AS id_b,
+         round({_COS.replace('qv', 'x.embedding').replace('cv', 'y.embedding')},
+               4) AS cosine
+  FROM corpus x, corpus y WHERE x.id < y.id
+)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.99
+""",
+)
+def srp_lsh_near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine LSH via signed random projections (llm/dedup.py::
+    srp_lsh_near_dup, Charikar 2002): banded 128-bit sign signatures from
+    deterministic md5-derived hyperplanes generate candidates, exact cosine
+    verifies — the BLOCKING-FREE near-dup rung (no label cells): the oracle
+    is the full quadratic answer, so the banded path must find every
+    qualifying pair. On this corpus every >=0.99 pair is an exact clone
+    (max off-diagonal cosine ~0.51), and identical vectors have identical
+    signatures, so LSH recall is exactly 1 — the query proves the
+    signature/banding/verify plumbing, not a probabilistic bound."""
+    from ..llm.dedup import srp_lsh_near_dup
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.unionByName(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    return srp_lsh_near_dup(
+        corpus, "embedding", "vec_id", threshold=0.99, nbits=128, bands=8, dim=64
+    )
+
+
+@register(
+    "streaming_enrich_events",
+    sql="""
+SELECT n.n_name AS nation_name,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def streaming_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment — the one streaming join family not
+    yet in the gate (stream-stream interval join is streaming_join_events):
+    readStream events joined to the static nation dim and aggregated per
+    nation, drained with AvailableNow. A stream-static equi-join is
+    STATELESS in Structured Streaming (each microbatch hash-joins against
+    the static side; nothing persists between batches) and the static side
+    broadcasts — at production scale this is the canonical enrich-then-
+    aggregate topology, and the only state is the running aggregate."""
+    from ..streaming import read_events_stream
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = stream.join(
+        F.broadcast(nation), stream["user_id"] % 25 == nation["n_nationkey"]
+    )
+    out = joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return _drain_stream(spark, out, "t_enrich", output_mode="complete")

@@ -192,3 +192,33 @@ def test_block_histogram_shape(spark):
     df = spark.createDataFrame([("aa bb",), ("abb",), ("zz",)], "n string")
     hist = {r.block: r.n for r in block_histogram(df, "n").collect()}
     assert hist == {"bb": 2, "zz": 1}
+
+
+# ---------------------------------------------------------------------------
+# SRP (signed-random-projection) cosine LSH
+# ---------------------------------------------------------------------------
+
+
+def test_srp_lsh_finds_clones_and_skips_distant(spark):
+    from migdar_data_pipelines_spark.llm.dedup import srp_lsh_near_dup
+
+    base = [float(i % 7) - 3 for i in range(16)]
+    other = [float((i * 3) % 5) - 2 for i in range(16)]
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "id long, v array<double>"
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in srp_lsh_near_dup(df, "v", "id", threshold=0.99, dim=16).collect()
+    }
+    assert got == {(1, 2): 1.0}  # clone pair found at cosine 1.0; distant skipped
+
+
+def test_srp_planes_deterministic(spark):
+    from migdar_data_pipelines_spark.llm.dedup import srp_planes
+
+    a, b = srp_planes(8, 16), srp_planes(8, 16)
+    assert a == b
+    assert all(v in (-1, 1) for row in a for v in row)
+    # planes differ across bits (not degenerate)
+    assert len({tuple(r) for r in a}) > 1
