@@ -1050,6 +1050,142 @@ def having_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouping_sets_orders",
+    sql="""
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+         AS gid,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — unlike CUBE (cube_orders_status_priority),
+    the set list is hand-picked: per-status, per-priority, and grand total,
+    WITHOUT the (status, priority) cross. One Expand node feeding a single
+    shuffle (3x row expansion instead of the cube's 4x), with GROUPING()
+    bits exposed as the subtotal discriminator — the unambiguous marker the
+    cube query's docstring defers to (a coalesced '(all)' cannot distinguish
+    a real NULL group from a subtotal row; gid can)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            )
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "scalar_subquery_small_parts",
+    sql="""
+SELECT l.l_partkey AS partkey,
+       CAST(count(*) AS BIGINT) AS n_small_lines,
+       round(sum(l.l_extendedprice), 2) AS small_revenue
+FROM lineitem l
+WHERE l.l_quantity < 0.5 * (
+  SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_partkey
+""",
+)
+def scalar_subquery_small_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17's correlated-scalar-subquery shape: lineitems whose quantity
+    is under half their part's average. The correlated aggregate decorrelates
+    to one per-part aggregate joined back to the fact scan — expressed here
+    directly in that decorrelated form (aggregate once, join once) rather
+    than per-row re-aggregation; the oracle states the correlated form and
+    DuckDB performs the same decorrelation, so both engines run the plan the
+    subquery MEANS. The per-part average frame is fact-key-sized, so the
+    join shuffles on l_partkey — co-partitioned with the aggregate that
+    produced it, which AQE reuses instead of re-exchanging."""
+    li = _t(spark, sf_dir, "lineitem")
+    avgs = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    return (
+        li.join(avgs, F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("__avg_qty"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+        )
+    )
+
+
+@register(
+    "null_safe_join_orders",
+    sql="""
+WITH o AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderstatus END AS st
+  FROM orders
+),
+d AS (
+  SELECT st, CAST(count(*) AS BIGINT) AS n_in_class
+  FROM o GROUP BY st
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       coalesce(d.st, '(open)') AS status_class,
+       max(d.n_in_class) AS class_size
+FROM o JOIN d ON o.st IS NOT DISTINCT FROM d.st
+GROUP BY d.st
+""",
+)
+def null_safe_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the status column is
+    nullified for open orders, then joined back to its own class sizes
+    treating NULL as a JOINABLE key value — a plain equality join would
+    silently drop every NULL row (NULL = NULL is NULL), the classic
+    disappearing-rows bug in CDC/SCD keys. Catalyst plans <=> as a regular
+    hash-join key (EqualNullSafe is an equi-join expression), so this costs
+    the same as the unsafe join rather than degenerating to a nested loop."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("st"),
+    )
+    d = o.groupBy(F.col("st").alias("__dst")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_in_class")
+    )
+    return (
+        o.join(d, F.col("st").eqNullSafe(F.col("__dst")))
+        .groupBy("__dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.max("n_in_class").alias("class_size"),
+        )
+        .select(
+            "n_orders",
+            F.coalesce("__dst", F.lit("(open)")).alias("status_class"),
+            "class_size",
+        )
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
