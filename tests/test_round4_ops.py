@@ -222,3 +222,66 @@ def test_srp_planes_deterministic(spark):
     assert all(v in (-1, 1) for row in a for v in row)
     # planes differ across bits (not degenerate)
     assert len({tuple(r) for r in a}) > 1
+
+
+# ---------------------------------------------------------------------------
+# Determinism under repartitioning (§5.2.4 pattern): the round-4 operators
+# must give identical results at any partition count.
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, n=40):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(12 + i % 5)))
+        for i in range(n)
+    ]
+    # seed real duplication: clone a block of docs
+    rows += [(100 + i, rows[i][1]) for i in range(8)]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_duplicated_spans_partition_invariant(spark, nparts):
+    df = _docs(spark).repartition(nparts)
+    got = sorted(
+        tuple(r) for r in duplicated_spans(df, "text", "id", k=5).collect()
+    )
+    ref = sorted(
+        tuple(r)
+        for r in duplicated_spans(_docs(spark).repartition(3), "text", "id", k=5)
+        .collect()
+    )
+    assert got == ref
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_unigram_lm_partition_invariant(spark, nparts):
+    df = _docs(spark).repartition(nparts)
+    got = {r.id: (r.n_tokens, r.nll) for r in unigram_lm_scores(df, "text", "id").collect()}
+    ref = {
+        r.id: (r.n_tokens, r.nll)
+        for r in unigram_lm_scores(_docs(spark).repartition(2), "text", "id").collect()
+    }
+    assert got == ref
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_srp_lsh_partition_invariant(spark, nparts):
+    from migdar_data_pipelines_spark.llm.dedup import srp_lsh_near_dup
+
+    vecs = [
+        (i, [float((i * 11 + j * 3) % 17) - 8 for j in range(16)]) for i in range(30)
+    ]
+    vecs += [(100 + i, vecs[i][1]) for i in range(10)]  # clones
+    df = spark.createDataFrame(vecs, "id long, v array<double>").repartition(nparts)
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in srp_lsh_near_dup(df, "v", "id", threshold=0.99, dim=16).collect()
+    )
+    assert len(got) >= 10  # every clone pair found regardless of partitioning
+    ref_df = spark.createDataFrame(vecs, "id long, v array<double>").repartition(4)
+    ref = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in srp_lsh_near_dup(ref_df, "v", "id", threshold=0.99, dim=16).collect()
+    )
+    assert got == ref
