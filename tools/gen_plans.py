@@ -28,6 +28,20 @@ PICK = {
     "embedding_topk_ivf": "IVF: probe only the query's cell",
     "classifier_score_documents": "In-scan model inference: zero exchange",
     "hll_distinct_orders": "HLL: algebraic partial aggregation, <=256-row exchange",
+    "substring_dup_spans_documents": (
+        "Substring dedup: map-side-combined gram counts, dup-residue join, "
+        "islands window over the residue only"
+    ),
+    "srp_lsh_near_dup_embeddings": (
+        "SRP cosine LSH: Arrow-matmul signatures, band-key self-join, "
+        "broadcast exact-cosine verify"
+    ),
+    "record_linkage_parts": (
+        "Blocked linkage: distinct-name rollup before the block join, "
+        "broadcast weight-join back to entities"
+    ),
+    "semi_join_late_orders": "EXISTS as LeftSemi: output bounded by probe side",
+    "bm25_topk_documents": "BM25: broadcast query terms over the postings scan",
 }
 
 KEEP_DETAIL = re.compile(

@@ -27,6 +27,10 @@ PICK = [
     ("incremental_dedup_documents", "batch x index", "hash probe + band probe"),
     ("dedup_exact_documents", "documents", "one hash groupBy"),
     ("classifier_score_documents", "documents", "scan-local expressions"),
+    ("substring_dup_spans_documents", "documents", "gram-count agg + dup-residue join"),
+    ("srp_lsh_near_dup_embeddings", "embedding corpus", "matmul signatures + band join"),
+    ("record_linkage_parts", "parts x corrupted copy", "distinct-name block join"),
+    ("unigram_lm_nll_documents", "documents", "token agg + broadcast LM join"),
 ]
 
 
