@@ -1078,7 +1078,18 @@ def positional_shingles(col: Column | str, k: int) -> Column:
     ``shingles`` (see its docstring for why not transform+slice), but keeps
     duplicates and alignment instead of distinct-ing — the span-merge
     consumer needs every occurrence and its offset."""
-    ws = words(col)
+    return positional_shingles_of_words(words(col), k)
+
+
+def positional_shingles_of_words(ws: Column, k: int) -> Column:
+    """``positional_shingles`` over an ALREADY-SPLIT word array column.
+
+    Callers that hold a materialized (cached) word array use this form so
+    the zip chain references the array k+1 times without re-running the
+    regex split each time: Catalyst inlines multiply-referenced projection
+    aliases, so building from a text column re-splits per reference
+    (measured 2.9s -> 0.9s on the sf0.1 shingle build going through a
+    persisted word frame)."""
     n = F.size(ws)
     acc = ws
     for j in range(1, k):
@@ -1116,11 +1127,16 @@ def duplicated_spans(
     """
     from pyspark.sql import Window
 
-    ws = words(text_col)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(ws).alias("n_words"),
-        positional_shingles(text_col, k).alias("grams"),
+    # split once into a cached narrow frame: every downstream reference
+    # (k+1 in the zip chain, the size(), the final doc-length join) reads
+    # the array instead of re-running the regex split
+    base_words = scoped_persist(
+        df.select(F.col(id_col).alias("id"), words(text_col).alias("__ws"))
+    )
+    base = base_words.select(
+        "id",
+        F.size("__ws").alias("n_words"),
+        positional_shingles_of_words(F.col("__ws"), k).alias("grams"),
     )
     occ = base.select(
         "id",
@@ -1164,7 +1180,7 @@ def duplicated_spans(
         )
     )
 
-    docs = df.select(F.col(id_col).alias("id"), F.size(ws).alias("n_words"))
+    docs = base_words.select("id", F.size("__ws").alias("n_words"))
     return (
         docs.join(spans.drop("n_words"), "id", "left")
         .select(
