@@ -62,4 +62,4 @@ from .curation import (  # noqa: F401
 )
 from .multimodal import binary_features, decode_stub  # noqa: F401
 from .pipeline import curate_corpus  # noqa: F401
-from .retrieval import bm25_topk, bm25_sql  # noqa: F401
+from .retrieval import bm25_topk, bm25_topk_df, bm25_sql, hybrid_rrf  # noqa: F401

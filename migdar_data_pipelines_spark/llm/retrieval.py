@@ -50,65 +50,23 @@ def bm25_topk(
     idf uses the standard Lucene/ES form ln(1 + (N - df + .5)/(df + .5)),
     which is positive even for terms present in most documents.
     """
-    ws = words(text_col)
-    # two-step projection: materialize the word array BELOW the Generate so
-    # dl reads the array length instead of re-running the regex split per
-    # exploded token (measured 5x on the postings aggregate)
-    base = docs.select(F.col(id_col).alias("id"), ws.alias("__ws"))
-    toks = base.select(
-        "id", F.size("__ws").alias("dl"), F.explode("__ws").alias("w")
-    )
-    postings = toks.groupBy("id", "dl", "w").agg(F.count(F.lit(1)).alias("tf"))
-
-    stats = base.select(F.size("__ws").alias("dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    dfreq = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-
-    qterms = (
-        spark.createDataFrame(queries, "query_id string, qtext string")
-        .select("query_id", F.explode(words("qtext")).alias("w"))
-        .distinct()
-    )
-
-    joined = (
-        postings.join(F.broadcast(qterms), "w")
-        .join(F.broadcast(dfreq), "w")
-        .crossJoin(F.broadcast(stats))
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tf_part = (F.col("tf") * (K1 + 1)) / (
-        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
-    )
-    scored = joined.groupBy("query_id", "id").agg(
-        F.sum(idf * tf_part).alias("__s")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.round(F.col("__s"), 6).desc(), F.col("id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select(
-            "query_id",
-            F.col("rank").cast("long").alias("rank"),
-            "id",
-            F.round("__s", 4).alias("score"),
-        )
-    )
+    qdf = spark.createDataFrame(queries, "query_id string, qtext string")
+    return bm25_topk_df(docs, qdf, text_col, id_col, topk=topk)
 
 
 def bm25_sql(
     queries: list[tuple[str, str]],
     topk: int = 5,
     docs_sql: str = "SELECT doc_id AS id, text FROM documents",
+    queries_sql: str | None = None,
 ) -> str:
     """DuckDB mirror of ``bm25_topk`` over the same corpus, generated from
-    the same constants so the two can only drift together."""
-    qvals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in queries)
+    the same constants so the two can only drift together. The query set is
+    either literal ``queries`` VALUES or a ``queries_sql`` subquery
+    (query-by-example, as ``hybrid_rrf`` uses)."""
+    if queries_sql is None:
+        qvals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in queries)
+        queries_sql = f"SELECT * FROM (VALUES {qvals}) AS q(query_id, qtext)"
     k1 = f"CAST({K1!r} AS DOUBLE)"
     b = f"CAST({B!r} AS DOUBLE)"
     return f"""
@@ -125,7 +83,7 @@ stats AS (SELECT count(*) AS n_docs,
                                      x -> x <> ''))) AS avgdl
           FROM docs),
 dfreq AS (SELECT w, count(*) AS df FROM postings GROUP BY w),
-q(query_id, qtext) AS (VALUES {qvals}),
+q AS ({queries_sql}),
 qterms AS (
   SELECT DISTINCT query_id,
          unnest(list_filter(string_split_regex(trim(qtext), '\\s+'), x -> x <> '')) AS w
@@ -150,3 +108,124 @@ ranked AS (
 SELECT query_id, CAST(rank AS BIGINT) AS rank, id, round(s, 4) AS score
 FROM ranked WHERE rank <= {topk}
 """
+
+
+def bm25_topk_df(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    topk: int = 5,
+) -> DataFrame:
+    """``bm25_topk`` with the query set as a DataFrame (query_id, qtext) —
+    the form query-by-example callers use (queries ARE corpus rows; nothing
+    is collected to the driver)."""
+    ws = words(text_col)
+    # two-step projection: materialize the word array BELOW the Generate so
+    # dl reads the array length instead of re-running the regex split per
+    # exploded token (measured 5x on the postings aggregate)
+    base = docs.select(F.col(id_col).alias("id"), ws.alias("__ws"))
+    toks = base.select(
+        "id", F.size("__ws").alias("dl"), F.explode("__ws").alias("w")
+    )
+    postings = toks.groupBy("id", "dl", "w").agg(F.count(F.lit(1)).alias("tf"))
+    stats = base.select(F.size("__ws").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = postings.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    qterms = queries.select(
+        "query_id", F.explode(words("qtext")).alias("w")
+    ).distinct()
+    joined = (
+        postings.join(F.broadcast(qterms), "w")
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = joined.groupBy("query_id", "id").agg(F.sum(idf * tf_part).alias("__s"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("__s"), 6).desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "id",
+            F.round("__s", 4).alias("score"),
+        )
+    )
+
+
+RRF_K = 60
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_ids: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    channel_k: int = 50,
+    topk: int = 5,
+) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: a lexical (BM25) and a
+    vector (exact cosine) channel each rank the corpus for query-by-example
+    doc ids; the fused score is sum over channels of 1/(RRF_K + rank)
+    (Cormack et al. 2009), missing channels contributing nothing.
+
+    RRF is the standard production fusion because it needs NO score
+    calibration between channels — only ranks, which are integers, which is
+    also why the fused surface is engine-exact: both channel rankings are
+    already deterministic (rounded score + id tie-break), and 1/(60+rank)
+    sums are identical doubles everywhere.
+
+    Scale shape: each channel broadcasts the tiny query side and caps
+    itself at channel_k per query before fusion, so the fusion join is
+    (queries x channel_k) rows — driver-free, shuffle-light. The per-query
+    ranking windows are the channels' own top-k machinery (at extreme
+    corpus sizes swap row_number for a TakeOrderedAndProject per query,
+    as ivf/cosine_topk do)."""
+    from .similarity import cosine_topk
+
+    q_txt = docs.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col(text_col).alias("qtext")
+    )
+    t_rank = bm25_topk_df(docs, q_txt, text_col, id_col, topk=channel_k).select(
+        "query_id", "id", F.col("rank").alias("rank_t")
+    )
+    q_vec = embeddings.filter(F.col(vec_id_col).isin(query_ids))
+    v_rank = cosine_topk(
+        q_vec,
+        embeddings,
+        vec_id_col,
+        vec_id_col,
+        query_vec=vec_col,
+        corpus_vec=vec_col,
+        k=channel_k,
+        exclude_self=False,
+    ).select(
+        "query_id", F.col("neighbour_id").alias("id"), F.col("rank").alias("rank_v")
+    )
+    fused = t_rank.join(v_rank, ["query_id", "id"], "full_outer")
+    rrf = F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rank_t")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(RRF_K) + F.col("rank_v")), F.lit(0.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(rrf, 9).desc(), F.col("id").asc()
+    )
+    return (
+        fused.withColumn("rrf_score", F.round(rrf, 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "id", "rrf_score")
+    )

@@ -3266,3 +3266,71 @@ def streaming_enrich_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return _drain_stream(spark, out, "t_enrich", output_mode="complete")
+
+
+_HYBRID_IDS = [7, 23, 41]
+_HYBRID_CHANNEL_K = 50
+
+
+def _install_hybrid_sql() -> None:
+    from ..llm.retrieval import bm25_sql
+
+    ids = ", ".join(str(i) for i in _HYBRID_IDS)
+    bm25 = bm25_sql(
+        [],
+        topk=_HYBRID_CHANNEL_K,
+        docs_sql="SELECT doc_id AS id, text FROM documents",
+        queries_sql=(
+            f"SELECT doc_id AS query_id, text AS qtext FROM documents"
+            f" WHERE doc_id IN ({ids})"
+        ),
+    )
+    cosx = _COS.replace("qv", "q.embedding").replace("cv", "c.embedding")
+    QUERIES["hybrid_rrf_documents"]["sql"] = f"""
+WITH rank_t AS (SELECT query_id, id, rank AS rank_t FROM ({bm25})),
+rank_v AS (
+  SELECT query_id, id, rank_v FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round({cosx}, 4) DESC, c.vec_id ASC) AS rank_v
+    FROM (SELECT * FROM embeddings WHERE vec_id IN ({ids})) q, embeddings c
+  ) WHERE rank_v <= {_HYBRID_CHANNEL_K}
+),
+f AS (
+  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+         coalesce(t.id, v.id) AS id,
+         coalesce(CAST(1 AS DOUBLE) / (60 + t.rank_t), 0)
+           + coalesce(CAST(1 AS DOUBLE) / (60 + v.rank_v), 0) AS rrf
+  FROM rank_t t FULL OUTER JOIN rank_v v
+    ON t.query_id = v.query_id AND t.id = v.id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(rrf, 9) DESC, id ASC) AS BIGINT)
+         AS rank,
+       id, round(rrf, 6) AS rrf_score
+FROM f
+QUALIFY rank <= 5
+"""
+
+
+@register("hybrid_rrf_documents", sql=None)  # SQL installed below (generated)
+def hybrid_rrf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (llm/retrieval.py::hybrid_rrf): BM25 lexical ranking and
+    exact-cosine vector ranking fused with reciprocal-rank fusion
+    (Cormack 2009) for query-by-example doc ids — the production retrieval
+    topology (ES + vector store) as one Spark plan. RRF needs only the
+    channels' integer ranks, so the fused surface is engine-exact; both
+    channels broadcast the 3-query side and cap at 50 before the fusion
+    full-outer join."""
+    from ..llm.retrieval import hybrid_rrf
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return hybrid_rrf(
+        d, e, _HYBRID_IDS, channel_k=_HYBRID_CHANNEL_K, topk=5
+    )
+
+
+_install_hybrid_sql()

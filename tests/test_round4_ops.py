@@ -285,3 +285,40 @@ def test_srp_lsh_partition_invariant(spark, nparts):
         for r in srp_lsh_near_dup(ref_df, "v", "id", threshold=0.99, dim=16).collect()
     )
     assert got == ref
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_rrf_fuses_both_channels(spark):
+    from migdar_data_pipelines_spark.llm import hybrid_rrf
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta delta"),   # strong lexical match to doc 1
+            (3, "epsilon zeta eta"),   # no lexical overlap with doc 1
+            (4, "alpha unrelated filler"),
+        ],
+        "doc_id long, text string",
+    )
+    # vector space disagrees with text: doc 3 is the vector twin of doc 1
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [1.0, 0.0, 0.001]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = hybrid_rrf(docs, vecs, [1], channel_k=4, topk=4).collect()
+    by_rank = {r.rank: r.id for r in got}
+    assert by_rank[1] == 1  # the query doc itself tops both channels
+    ids = {r.id for r in got}
+    assert {2, 3}.issubset(ids)  # both the lexical and the vector neighbour fused
+    # every rrf score is a sum of 1/(60+r) terms
+    for r in got:
+        assert 0 < r.rrf_score <= round(2 / 61, 6)
