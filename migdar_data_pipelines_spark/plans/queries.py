@@ -1186,6 +1186,116 @@ def null_safe_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "market_share_snowflake",
+    sql="""
+SELECT r.r_name AS region_name,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+       round(sum(CASE WHEN p.p_brand = 'Brand#4'
+                      THEN l.l_extendedprice * (1 - l.l_discount) END), 2)
+         AS brand_revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+       round(coalesce(sum(CASE WHEN p.p_brand = 'Brand#4'
+                               THEN l.l_extendedprice * (1 - l.l_discount) END), 0)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS brand_share
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+GROUP BY r.r_name, EXTRACT(year FROM o.o_orderdate)
+""",
+)
+def market_share_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8's market-share shape: a 7-table snowflake
+    (lineitem-orders-customer-nation-region, plus part and supplier on the
+    fact side) rolled up to brand revenue share per region-year — the widest
+    join plan in the registry. Join-order discipline at 100 TB: the two fact
+    tables (lineitem, orders) shuffle-join on orderkey ONCE; every
+    dimension — customer included at TPC-H's 1:10 fact ratio only when it
+    fits, else it's the second shuffle — reaches the plan as a broadcast,
+    so the fact rows are never exchanged more than the unavoidable
+    orderkey/custkey hops. Catalyst reorders the inner joins by size
+    estimates; the explicit broadcasts pin the dims so a bad stats estimate
+    can't demote them to shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part")
+    sp = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    brand_rev = F.when(F.col("p_brand") == "Brand#4", rev)
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        joined.groupBy(
+            F.col("r_name").alias("region_name"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.round(F.sum(brand_rev), 2).alias("brand_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(
+                F.coalesce(F.sum(brand_rev), F.lit(0)) / F.sum(rev), 4
+            ).alias("brand_share"),
+        )
+    )
+
+
+@register(
+    "incremental_agg_orders",
+    sql="""
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-status totals are NOT computed
+    by rescanning the full table — a 90% "base snapshot" is aggregated once
+    (standing for yesterday's materialized aggregate), the 10% "delta batch"
+    is aggregated alone, and the two PARTIAL states merge algebraically
+    (count+count, sum+sum, max of maxes). The oracle computes the full-scan
+    answer, so the gate proves merge(base_agg, delta_agg) == agg(base+delta)
+    — the algebra that lets a 100 TB nightly pipeline maintain aggregates by
+    touching only the day's delta. avg is deliberately derived from
+    (sum, count) AFTER the merge: avg itself is not algebraic."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 10 != 0)
+    delta = o.filter(F.col("o_orderkey") % 10 == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.round(F.sum("total_price"), 2).alias("total_price"),
+            F.round(F.max("max_price"), 2).alias("max_price"),
+        )
+    )
+    return merged
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
