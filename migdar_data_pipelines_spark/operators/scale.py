@@ -121,7 +121,9 @@ def key_distribution(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame
         counts.join(total)
         .withColumn("share", F.round(F.col("n") / F.col("__total"), 6))
         .drop("__total")
-        .orderBy(F.desc("n"))
+        # key tie-break: equal counts at the `top` boundary would otherwise
+        # make the cut partition-order-dependent
+        .orderBy(F.desc("n"), *keys)
         .limit(top)
     )
 

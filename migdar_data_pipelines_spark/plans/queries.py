@@ -1296,6 +1296,33 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
+@register(
+    "key_distribution_events",
+    sql="""
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts)
+SELECT user_id, n, round(n / CAST(t AS DOUBLE), 6) AS share
+FROM counts CROSS JOIN tot
+ORDER BY n DESC, user_id
+LIMIT 10
+""",
+)
+def key_distribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew pre-flight (operators/scale.py::key_distribution) as a gate
+    query: top-10 hottest join/agg keys with their share of total rows —
+    what you read before choosing salting or AQE skew hints. The total is a
+    broadcast 1-row cross join, NOT an empty-partitionBy window (that form
+    funnels all keys through one SinglePartition exchange); the top-10 is a
+    TakeOrdered, never a global sort. Count ties at the cut are broken by
+    key so the answer is partition-order-independent."""
+    from ..operators.scale import key_distribution
+
+    e = _t(spark, sf_dir, "events")
+    return key_distribution(e, ["user_id"], top=10)
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
