@@ -226,3 +226,83 @@ SELECT key, CAST(min(cnt) AS BIGINT) AS est
 FROM probes JOIN cells USING (row, bucket)
 GROUP BY key
 """
+
+
+def hll_distinct_by(df: DataFrame, group_cols: list[str], col: str | Column) -> DataFrame:
+    """Grouped portable approximate-distinct: one (group, hll_estimate,
+    n_registers_used) row per group — the sketch-as-aggregate form a 100 TB
+    rollup uses (per-source distinct users, per-day distinct documents).
+
+    Same register/rho/estimate arithmetic as the global ``hll_distinct``,
+    keyed by group: the exchange carries at most m=256 rows per (group,
+    partition) after map-side max-combining, and the estimate math runs as
+    plain expressions on the m-row-per-group state — no per-group driver
+    work, no UDAF. The per-group state remains union-able across shards and
+    engines by re-aggregating max per (group, register)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c.cast("string"))
+    j = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    regs = (
+        df.select(*group_cols, j.alias("register"), _rho(h).alias("rho"))
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+    m = float(M_REGISTERS)
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("zp"),
+        F.count(F.lit(1)).alias("used"),
+    )
+    z = F.col("zp") + (F.lit(m) - F.col("used"))
+    e_raw = F.lit(ALPHA) * F.lit(m * m) / z
+    v = F.lit(m) - F.col("used")
+    e = F.when((e_raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)).otherwise(
+        e_raw
+    )
+    return agg.select(
+        *group_cols,
+        F.round(e, 4).alias("hll_estimate"),
+        F.col("used").cast("long").alias("n_registers_used"),
+    )
+
+
+def hll_by_sql(expr: str, group_expr: str, from_sql: str) -> str:
+    """DuckDB mirror of ``hll_distinct_by`` grouped by ``group_expr``,
+    generated from the same constants."""
+    a = f"CAST({ALPHA!r} AS DOUBLE)"
+    m = f"CAST({float(M_REGISTERS)!r} AS DOUBLE)"
+    m2 = f"CAST({float(M_REGISTERS) ** 2!r} AS DOUBLE)"
+    thr = f"CAST({2.5 * M_REGISTERS!r} AS DOUBLE)"
+    hexpos = "strpos('0123456789abcdef', substr(t, z + 1, 1)) - 1"
+    j = (
+        "(strpos('0123456789abcdef', substr(h,1,1))-1)*16"
+        " + (strpos('0123456789abcdef', substr(h,2,1))-1)"
+    )
+    return f"""
+WITH hx AS (SELECT {group_expr} AS g, md5(CAST({expr} AS VARCHAR)) AS h
+            FROM {from_sql}),
+parts AS (
+  SELECT g, {j} AS register, substr(h, 3, {_TAIL_HEX}) AS t FROM hx
+), zc AS (
+  SELECT g, register, t, len(regexp_extract(t, '^(0*)', 1)) AS z FROM parts
+), rho AS (
+  SELECT g, register,
+         CASE WHEN t = '{'0' * _TAIL_HEX}' THEN {4 * _TAIL_HEX + 1}
+              ELSE 4*z + CASE WHEN ({hexpos}) >= 8 THEN 0
+                              WHEN ({hexpos}) >= 4 THEN 1
+                              WHEN ({hexpos}) >= 2 THEN 2
+                              ELSE 3 END + 1 END AS r
+  FROM zc
+), regs AS (
+  SELECT g, register, max(r) AS max_rho FROM rho GROUP BY g, register
+), agg AS (
+  SELECT g, sum(power(2.0, -max_rho)) AS zp, count(*) AS used
+  FROM regs GROUP BY g
+)
+SELECT g, round(CASE WHEN {a} * {m2} / (zp + ({m} - used)) <= {thr}
+                      AND ({m} - used) > 0
+                THEN {m} * ln({m} / ({m} - used))
+                ELSE {a} * {m2} / (zp + ({m} - used))
+           END, 4) AS hll_estimate,
+       CAST(used AS BIGINT) AS n_registers_used
+FROM agg
+"""

@@ -3334,3 +3334,46 @@ def hybrid_rrf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_hybrid_sql()
+
+
+def _install_hll_by_sql() -> None:
+    from ..operators.sketches import hll_by_sql
+
+    QUERIES["hll_distinct_by_status"]["sql"] = f"""
+WITH est AS ({hll_by_sql("o_custkey", "o_orderstatus", "orders")}),
+tru AS (SELECT o_orderstatus AS g, CAST(count(DISTINCT o_custkey) AS BIGINT)
+               AS exact_distinct
+        FROM orders GROUP BY o_orderstatus)
+SELECT t.g AS status, t.exact_distinct, e.hll_estimate, e.n_registers_used
+FROM tru t JOIN est e ON t.g = e.g
+"""
+
+
+@register("hll_distinct_by_status", sql=None)  # SQL installed below (generated)
+def hll_distinct_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED portable HLL (operators/sketches.py::hll_distinct_by):
+    approximate distinct customers per order status next to the exact
+    count, both oracle-checked — the sketch-as-aggregate form a 100 TB
+    rollup uses. The exchange carries <= 256 register rows per group after
+    map-side max-combining; the estimate is plain expressions over that
+    state (no UDAF, no per-group driver work), and the per-group register
+    state stays shard/engine-mergeable."""
+    from ..operators.sketches import hll_distinct_by
+
+    o = _t(spark, sf_dir, "orders")
+    est = hll_distinct_by(o, ["o_orderstatus"], "o_custkey")
+    tru = o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return (
+        tru.join(est, "o_orderstatus")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            "exact_distinct",
+            "hll_estimate",
+            "n_registers_used",
+        )
+    )
+
+
+_install_hll_by_sql()

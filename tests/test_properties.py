@@ -259,3 +259,64 @@ def test_range_join_matches_naive(spark, points, iv, width):
         if s <= x <= s + ln
     }
     assert got == naive
+
+
+# ------------------------------------------------------------------ CMS
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.sampled_from([f"k{i}" for i in range(12)]), min_size=1, max_size=60)
+)
+def test_cms_estimate_is_always_an_upper_bound(spark, keys):
+    """Count-min estimates can only over-count (hash collisions merge cells,
+    never split them): est(key) >= true count for every key, and the total
+    over all cells of one hash row equals the input size exactly."""
+    from collections import Counter
+
+    from migdar_data_pipelines_spark.operators.sketches import (
+        CMS_DEPTH,
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "u string")
+    sk = cms_sketch(df, "u")
+    cells = sk.collect()
+    assert sum(c.cnt for c in cells) == len(keys) * CMS_DEPTH
+    truth = Counter(keys)
+    est = {
+        r.key: r.est
+        for r in cms_estimate(df.select("u").distinct(), "u", sk).collect()
+    }
+    assert set(est) == set(truth)
+    for k, true_n in truth.items():
+        assert est[k] >= true_n
+
+
+# ------------------------------------------------------------------ linkage
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh ", min_size=1, max_size=12),
+            st.text(alphabet="abcdefgh ", min_size=1, max_size=12),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_levenshtein_matches_duckdb(spark, pairs):
+    """The linkage verify step assumes Spark's levenshtein IS DuckDB's:
+    identical plain edit distance on arbitrary strings (the cross-engine
+    contract record_linkage_parts relies on)."""
+    import duckdb
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [
+        r["d"] for r in df.select(F.levenshtein("a", "b").alias("d")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.sql("SELECT levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+        for a, b in pairs
+    ]
+    assert got == want
