@@ -1323,6 +1323,85 @@ def key_distribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_distribution(e, ["user_id"], top=10)
 
 
+@register(
+    "customer_order_distribution",
+    sql="""
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM per_cust GROUP BY n_orders
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13's shape: the histogram of join fan-out — orders-per-customer
+    counted through a LEFT OUTER join so zero-order customers keep a bucket
+    (count(o_orderkey) skips the null from the preserved side; count(*)
+    would wrongly give them 1). Two aggregations: the first shuffles on
+    custkey (or rides the join's own exchange), the second is a tiny
+    histogram over customer-cardinality rows. The outer join is the load-
+    bearing choice: an inner join silently deletes the zero bucket, the
+    classic fan-out-analysis bug."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+
+
+@register(
+    "top_supplier_revenue",
+    sql="""
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15's shape: the supplier(s) achieving MAX aggregated revenue,
+    ties included — a scalar aggregate over an aggregate, NOT a top-1 limit
+    (LIMIT 1 drops tied winners nondeterministically; the = max() predicate
+    keeps them all, which is why q15 is specified this way). The revenue
+    frame is supplier-cardinality, so the max is a 1-row broadcast cross
+    join against it and the winner join touches the supplier dim once.
+    Revenue is rounded BEFORE the max comparison on both sides so the
+    equality predicate compares identical doubles."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = F.broadcast(rev.agg(F.max("total_revenue").alias("__mx")))
+    return (
+        rev.join(mx)
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
