@@ -3377,3 +3377,110 @@ def hll_distinct_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_hll_by_sql()
+
+
+@register(
+    "quality_threshold_sweep_documents",
+    sql=f"""
+WITH q AS (
+  SELECT doc_id,
+         round(0.25 * (
+           least(len({_W}) / 100.0, 1.0)
+           + CASE WHEN len({_W}) > 0 AND CAST(len(text) AS DOUBLE) / len({_W}) >= 3
+                       AND CAST(len(text) AS DOUBLE) / len({_W}) <= 10
+                  THEN 1.0 ELSE 0.5 END
+           + least(CASE WHEN len({_W}) > 0
+                        THEN CAST(len(list_filter({_W}, x -> lower(x) IN
+                             ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                             / len({_W}) ELSE 0.0 END * 5.0, 1.0)
+           + greatest(0.0, 1.0 - CASE WHEN len(text) > 0
+                 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                      / len(text) ELSE 0.0 END * 5.0)
+         ), 4) AS quality
+  FROM documents
+),
+b AS (
+  SELECT CAST(floor(quality / 0.05) AS BIGINT) * 5 AS bucket_pct,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM q GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM b)
+SELECT bucket_pct, n_docs,
+       round(sum(n_docs) OVER (ORDER BY bucket_pct DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(t AS DOUBLE), 4) AS keep_frac_at_threshold
+FROM b CROSS JOIN tot
+""",
+)
+def quality_threshold_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipe calibration: the keep-rate curve for the quality filter — for
+    each 0.05-grain score bucket, how much of the corpus survives a
+    threshold set there (descending cumulative share). This is the query a
+    data team runs BEFORE picking corpus_filter's 0.7 cutoff; the scan-local
+    score buckets into a ~20-row frame, so the cumulative window is over
+    bucket-cardinality rows (the single-partition window is fine BECAUSE the
+    frame is tiny — the corpus-sized work is all in the scan)."""
+    from ..llm.textanalysis import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    b = (
+        d.select(
+            (F.floor(quality_score("text") / 0.05).cast("long") * 5).alias(
+                "bucket_pct"
+            )
+        )
+        .groupBy("bucket_pct")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = F.broadcast(b.agg(F.sum("n_docs").cast("long").alias("__t")))
+    w = (
+        Window.orderBy(F.desc("bucket_pct"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.crossJoin(tot)
+        .withColumn(
+            "keep_frac_at_threshold",
+            F.round(F.sum("n_docs").over(w) / F.col("__t"), 4),
+        )
+        .drop("__t")
+    )
+
+
+@register(
+    "token_budget_by_source",
+    sql=f"""
+WITH t AS (
+  SELECT source, CAST(sum(len({_W})) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(total AS DOUBLE), 4) AS token_share
+FROM t CROSS JOIN tot
+""",
+)
+def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-budget rollup every training run starts from: tokens and
+    docs per source with each source's share of the corpus — the input to
+    mix_sources' sampling fractions. Scan-local token counts into a
+    source-cardinality aggregate; the total is a broadcast 1-row cross
+    join (same Exchange-free shape as key_distribution)."""
+    from ..llm.textanalysis import words as _words
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(_words("text"))).cast("long").alias("n_tokens"),
+    )
+    tot = F.broadcast(t.agg(F.sum("n_tokens").cast("long").alias("__total")))
+    return (
+        t.crossJoin(tot)
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("__total"), 4).alias("token_share"),
+        )
+    )
