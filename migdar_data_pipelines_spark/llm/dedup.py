@@ -1115,8 +1115,8 @@ def duplicated_spans(
     overlapping [pos, pos+k-1] word intervals per document recovers exactly
     the maximal repeated regions at k-word resolution.
 
-    Shape at scale: one explode of (id, pos, md5(gram)) — 16-byte fixed
-    keys, never the gram text. Gram multiplicity is a map-side-combinable
+    Shape at scale: one explode of (id, pos, hash(gram)) — 8-byte xxhash64
+    keys (engine-internal; see the inline comment), never the gram text. Gram multiplicity is a map-side-combinable
     groupBy (NOT a count-over-window: boilerplate corpora have hot grams,
     and a window shuffles every occurrence of a hot key to one task with a
     sort, where the combiner collapses them before the exchange); positions
@@ -1259,7 +1259,14 @@ def srp_lsh_near_dup(
 
     rows_per_band = nbits // bands
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        # inspecting the data for the dimension costs a driver action and
+        # cannot work on an empty frame — callers on a hot path pass dim
+        head = df.select(vec_col).head(1)
+        if not head:
+            return df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        dim = len(head[0][0])
     planes_np = np.array(srp_planes(dim, nbits), dtype=np.float64)  # nbits x dim
     # bit -> band-key packing as a matmul too: weight bit (b, r) by 2^(rows-1-r)
     pack = np.zeros((nbits, bands))
@@ -1275,10 +1282,12 @@ def srp_lsh_near_dup(
         return pd.Series(list(keys))
 
     v = F.col(vec_col)
+    # the persisted band frame carries (id, band, key) ONLY — including the
+    # vector here would cache `bands` redundant copies of every embedding;
+    # the verify step re-reads vectors from the source frame instead
     sig = scoped_persist(
         df.select(
             F.col(id_col).alias("id"),
-            v.alias("__v"),
             F.posexplode(_band_keys(v)).alias("band", "key"),
         )
     )

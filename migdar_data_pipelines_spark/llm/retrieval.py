@@ -65,7 +65,14 @@ def bm25_sql(
     either literal ``queries`` VALUES or a ``queries_sql`` subquery
     (query-by-example, as ``hybrid_rrf`` uses)."""
     if queries_sql is None:
-        qvals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in queries)
+        if not queries:
+            raise ValueError("bm25_sql needs queries or queries_sql")
+        qvals = ", ".join(
+            "('{}', '{}')".format(
+                str(qid).replace("'", "''"), str(qt).replace("'", "''")
+            )
+            for qid, qt in queries
+        )
         queries_sql = f"SELECT * FROM (VALUES {qvals}) AS q(query_id, qtext)"
     k1 = f"CAST({K1!r} AS DOUBLE)"
     b = f"CAST({B!r} AS DOUBLE)"
@@ -120,15 +127,22 @@ def bm25_topk_df(
     """``bm25_topk`` with the query set as a DataFrame (query_id, qtext) —
     the form query-by-example callers use (queries ARE corpus rows; nothing
     is collected to the driver)."""
+    from ..operators.caching import scoped_persist
+
     ws = words(text_col)
     # two-step projection: materialize the word array BELOW the Generate so
     # dl reads the array length instead of re-running the regex split per
-    # exploded token (measured 5x on the postings aggregate)
-    base = docs.select(F.col(id_col).alias("id"), ws.alias("__ws"))
+    # exploded token (measured 5x on the postings aggregate); persist base
+    # and postings because each feeds two+ consumers (stats reads base,
+    # dfreq AND the scoring join read postings) — without the persist the
+    # corpus split+explode+aggregate pipeline runs ~3x per query set
+    base = scoped_persist(docs.select(F.col(id_col).alias("id"), ws.alias("__ws")))
     toks = base.select(
         "id", F.size("__ws").alias("dl"), F.explode("__ws").alias("w")
     )
-    postings = toks.groupBy("id", "dl", "w").agg(F.count(F.lit(1)).alias("tf"))
+    postings = scoped_persist(
+        toks.groupBy("id", "dl", "w").agg(F.count(F.lit(1)).alias("tf"))
+    )
     stats = base.select(F.size("__ws").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )

@@ -126,8 +126,12 @@ def unigram_lm_scores(df, text_col: str, id_col: str):
     """
     from pyspark.sql import DataFrame, functions as F  # noqa: F811
 
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+    from ..operators.caching import scoped_persist
+
+    # toks feeds both the vocabulary aggregate and the scoring join; persist
+    # so the corpus split+explode runs once per invocation
+    toks = scoped_persist(
+        df.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w"))
     )
     counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
     totals = counts.agg(

@@ -51,23 +51,27 @@ def _rho(h: Column) -> Column:
     )
 
 
-def hll_registers(df: DataFrame, col: str | Column) -> DataFrame:
-    """(register, max_rho) rows — the integer-exact sketch state. Union-able
-    across shards/engines by re-aggregating max per register."""
+def _hll_registers_by(
+    df: DataFrame, group_cols: list[str], col: str | Column
+) -> DataFrame:
+    """(group..., register, max_rho) sketch state; group_cols=[] is the
+    global sketch. Union-able across shards/engines by re-aggregating max
+    per (group, register)."""
     c = F.col(col) if isinstance(col, str) else col
     h = F.md5(c.cast("string"))
     j = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     return (
-        df.select(j.alias("register"), _rho(h).alias("rho"))
-        .groupBy("register")
+        df.select(*group_cols, j.alias("register"), _rho(h).alias("rho"))
+        .groupBy(*group_cols, "register")
         .agg(F.max("rho").alias("max_rho"))
     )
 
 
-def hll_estimate(registers: DataFrame) -> DataFrame:
-    """One-row (hll_estimate, n_registers_used) from hll_registers output."""
+def _hll_estimate_by(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group..., hll_estimate, n_registers_used) from register state — the
+    single home of the estimate arithmetic (global = group_cols=[])."""
     m = float(M_REGISTERS)
-    agg = registers.agg(
+    agg = registers.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("zp"),
         F.count(F.lit(1)).alias("used"),
     )
@@ -78,9 +82,20 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         e_raw
     )
     return agg.select(
+        *group_cols,
         F.round(e, 4).alias("hll_estimate"),
         F.col("used").cast("long").alias("n_registers_used"),
     )
+
+
+def hll_registers(df: DataFrame, col: str | Column) -> DataFrame:
+    """(register, max_rho) rows — the integer-exact global sketch state."""
+    return _hll_registers_by(df, [], col)
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One-row (hll_estimate, n_registers_used) from hll_registers output."""
+    return _hll_estimate_by(registers, [])
 
 
 def hll_distinct(df: DataFrame, col: str | Column) -> DataFrame:
@@ -89,47 +104,13 @@ def hll_distinct(df: DataFrame, col: str | Column) -> DataFrame:
 
 
 def hll_sql(expr: str, from_sql: str) -> str:
-    """DuckDB mirror: the identical register/rho/estimate arithmetic over
-    ``SELECT {expr} FROM {from_sql}``. Kept beside the Spark form so the two
-    can only drift together."""
-    # bare decimal literals are DECIMAL in DuckDB (whose multiply overflows
-    # at these widths) — every float constant is cast to DOUBLE explicitly
-    a = f"CAST({ALPHA!r} AS DOUBLE)"
-    m = f"CAST({float(M_REGISTERS)!r} AS DOUBLE)"
-    m2 = f"CAST({float(M_REGISTERS) ** 2!r} AS DOUBLE)"
-    thr = f"CAST({2.5 * M_REGISTERS!r} AS DOUBLE)"
-    hexpos = "strpos('0123456789abcdef', substr(t, z + 1, 1)) - 1"
-    j = (
-        "(strpos('0123456789abcdef', substr(h,1,1))-1)*16"
-        " + (strpos('0123456789abcdef', substr(h,2,1))-1)"
+    """DuckDB mirror of the GLOBAL sketch: the grouped generator with a
+    constant group, projected away — one home for the SQL arithmetic too."""
+    return (
+        "SELECT hll_estimate, n_registers_used FROM ("
+        + hll_by_sql(expr, "1", from_sql)
+        + ")"
     )
-    return f"""
-WITH hx AS (SELECT md5(CAST({expr} AS VARCHAR)) AS h FROM {from_sql}),
-parts AS (
-  SELECT {j} AS register, substr(h, 3, {_TAIL_HEX}) AS t FROM hx
-), zc AS (
-  SELECT register, t, len(regexp_extract(t, '^(0*)', 1)) AS z FROM parts
-), rho AS (
-  SELECT register,
-         CASE WHEN t = '{'0' * _TAIL_HEX}' THEN {4 * _TAIL_HEX + 1}
-              ELSE 4*z + CASE WHEN ({hexpos}) >= 8 THEN 0
-                              WHEN ({hexpos}) >= 4 THEN 1
-                              WHEN ({hexpos}) >= 2 THEN 2
-                              ELSE 3 END + 1 END AS r
-  FROM zc
-), regs AS (
-  SELECT register, max(r) AS max_rho FROM rho GROUP BY register
-), agg AS (
-  SELECT sum(power(2.0, -max_rho)) AS zp, count(*) AS used FROM regs
-)
-SELECT round(CASE WHEN {a} * {m2} / (zp + ({m} - used)) <= {thr}
-                   AND ({m} - used) > 0
-             THEN {m} * ln({m} / ({m} - used))
-             ELSE {a} * {m2} / (zp + ({m} - used))
-        END, 4) AS hll_estimate,
-       CAST(used AS BIGINT) AS n_registers_used
-FROM agg
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -178,7 +159,11 @@ def cms_estimate(keys: DataFrame, col: str | Column, sketch: DataFrame) -> DataF
     """Point estimates for a candidate key set: est(key) = min over rows of
     the key's cell count (an upper bound on the true count; never under).
     The sketch is broadcast (it is at most 1024 cells), so estimation is a
-    broadcast join over the candidate scan."""
+    broadcast join over the candidate scan. The join is LEFT with empty
+    cells counted as 0: a probe key absent from the sketched data must
+    estimate as 0 when ANY of its cells is untouched (zero-count cells are
+    simply missing rows in the sparse state) — an inner join would silently
+    drop such keys, or worse return min over only the colliding cells."""
     c = F.col(col) if isinstance(col, str) else col
     probes = keys.select(
         c.alias("key"),
@@ -194,9 +179,9 @@ def cms_estimate(keys: DataFrame, col: str | Column, sketch: DataFrame) -> DataF
         ).alias("cell"),
     ).select("key", "cell.row", "cell.bucket")
     return (
-        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy("key")
-        .agg(F.min("cnt").cast("long").alias("est"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
     )
 
 
@@ -239,30 +224,7 @@ def hll_distinct_by(df: DataFrame, group_cols: list[str], col: str | Column) -> 
     plain expressions on the m-row-per-group state — no per-group driver
     work, no UDAF. The per-group state remains union-able across shards and
     engines by re-aggregating max per (group, register)."""
-    c = F.col(col) if isinstance(col, str) else col
-    h = F.md5(c.cast("string"))
-    j = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
-    regs = (
-        df.select(*group_cols, j.alias("register"), _rho(h).alias("rho"))
-        .groupBy(*group_cols, "register")
-        .agg(F.max("rho").alias("max_rho"))
-    )
-    m = float(M_REGISTERS)
-    agg = regs.groupBy(*group_cols).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("zp"),
-        F.count(F.lit(1)).alias("used"),
-    )
-    z = F.col("zp") + (F.lit(m) - F.col("used"))
-    e_raw = F.lit(ALPHA) * F.lit(m * m) / z
-    v = F.lit(m) - F.col("used")
-    e = F.when((e_raw <= 2.5 * m) & (v > 0), F.lit(m) * F.log(F.lit(m) / v)).otherwise(
-        e_raw
-    )
-    return agg.select(
-        *group_cols,
-        F.round(e, 4).alias("hll_estimate"),
-        F.col("used").cast("long").alias("n_registers_used"),
-    )
+    return _hll_estimate_by(_hll_registers_by(df, group_cols, col), group_cols)
 
 
 def hll_by_sql(expr: str, group_expr: str, from_sql: str) -> str:

@@ -3081,9 +3081,12 @@ def cms_user_frequency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _install_cms_sql()
 
 
+from ..operators.linkage import phonetic_block_key_sql as _blk_sql
+
+
 @register(
     "record_linkage_parts",
-    sql="""
+    sql=f"""
 WITH corrupted AS (
   SELECT p_partkey + 100000 AS right_id,
          CASE
@@ -3098,12 +3101,10 @@ WITH corrupted AS (
   FROM part
 ),
 l AS (SELECT p_partkey AS left_id, p_name AS name,
-             substr(regexp_replace(lower(p_name), '[^bcdfghjklmnpqrstvwxz]', '', 'g'),
-                    1, 3) AS blk
+             {_blk_sql('p_name')} AS blk
       FROM part),
 r AS (SELECT right_id, name,
-             substr(regexp_replace(lower(name), '[^bcdfghjklmnpqrstvwxz]', '', 'g'),
-                    1, 3) AS blk
+             {_blk_sql('name')} AS blk
       FROM corrupted),
 pairs AS (
   SELECT l.left_id, r.right_id, levenshtein(l.name, r.name) AS dist

@@ -66,13 +66,18 @@ def test_semi_anti_join_plans(spark, sf_dir):
 
 def test_having_filter_sits_between_agg_and_join(spark, sf_dir):
     plan = _formatted_plan(query_fns()["having_big_spenders"](spark, sf_dir))
-    # the spend threshold must be applied to the aggregated frame (a Filter
-    # above HashAggregate), not re-evaluated after the customer join: the
-    # aggregate appears below the join in the plan tree, and no customer
-    # column is involved in the threshold filter
-    agg_pos = plan.find("HashAggregate")
-    join_pos = plan.find("Join")
-    assert agg_pos != -1 and join_pos != -1
+    # the spend threshold must be applied to the aggregated frame BEFORE the
+    # customer join: in the printed tree (root first) that is
+    # Join > Filter > HashAggregate, i.e. the join prints above a Filter
+    # that prints above the final aggregate
+    tree = plan.split("\n\n")[0]
+    join_pos = tree.find("Join")
+    assert join_pos != -1
+    filter_pos = tree.find("Filter", join_pos)
+    assert filter_pos != -1, tree
+    agg_pos = tree.find("HashAggregate", filter_pos)
+    assert agg_pos != -1, tree
+    assert join_pos < filter_pos < agg_pos
 
 
 def test_record_linkage_rolls_up_before_blocking(spark, sf_dir):

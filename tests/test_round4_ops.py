@@ -322,3 +322,19 @@ def test_hybrid_rrf_fuses_both_channels(spark):
     # every rrf score is a sum of 1/(60+r) terms
     for r in got:
         assert 0 < r.rrf_score <= round(2 / 61, 6)
+
+
+def test_cms_absent_key_estimates_zero(spark):
+    from migdar_data_pipelines_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    df = spark.createDataFrame([("present",)] * 4, "u string")
+    sk = cms_sketch(df, "u")
+    probes = spark.createDataFrame([("present",), ("never-seen-key",)], "u string")
+    est = {r.key: r.est for r in cms_estimate(probes, "u", sk).collect()}
+    # the absent key must appear, and with all (or any) cells untouched its
+    # min-over-cells estimate is 0 — not a dropped row, not a collision count
+    assert est["present"] == 4
+    assert est["never-seen-key"] == 0
