@@ -1402,6 +1402,55 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "observed_pipeline_metrics",
+    sql="""
+SELECT CAST(count(*) AS BIGINT) AS rows_in,
+       CAST(count(*) FILTER (l_discount >= 0.05) AS BIGINT) AS rows_kept,
+       round(sum(l_extendedprice) FILTER (l_discount >= 0.05), 2) AS kept_price
+FROM lineitem
+""",
+)
+def observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via Spark's Observation API: rows-in /
+    rows-kept / kept-value metrics collected as a SIDE CHANNEL of one real
+    filter pass — the engine-native form of the reference's per-stage
+    datapackage fingerprints ({count_of_rows, bytes, hash} per dumped
+    resource, QUICKSTART.md:312-315). ``observe`` attaches accumulator-
+    backed aggregates to the plan, so the metrics cost nothing beyond the
+    pass that runs anyway and arrive exact (unlike sampled listener
+    metrics); at 100 TB this is how a curation pipeline reports
+    rows-dropped-per-rule without a second scan. The observed values are
+    driver-side BY DESIGN (a handful of scalars) and returned as the
+    1-row result."""
+    from pyspark.sql import Observation
+
+    li = _t(spark, sf_dir, "lineitem")
+    obs_in = Observation("in")
+    obs_kept = Observation("kept")
+    passed = (
+        li.observe(obs_in, F.count(F.lit(1)).alias("rows_in"))
+        .filter(F.col("l_discount") >= 0.05)
+        .observe(
+            obs_kept,
+            F.count(F.lit(1)).alias("rows_kept"),
+            F.round(F.sum("l_extendedprice"), 2).alias("kept_price"),
+        )
+    )
+    passed.write.format("noop").mode("overwrite").save()  # the real pass
+    row = {**obs_in.get, **obs_kept.get}
+    return spark.createDataFrame(
+        [
+            (
+                int(row["rows_in"]),
+                int(row["rows_kept"]),
+                float(row["kept_price"]),
+            )
+        ],
+        "rows_in long, rows_kept long, kept_price double",
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
