@@ -1451,6 +1451,59 @@ def observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "date_spine_gap_fill_events",
+    sql="""
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+  FROM bounds
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM events GROUP BY 1
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       coalesce(d.n_events, 0) AS n_events,
+       coalesce(d.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+""",
+)
+def date_spine_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: daily event rollups where days with NO
+    events still appear as zero rows — the complement of forward_fill
+    (which fills VALUES inside existing rows; this materializes the missing
+    ROWS, which time-series charts/joins downstream require). The spine is
+    sequence() over the observed [min, max] date bounds exploded from ONE
+    1-row aggregate — never a driver-side date loop — and the daily
+    aggregate left-joins onto it. At 100 TB the spine is still only
+    date-cardinality rows, so it broadcasts; the fact-side work is one
+    map-side-combinable daily aggregate."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
