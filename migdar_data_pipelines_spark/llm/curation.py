@@ -474,3 +474,35 @@ __all__ = [
     "mix_sources",
     "pack_sequences",
 ]
+
+
+def stratified_fixed_n(
+    df,
+    group_col: str,
+    id_col: str,
+    n_per_group: int,
+    hex_digits: int = 6,
+):
+    """Exactly-N-per-group deterministic sampling: within each group, rank
+    rows by their md5 id-hash (with the id as tie-break) and keep the first
+    ``n_per_group`` — the balanced-eval-set / per-source-cap primitive that
+    fraction-based sampling (``deterministic_sample``, ``mix_sources``)
+    cannot express (a fraction drifts with group size; a cap doesn't).
+
+    The hash order is uniform-random-LIKE but stable across partitioning,
+    retries, and engines, so the selected set is reproducible and adding
+    rows to a group only swaps members whose hash falls inside the cut.
+    One window shuffle keyed by group; groups larger than executor memory
+    don't matter (row_number is streaming) — but a HOT group still funnels
+    to one task, so at extreme skew pre-filter with an approximate
+    per-group hash threshold before the exact window."""
+    from pyspark.sql import Window, functions as F  # noqa: F811
+
+    w = Window.partitionBy(group_col).orderBy(
+        md5_bucket(id_col, hex_digits), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )

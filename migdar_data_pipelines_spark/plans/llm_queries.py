@@ -3485,3 +3485,49 @@ def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_tokens") / F.col("__total"), 4).alias("token_share"),
         )
     )
+
+
+@register(
+    "stratified_sample_documents",
+    sql=f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {md5_bucket_sql('doc_id')}, doc_id) AS rk
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(min(doc_id) AS BIGINT) AS min_id,
+       CAST(max(doc_id) AS BIGINT) AS max_id,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+         AS member_digest
+FROM ranked WHERE rk <= 20
+GROUP BY source
+""",
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-group sampling (llm/curation.py::stratified_fixed_n):
+    20 docs per source selected by stable md5-hash order — the balanced
+    eval-set primitive fractions can't express. The gate compares an
+    order-insensitive digest of the SELECTED MEMBER SET per source, so the
+    check proves both engines pick the IDENTICAL members, not just the same
+    count."""
+    from ..llm.curation import md5_bucket, stratified_fixed_n
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    picked = stratified_fixed_n(d, "source", "doc_id", 20)
+    return picked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("member_digest"),
+    )

@@ -338,3 +338,19 @@ def test_cms_absent_key_estimates_zero(spark):
     # min-over-cells estimate is 0 — not a dropped row, not a collision count
     assert est["present"] == 4
     assert est["never-seen-key"] == 0
+
+
+def test_stratified_fixed_n_exact_and_stable(spark):
+    from migdar_data_pipelines_spark.llm.curation import stratified_fixed_n
+
+    rows = [(i, f"src{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "id long, source string")
+    a = stratified_fixed_n(df.repartition(1), "source", "id", 5)
+    b = stratified_fixed_n(df.repartition(11), "source", "id", 5)
+    sa = sorted((r.source, r.id) for r in a.collect())
+    sb = sorted((r.source, r.id) for r in b.collect())
+    assert sa == sb  # same members at any partitioning
+    from collections import Counter
+
+    counts = Counter(s for s, _ in sa)
+    assert counts == {"src0": 5, "src1": 5, "src2": 5}  # exactly N per group
