@@ -268,3 +268,58 @@ SELECT g, round(CASE WHEN {a} * {m2} / (zp + ({m} - used)) <= {thr}
        CAST(used AS BIGINT) AS n_registers_used
 FROM agg
 """
+
+
+def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Join-cardinality estimate from two count-min sketches over the SAME
+    key expression: the CM inner-product estimator (Cormode & Muthukrishnan
+    §4.2) — est = min over hash rows of sum_buckets cntA * cntB, an upper
+    bound on |A join B| on that key that never under-estimates.
+
+    This is the planning primitive sketches buy you at 100 TB: both sides'
+    sketches are <= DEPTH*WIDTH cells built in one scan each (often already
+    maintained incrementally per partition/day), so a pipeline can ask
+    "how big would this join be?" — pick broadcast vs shuffle, predict
+    skew blowup — without running the join. The estimate math here is a
+    1024-row join + a DEPTH-row aggregate: driver-free, instant."""
+    a = sketch_a.select("row", "bucket", F.col("cnt").alias("cnt_a"))
+    b = sketch_b.select("row", "bucket", F.col("cnt").alias("cnt_b"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("long").alias("est_join_size"))
+
+
+def cms_join_size_sql(expr_a: str, from_a: str, expr_b: str, from_b: str) -> str:
+    """DuckDB mirror: both sketches + the inner-product min, generated from
+    the same DEPTH/WIDTH constants."""
+    return f"""
+WITH ra AS (SELECT row, bucket, cnt AS cnt_a FROM ({_cms_cells_sql(expr_a, from_a)})),
+rb AS (SELECT row, bucket, cnt AS cnt_b FROM ({_cms_cells_sql(expr_b, from_b)})),
+per_row AS (
+  SELECT row, sum(cnt_a * cnt_b) AS ip
+  FROM ra JOIN rb USING (row, bucket) GROUP BY row
+)
+SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM per_row
+"""
+
+
+def _cms_cells_sql(expr: str, from_sql: str) -> str:
+    """Just the (row, bucket, cnt) cells of ``cms_sql`` — shared by the
+    estimate and inner-product mirrors."""
+    rows = ", ".join(str(r) for r in range(CMS_DEPTH))
+    hexv = (
+        "(strpos('0123456789abcdef', substr(h, 2*r+1, 1))-1)*16"
+        " + (strpos('0123456789abcdef', substr(h, 2*r+2, 1))-1)"
+    )
+    return f"""
+SELECT r AS row, {hexv} AS bucket, count(*) AS cnt
+FROM (
+  SELECT k, r, md5(CAST(r AS VARCHAR) || ':' || CAST(k AS VARCHAR)) AS h
+  FROM (SELECT {expr} AS k FROM {from_sql}),
+       (SELECT unnest([{rows}]) AS r)
+)
+GROUP BY 1, 2
+"""

@@ -3531,3 +3531,40 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("member_digest"),
     )
+
+
+def _install_cms_join_sql() -> None:
+    from ..operators.sketches import cms_join_size_sql
+
+    QUERIES["cms_join_size_orders"]["sql"] = f"""
+WITH est AS ({cms_join_size_sql("o_orderkey", "orders", "l_orderkey", "lineitem")}),
+tru AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT e.est_join_size, t.exact_join_size FROM est e CROSS JOIN tru t
+"""
+
+
+@register("cms_join_size_orders", sql=None)  # SQL installed below (generated)
+def cms_join_size_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation WITHOUT running the join (operators/sketches.py::
+    cms_join_size, the CM inner-product estimator): the orders and lineitem
+    key sketches — 1024 cells each, one scan each — multiply cell-wise and
+    the min row-sum upper-bounds |orders join lineitem|. Checked beside the
+    exact join count: this is how a 100 TB pipeline decides broadcast vs
+    shuffle (or predicts a skew blowup) before paying for the join."""
+    from ..operators.sketches import cms_join_size, cms_sketch
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    est = cms_join_size(
+        cms_sketch(o, "o_orderkey"), cms_sketch(li, "l_orderkey")
+    )
+    tru = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_join_size")
+    )
+    return est.crossJoin(tru)
+
+
+_install_cms_join_sql()

@@ -354,3 +354,17 @@ def test_stratified_fixed_n_exact_and_stable(spark):
 
     counts = Counter(s for s, _ in sa)
     assert counts == {"src0": 5, "src1": 5, "src2": 5}  # exactly N per group
+
+
+def test_cms_join_size_upper_bounds_exact(spark):
+    from migdar_data_pipelines_spark.operators.sketches import (
+        cms_join_size,
+        cms_sketch,
+    )
+
+    a = spark.createDataFrame([(i % 5,) for i in range(50)], "k long")
+    b = spark.createDataFrame([(i % 7,) for i in range(70)], "k long")
+    est = cms_join_size(cms_sketch(a, "k"), cms_sketch(b, "k")).first().est_join_size
+    exact = a.join(b, "k").count()
+    assert est >= exact  # inner product never under-estimates
+    assert est <= 50 * 70  # and is far below the cross-join bound
