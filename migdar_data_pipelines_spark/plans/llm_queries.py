@@ -3568,3 +3568,119 @@ def cms_join_size_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_cms_join_sql()
+
+
+@register(
+    "dedup_lines_documents",
+    sql="""
+WITH corpus AS (
+  SELECT doc_id,
+         'shared header block number ' || CAST(doc_id // 10 AS VARCHAR)
+           || chr(10) || text AS text
+  FROM documents
+),
+ln AS (
+  SELECT doc_id AS id, s.pos - 1 AS pos, s.line
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(string_split(text, chr(10)),
+                  (x, i) -> struct_pack(pos := i, line := x))) AS s
+    FROM corpus
+  ) WHERE trim(s.line) <> ''
+),
+h AS (SELECT id, pos, line, md5(line) AS lh FROM ln),
+first AS (SELECT lh, min(id * 1000 + pos) AS fo FROM h GROUP BY lh),
+kept AS (
+  SELECT h.id, h.pos, h.line, (h.id * 1000 + h.pos) = f.fo AS keep
+  FROM h JOIN first f ON h.lh = f.lh
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (keep), ''))
+         AS cleaned_md5
+FROM kept GROUP BY id
+""",
+)
+def dedup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-corpus line dedup (llm/dedup.py::dedup_lines): every
+    doc gets a boilerplate header shared by its block of 10 (the seeded
+    web-template scenario), and only the corpus-FIRST occurrence of each
+    line survives the rewrite. First-occurrence is a map-side-combinable
+    min(struct(id,pos)) per line hash — never a window over the hot
+    boilerplate key. The gate hashes the REBUILT text per doc, so
+    reassembly order and keep decisions are both proved identical."""
+    from ..llm.dedup import dedup_lines
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("shared header block number "),
+            F.floor(F.col("doc_id") / 10).cast("long").cast("string"),
+            F.lit("\n"),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = dedup_lines(corpus, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_kept",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )
+
+
+@register(
+    "ngram_containment_pairs",
+    sql=f"""
+WITH probe AS (
+  SELECT doc_id + 200000 AS id_a,
+         array_to_string(list_slice({_W}, 1, 12), ' ') || ' qq' AS text
+  FROM documents WHERE doc_id % 5 = 0
+), corpus AS (SELECT doc_id AS id_b, text FROM documents),
+ga AS (
+  SELECT id_a, s FROM (
+    SELECT id_a,
+           CASE WHEN len({_W}) < 2 THEN [array_to_string({_W}, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len({_W})-1),
+                     i -> array_to_string(list_slice({_W}, i, i+1), ' '))) END AS s
+    FROM probe
+  )
+), gb AS (
+  SELECT id_b, s FROM (
+    SELECT id_b,
+           CASE WHEN len({_W}) < 2 THEN [array_to_string({_W}, ' ')]
+                ELSE list_distinct(list_transform(generate_series(1, len({_W})-1),
+                     i -> array_to_string(list_slice({_W}, i, i+1), ' '))) END AS s
+    FROM corpus
+  )
+), scored AS (
+  SELECT a.id_a, b.id_b,
+         round(len(list_intersect(a.s, b.s)) / CAST(len(a.s) AS DOUBLE), 4)
+           AS containment
+  FROM ga a, gb b
+)
+SELECT id_a, id_b, containment FROM scored WHERE containment >= 0.8
+""",
+)
+def ngram_containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment, probe-vs-corpus (llm/dedup.py::
+    ngram_containment_pairs): every fifth doc's 12-word excerpt (+200000)
+    probes the standing corpus for documents that CONTAIN it — the
+    quotation relationship symmetric Jaccard cannot see. The Spark path
+    prunes candidates with an exact rarest-gram prefix filter; the oracle
+    is the blocking-free quadratic probe x corpus answer, so the filter is
+    proved lossless at the threshold."""
+    from ..llm.dedup import ngram_containment_pairs
+    from ..llm.textanalysis import words as _words2
+
+    d = _t(spark, sf_dir, "documents")
+    probe = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(_words2("text"), 1, 12), " "), F.lit(" qq")
+        ).alias("text"),
+    )
+    return ngram_containment_pairs(
+        probe, d.select("doc_id", "text"), "text", "doc_id", n=2, threshold=0.8
+    )

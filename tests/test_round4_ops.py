@@ -368,3 +368,54 @@ def test_cms_join_size_upper_bounds_exact(spark):
     exact = a.join(b, "k").count()
     assert est >= exact  # inner product never under-estimates
     assert est <= 50 * 70  # and is far below the cross-join bound
+
+
+def test_dedup_lines_keeps_first_occurrence_only(spark):
+    from migdar_data_pipelines_spark.llm.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared header\nunique to one"),
+            (2, "shared header\nunique to two"),
+            (3, "unique to three\nshared header"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r for r in dedup_lines(df, "text", "id").collect()}
+    assert got[1].n_kept == 2  # first occurrence of the header survives
+    assert got[2].n_kept == 1 and got[2].cleaned_text == "unique to two"
+    assert got[3].n_kept == 1 and got[3].cleaned_text == "unique to three"
+
+
+def test_containment_sees_quotation_jaccard_misses(spark):
+    from migdar_data_pipelines_spark.llm.dedup import ngram_containment_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(8))  # the long doc's head
+    corpus = spark.createDataFrame([(1, long_doc)], "id long, text string")
+    probe = spark.createDataFrame([(100, excerpt)], "id long, text string")
+    got = ngram_containment_pairs(
+        probe, corpus, "text", "id", n=2, threshold=0.8
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b) == (100, 1)
+    assert r.containment == 1.0  # every excerpt bigram is in the long doc
+    # while the symmetric jaccard of the same pair is far below threshold
+    assert 7 / 39 < 0.3
+
+
+def test_containment_prefix_filter_is_lossless(spark):
+    from migdar_data_pipelines_spark.llm.dedup import ngram_containment_pairs
+
+    # probe at EXACTLY the threshold: 4 of 5 bigrams shared (C = 0.8)
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f")], "id long, text string"  # bigrams ab bc cd de ef
+    )
+    probe = spark.createDataFrame(
+        [(100, "a b c d e zz")], "id long, text string"  # ab bc cd de ezz
+    )
+    got = ngram_containment_pairs(
+        probe, corpus, "text", "id", n=2, threshold=0.8
+    ).collect()
+    assert len(got) == 1 and got[0].containment == 0.8
