@@ -405,3 +405,58 @@ def ivf_build_and_search(
             "rank",
         )
     )
+
+
+def margin_mining(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    margin_threshold: float = 1.05,
+) -> DataFrame:
+    """Margin-based candidate mining between two embedding spaces (Artetxe &
+    Schwenk 2019, the LASER/CCMatrix bitext-mining scorer): for a candidate
+    pair (x, y), margin = cos(x,y) / ((avgk(x) + avgk(y)) / 2), where
+    avgk(v) is the mean cosine of v's top-k neighbours in the OTHER side.
+    Raw cosine retrieves hubs (vectors close to everything); the margin
+    normalizes by each side's local neighbourhood density, which is what
+    makes mined pairs precise enough to train on.
+
+    Returns (left_id, right_id, cosine, margin) for pairs in the left
+    side's top-k whose margin clears the threshold.
+
+    Shape: two ``cosine_topk`` passes (each broadcasts the smaller side and
+    caps at k per query — at scale swap in the IVF index path), two
+    k-row-per-id aggregates for the avgk denominators, and a candidate-
+    sized join to score margins. All ranking is on rounded cosines with id
+    tie-breaks, so the mined set is engine-exact."""
+    fwd = cosine_topk(
+        left, right, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
+        k=k, exclude_self=False,
+    )
+    rev = cosine_topk(
+        right, left, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
+        k=k, exclude_self=False,
+    )
+    avg_l = fwd.groupBy("query_id").agg(F.avg("cosine").alias("avg_l"))
+    avg_r = rev.groupBy("query_id").agg(F.avg("cosine").alias("avg_r"))
+    cand = (
+        fwd.select(
+            F.col("query_id").alias("left_id"),
+            F.col("neighbour_id").alias("right_id"),
+            "cosine",
+        )
+        .join(avg_l, F.col("left_id") == F.col("query_id"))
+        .drop("query_id")
+        .join(avg_r, F.col("right_id") == F.col("query_id"))
+        .drop("query_id")
+    )
+    margin = F.round(
+        F.col("cosine") / ((F.col("avg_l") + F.col("avg_r")) / 2), 4
+    )
+    return (
+        cand.withColumn("margin", margin)
+        .filter(F.col("margin") >= margin_threshold)
+        .select("left_id", "right_id", "cosine", "margin")
+    )

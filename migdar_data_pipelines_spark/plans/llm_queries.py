@@ -3684,3 +3684,49 @@ def ngram_containment_pairs_documents(spark: SparkSession, sf_dir: str) -> DataF
     return ngram_containment_pairs(
         probe, d.select("doc_id", "text"), "text", "doc_id", n=2, threshold=0.8
     )
+
+
+@register(
+    "margin_mining_embeddings",
+    sql=f"""
+WITH l AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+r AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+cx AS (
+  SELECT l.id AS lid, r.id AS rid,
+         round({_COS.replace('qv', 'l.embedding').replace('cv', 'r.embedding')},
+               4) AS c
+  FROM l, r
+),
+fwd AS (SELECT lid, rid, c,
+               row_number() OVER (PARTITION BY lid ORDER BY c DESC, rid) AS rk
+        FROM cx),
+rev AS (SELECT lid, rid, c,
+               row_number() OVER (PARTITION BY rid ORDER BY c DESC, lid) AS rk
+        FROM cx),
+al AS (SELECT lid, avg(c) AS avg_l FROM fwd WHERE rk <= 4 GROUP BY lid),
+ar AS (SELECT rid, avg(c) AS avg_r FROM rev WHERE rk <= 4 GROUP BY rid),
+scored AS (
+  SELECT f.lid AS left_id, f.rid AS right_id, f.c AS cosine,
+         round(f.c / ((al.avg_l + ar.avg_r) / 2), 4) AS margin
+  FROM fwd f JOIN al ON f.lid = al.lid JOIN ar ON f.rid = ar.rid
+  WHERE f.rk <= 4
+)
+SELECT left_id, right_id, cosine, margin FROM scored WHERE margin >= 1.05
+""",
+)
+def margin_mining_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based mining (llm/similarity.py::margin_mining, Artetxe &
+    Schwenk 2019): the even-id and odd-id halves of the embedding table
+    stand in for two languages' spaces, and candidate pairs are kept only
+    when their cosine clears the local-neighbourhood margin — the
+    LASER/CCMatrix scorer that filters out hub vectors raw cosine would
+    mine. Oracle: blocking-free quadratic, both directions' top-4
+    neighbourhoods recomputed with the identical rounded-cosine ranking."""
+    from ..llm.similarity import margin_mining
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    left = e.filter(F.col("vec_id") % 2 == 0)
+    right = e.filter(F.col("vec_id") % 2 == 1)
+    return margin_mining(left, right, k=4, margin_threshold=1.05).select(
+        "left_id", "right_id", "cosine", "margin"
+    )

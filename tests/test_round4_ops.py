@@ -419,3 +419,34 @@ def test_containment_prefix_filter_is_lossless(spark):
         probe, corpus, "text", "id", n=2, threshold=0.8
     ).collect()
     assert len(got) == 1 and got[0].containment == 0.8
+
+
+def test_margin_mining_rejects_hub_vectors(spark):
+    from migdar_data_pipelines_spark.llm.similarity import margin_mining
+
+    # left 0 and right 1 are twins; right 3 is a hub (moderately close to
+    # EVERY left vector) — raw cosine would retrieve it, the margin kills it
+    left = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.2]),
+            (2, [0.0, 1.0, 0.0, 0.2]),
+            (4, [0.0, 0.0, 1.0, 0.2]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.2]),   # twin of 0
+            (3, [0.5, 0.5, 0.5, 0.3]),   # hub
+            (5, [0.0, 1.0, 0.1, 0.2]),   # near-twin of 2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = margin_mining(left, right, k=2, margin_threshold=1.05).collect()
+    pairs = {(r.left_id, r.right_id) for r in got}
+    assert (0, 1) in pairs and (2, 5) in pairs  # genuine twins clear the margin
+    # vectors WITH a genuine twin don't also mine the hub: their strong
+    # neighbourhood pushes the hub's relative score below threshold
+    assert (0, 3) not in pairs and (2, 3) not in pairs
+    for r in got:
+        assert r.margin >= 1.05 and 0 < r.cosine <= 1.0
