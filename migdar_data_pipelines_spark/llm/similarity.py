@@ -431,9 +431,15 @@ def margin_mining(
     k-row-per-id aggregates for the avgk denominators, and a candidate-
     sized join to score margins. All ranking is on rounded cosines with id
     tie-breaks, so the mined set is engine-exact."""
-    fwd = cosine_topk(
-        left, right, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
-        k=k, exclude_self=False,
+    from ..operators.caching import scoped_persist
+
+    # fwd feeds both the avgk aggregate and the candidate join — persist so
+    # the broadcast-scored top-k pass runs once per direction
+    fwd = scoped_persist(
+        cosine_topk(
+            left, right, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
+            k=k, exclude_self=False,
+        )
     )
     rev = cosine_topk(
         right, left, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
