@@ -450,3 +450,23 @@ def test_margin_mining_rejects_hub_vectors(spark):
     assert (0, 3) not in pairs and (2, 3) not in pairs
     for r in got:
         assert r.margin >= 1.05 and 0 < r.cosine <= 1.0
+
+
+def test_cosine_topk_blocked_matches_expression_path(spark):
+    from migdar_data_pipelines_spark.llm.similarity import (
+        cosine_topk,
+        cosine_topk_blocked,
+    )
+
+    vecs = [
+        (i, [float((i * 7 + j * 5) % 13) - 6 for j in range(8)]) for i in range(60)
+    ]
+    q = spark.createDataFrame(vecs[:20], "vec_id long, embedding array<double>")
+    c = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    a = cosine_topk(q, c, "vec_id", "vec_id", k=5, exclude_self=True)
+    b = cosine_topk_blocked(
+        q, c, "vec_id", "vec_id", k=5, exclude_self=True, block_rows=16
+    )
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb  # blocked kernel is rank- and score-identical

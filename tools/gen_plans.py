@@ -42,6 +42,13 @@ PICK = {
     ),
     "semi_join_late_orders": "EXISTS as LeftSemi: output bounded by probe side",
     "bm25_topk_documents": "BM25: broadcast query terms over the postings scan",
+    "dedup_lines_documents": (
+        "Line dedup: min(struct) first-occurrence, no window over hot lines"
+    ),
+    "ngram_containment_pairs": (
+        "Containment: probe-prefix candidates, full-gram exact verify"
+    ),
+    "market_share_snowflake": "7-table snowflake: one fact shuffle, dims broadcast",
 }
 
 KEEP_DETAIL = re.compile(

@@ -31,6 +31,9 @@ PICK = [
     ("srp_lsh_near_dup_embeddings", "embedding corpus", "matmul signatures + band join"),
     ("record_linkage_parts", "parts x corrupted copy", "distinct-name block join"),
     ("unigram_lm_nll_documents", "documents", "token agg + broadcast LM join"),
+    ("dedup_lines_documents", "documents", "line-hash agg + rebuild"),
+    ("ngram_containment_pairs", "probe x corpus", "prefix-filtered index join"),
+    ("margin_mining_embeddings", "embedding halves", "two top-k passes + margin join"),
 ]
 
 
