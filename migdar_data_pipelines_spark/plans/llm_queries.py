@@ -3730,3 +3730,39 @@ def margin_mining_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return margin_mining(left, right, k=4, margin_threshold=1.05).select(
         "left_id", "right_id", "cosine", "margin"
     )
+
+
+@register(
+    "knn_graph_embeddings",
+    sql=f"""
+WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+cx AS (
+  SELECT a.id AS qid, b.id AS cid,
+         round({_COS.replace('qv', 'a.embedding').replace('cv', 'b.embedding')},
+               4) AS c
+  FROM e a, e b WHERE a.id <> b.id
+),
+ranked AS (
+  SELECT qid, cid, c,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rk
+  FROM cx
+)
+SELECT qid AS query_id, cid AS neighbour_id, c AS cosine,
+       CAST(rk AS BIGINT) AS rank
+FROM ranked WHERE rk <= 3
+""",
+)
+def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full kNN-graph construction (llm/similarity.py::cosine_topk_blocked):
+    the exact top-3 cosine neighbours of EVERY vector — the input graph for
+    graph-based dedup/clustering, and the all-pairs shape where the query
+    side is the whole corpus. The block-pair matmul kernel scores it
+    compiled (the interpreted expression fold is the 40s version of this
+    query); candidates carry a rounding-slack cut and are exact-rescored,
+    so the graph matches the quadratic oracle edge-for-edge."""
+    from ..llm.similarity import cosine_topk_blocked
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return cosine_topk_blocked(
+        e, e, "vec_id", "vec_id", k=3, exclude_self=True
+    )
