@@ -187,6 +187,6 @@ class TestHllSketch:
             assert abs(est - n) / n < 0.25, (n, est)  # ~3.8 sigma at m=256
             duck = con.sql(
                 f"WITH src AS (SELECT CAST(range AS VARCHAR) AS v FROM range({n}))"
-                + hll_sql("v", "src").replace("WITH hx", ", hx", 1)
+                + f" SELECT * FROM ({hll_sql('v', 'src')})"
             ).fetchone()[0]
             assert est == duck, (n, est, duck)
