@@ -3766,3 +3766,71 @@ def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_blocked(
         e, e, "vec_id", "vec_id", k=3, exclude_self=True
     )
+
+
+@register(
+    "mutual_knn_clusters_embeddings",
+    sql=f"""
+WITH RECURSIVE e AS (SELECT vec_id AS id, embedding FROM embeddings),
+cx AS (
+  SELECT a.id AS qid, b.id AS cid,
+         round({_COS.replace('qv', 'a.embedding').replace('cv', 'b.embedding')},
+               4) AS c
+  FROM e a, e b WHERE a.id <> b.id
+),
+ranked AS (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rk
+  FROM cx
+),
+knn AS (SELECT qid, cid FROM ranked WHERE rk <= 3),
+mutual AS (
+  SELECT least(a.qid, a.cid) AS u, greatest(a.qid, a.cid) AS v
+  FROM knn a JOIN knn b ON a.qid = b.cid AND a.cid = b.qid
+  WHERE a.qid < a.cid
+),
+edges AS (SELECT u, v FROM mutual UNION SELECT v, u FROM mutual),
+cc(id, comp) AS (
+  SELECT id, id FROM e
+  UNION
+  SELECT ed.v, cc.comp FROM cc JOIN edges ed ON ed.u = cc.id
+),
+lab AS (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+SELECT id AS vec_id, comp AS cluster_id,
+       CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
+FROM lab
+""",
+)
+def mutual_knn_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering by mutual-kNN + connected components (the
+    SemDeDup-family pipeline shape): edges exist only where BOTH vectors
+    rank each other in their top-3 — the standard symmetric filter that
+    stops chain-linking through hubs — then the alternating-star CC
+    assigns every vector its cluster (singletons stay their own). Built
+    entirely from gate-proven parts: the block-pair matmul kNN
+    (cosine_topk_blocked) and connected_components; the oracle recomputes
+    the exact kNN graph, the mutual filter, and the transitive closure by
+    recursive CTE."""
+    from ..llm.dedup import canonical_groups
+    from ..llm.similarity import cosine_topk_blocked
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    knn = cosine_topk_blocked(
+        e, e, "vec_id", "vec_id", k=3, exclude_self=True
+    ).select(F.col("query_id").alias("qid"), F.col("neighbour_id").alias("cid"))
+    knn_r = knn.select(F.col("cid").alias("qid2"), F.col("qid").alias("cid2"))
+    mutual = (
+        knn.filter(F.col("qid") < F.col("cid"))
+        .join(
+            knn_r,
+            (F.col("qid") == F.col("qid2")) & (F.col("cid") == F.col("cid2")),
+            "left_semi",
+        )
+        .select(F.col("qid").alias("id_a"), F.col("cid").alias("id_b"))
+    )
+    groups = canonical_groups(e, mutual, "vec_id")
+    return groups.select(
+        F.col("vec_id"),
+        F.col("canonical_id").alias("cluster_id"),
+        F.col("group_size").alias("cluster_size"),
+    )
