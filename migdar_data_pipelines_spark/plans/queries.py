@@ -1504,6 +1504,59 @@ def date_spine_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ohlc_events_hourly",
+    sql="""
+SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       round(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')),
+             4) AS open,
+       round(max(value), 4) AS high,
+       round(min(value), 4) AS low,
+       round(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                            || ':' || lpad(CAST(event_id AS VARCHAR), 12, '0')),
+             4) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+""",
+)
+def ohlc_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (candlestick) rollup: per type-hour, the FIRST and LAST value in
+    event order plus extremes — the first/last-by-order aggregation family
+    (min_by/max_by over a (ts, event_id) ordering struct, deterministic
+    under concurrent timestamps via the id tie-break). min_by/max_by are
+    true aggregates: map-side combinable, one shuffle — where the window
+    formulation (first_value over an ordered partition) would sort every
+    group. The reference's stream-order semantics (__ord convention) is the
+    same idea; here the order key is explicit event time."""
+    e = _t(spark, sf_dir, "events")
+    # composite order key as a zero-padded string (lexicographic == numeric):
+    # DuckDB's arg_min/arg_max take no struct ordering key, so the portable
+    # encoding is the cross-engine contract
+    okey = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+        )
+        .agg(
+            F.round(F.min_by("value", okey), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", okey), 4).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
