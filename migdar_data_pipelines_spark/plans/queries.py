@@ -1557,6 +1557,58 @@ def ohlc_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "event_transitions_users",
+    sql="""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n FROM t GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n,
+       round(t.n / CAST(tot.out_n AS DOUBLE), 4) AS p_transition
+FROM t JOIN tot ON t.prev_type = tot.prev_type
+""",
+)
+def event_transitions_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    lag() within (user, event-time order, id tie-break) pairs each event
+    with its predecessor, then transition counts and row-normalized
+    probabilities — the sequence-analysis primitive behind funnel
+    diagnosis and next-event prediction features. One window shuffle on
+    user_id (sequences are per-user by definition), then type-cardinality
+    aggregates; the row normalizer joins on the tiny prev_type key."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = ordered.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = t.groupBy(F.col("prev_type").alias("__pt")).agg(
+        F.sum("n").cast("long").alias("out_n")
+    )
+    return (
+        t.join(F.broadcast(tot), F.col("prev_type") == F.col("__pt"))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("out_n"), 4).alias("p_transition"),
+        )
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
