@@ -1609,6 +1609,61 @@ def event_transitions_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "relational_division_suppliers",
+    sql="""
+WITH target AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'
+  ORDER BY p_size DESC, p_partkey LIMIT 3
+),
+cov AS (
+  SELECT l.l_suppkey, count(DISTINCT l.l_partkey) AS n_covered
+  FROM lineitem l JOIN target t ON l.l_partkey = t.p_partkey
+  GROUP BY l.l_suppkey
+)
+SELECT c.l_suppkey AS suppkey, s.s_name,
+       CAST(c.n_covered AS BIGINT) AS n_covered
+FROM cov c JOIN supplier s ON c.l_suppkey = s.s_suppkey
+WHERE c.n_covered = (SELECT count(*) FROM target)
+""",
+)
+def relational_division_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("FOR ALL"): suppliers who have shipped EVERY one
+    of the brand's three largest parts — the universal-quantification shape
+    SQL has no operator for, expressed the standard way: restrict the fact
+    scan to the target set (broadcast — it is 3 rows), count DISTINCT
+    covered targets per supplier, and keep those matching the target
+    cardinality (a 1-row broadcast scalar). Division via double-negative
+    NOT EXISTS is equivalent but makes two anti joins; the count-match form
+    is one aggregate over the restricted scan — the shape that survives a
+    fact table of any size."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    target = (
+        part.filter(F.col("p_brand") == "Brand#4")
+        .orderBy(F.desc("p_size"), F.asc("p_partkey"))
+        .limit(3)
+        .select("p_partkey")
+    )
+    n_target = F.broadcast(target.agg(F.count(F.lit(1)).alias("__nt")))
+    cov = (
+        li.join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.count_distinct("l_partkey").cast("long").alias("n_covered"))
+    )
+    return (
+        cov.join(n_target)
+        .filter(F.col("n_covered") == F.col("__nt"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            "n_covered",
+        )
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
