@@ -1664,6 +1664,60 @@ def relational_division_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "pareto_revenue_customers",
+    sql="""
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT sum(s) AS t, CAST(count(*) AS BIGINT) AS n_customers FROM spend),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s DESC, o_custkey) AS rk,
+         sum(s) OVER (ORDER BY s DESC, o_custkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM spend
+)
+SELECT CAST(min(rk) AS BIGINT) AS customers_for_80pct,
+       (SELECT n_customers FROM tot) AS n_customers,
+       round(CAST(min(rk) AS DOUBLE) / (SELECT n_customers FROM tot), 4)
+         AS customer_frac
+FROM ranked WHERE cum >= 0.8 * (SELECT t FROM tot)
+""",
+)
+def pareto_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (the 80/20 report): how many top customers —
+    ranked by spend with a custkey tie-break — account for 80% of total
+    revenue. The cumulative window runs over the AGGREGATED customer-sized
+    frame, not the fact table, so the single-partition ordered window is
+    bounded by customer cardinality (the fact-scale work is the one
+    map-side-combinable spend aggregate); the answer is the first rank
+    whose running sum crosses the threshold."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
+    tot = F.broadcast(
+        spend.agg(
+            F.sum("s").alias("__t"),
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+        )
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    ranked = (
+        spend.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "cum", F.sum("s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .crossJoin(tot)
+        .filter(F.col("cum") >= 0.8 * F.col("__t"))
+    )
+    return ranked.agg(
+        F.min("rk").cast("long").alias("customers_for_80pct"),
+        F.first("n_customers").alias("n_customers"),
+        F.round(
+            F.min("rk").cast("double") / F.first("n_customers"), 4
+        ).alias("customer_frac"),
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
