@@ -3834,3 +3834,75 @@ def mutual_knn_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("canonical_id").alias("cluster_id"),
         F.col("group_size").alias("cluster_size"),
     )
+
+
+@register(
+    "session_bounce_rate_events",
+    sql="""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+),
+sess AS (
+  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(min(ts) AS DATE) AS day
+  FROM s GROUP BY user_id, session_id
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(*) FILTER (n_events = 1) AS BIGINT) AS n_bounces,
+       round(count(*) FILTER (n_events = 1) / CAST(count(*) AS DOUBLE), 4)
+         AS bounce_rate
+FROM sess GROUP BY day
+""",
+)
+def session_bounce_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: sessions (30-min inactivity gap, the proven
+    lag/cumsum sessionization from session_window_native_events) bucketed by
+    their start day, with the single-event fraction — the engagement metric
+    a product pipeline derives from the same session assignment it already
+    computes. One window shuffle on user_id, then session- and
+    day-cardinality aggregates."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ (skill gotcha): cast to timestamp before the
+    # epoch conversion; gap compared in microseconds
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_s = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_s", new_s)
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd").alias("day"),
+        )
+    )
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long"))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n_events") == 1).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("bounce_rate"),
+    )
