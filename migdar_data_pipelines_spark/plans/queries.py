@@ -1718,6 +1718,60 @@ def pareto_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cohort_ltv_orders",
+    sql="""
+WITH firsts AS (
+  SELECT o_custkey,
+         min(date_trunc('month', o_orderdate)) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+facts AS (
+  SELECT f.cohort_month,
+         (EXTRACT(year FROM o.o_orderdate) - EXTRACT(year FROM f.cohort_month)) * 12
+           + (EXTRACT(month FROM o.o_orderdate) - EXTRACT(month FROM f.cohort_month))
+           AS months_since,
+         o.o_totalprice AS price, o.o_custkey
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT strftime(cohort_month, '%Y-%m') AS cohort_month,
+       CAST(months_since AS BIGINT) AS months_since,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active_customers,
+       round(sum(price), 2) AS revenue
+FROM facts GROUP BY cohort_month, months_since
+""",
+)
+def cohort_ltv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-cohort LTV matrix: customers bucketed by first-order month,
+    revenue and active-customer counts laid out by months-since-acquisition
+    — the orders-side companion to the events-side retention_cohorts query
+    (same triangular matrix, revenue instead of presence). The first-order
+    aggregate is customer-sized and joins back to the fact scan on custkey
+    (co-partitioned with the aggregate that produced it); everything else
+    is one cohort-cell-sized group-by with an exact distinct."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    joined = o.join(firsts, "o_custkey")
+    months_since = (
+        (F.year("o_orderdate") - F.year("cohort_month")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_month"))
+    ).cast("long")
+    return (
+        joined.groupBy(
+            F.date_format("cohort_month", "yyyy-MM").alias("cohort_month"),
+            months_since.alias("months_since"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("long").alias("n_active_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
