@@ -35,15 +35,35 @@ register_self_contained(__name__)
 END = "</w>"
 
 
-def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def word_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_n: int | None = None,
+) -> DataFrame:
     """(word, count) over the corpus — the only corpus-scale pass of BPE
-    training. Lowercased; one shuffle, partial counts combine map-side."""
-    return (
+    training. Lowercased; one shuffle, partial counts combine map-side.
+
+    The table is vocabulary-sized on CLEAN text, but web-scale corpora make
+    distinct "words" (URLs, hex hashes, typos) corpus-scale — and the merge
+    loop COLLECTS this frame to the driver. ``min_count`` floors the long
+    tail (the standard BPE vocabulary-frequency cutoff; it can shift merges
+    slightly on tail-heavy corpora since hapaxes contribute pair counts in
+    aggregate — the accepted trade every production trainer makes);
+    ``top_n`` hard-caps the collected table via a per-partition-heap
+    TakeOrdered (count desc, word asc — deterministic), never a global sort.
+    Callers feeding ``learn_bpe`` should always bound one or both."""
+    wc = (
         df.select(F.explode(_words(text_col)).alias("w"))
         .select(F.lower("w").alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("count"))
     )
+    if min_count > 1:
+        wc = wc.filter(F.col("count") >= min_count)
+    if top_n is not None:
+        wc = wc.orderBy(F.desc("count"), F.asc("word")).limit(top_n)
+    return wc
 
 
 def _symbols(word: str) -> tuple[str, ...]:

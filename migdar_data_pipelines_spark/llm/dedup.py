@@ -812,6 +812,7 @@ def ngram_jaccard_pairs_ppjoin(
     id_col: str,
     n: int = 2,
     threshold: float = 0.8,
+    block_col: Column | str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via PPJoin-style prefix filtering — the
     blocking-FREE candidate generator for high thresholds (the third strategy
@@ -844,6 +845,15 @@ def ngram_jaccard_pairs_ppjoin(
     at t >= 0.8 is a vanishing fraction of the corpus. Prefer this path at
     high thresholds on corpora where no natural block bounds pair growth;
     below t ~ 0.6 prefixes lengthen and the kernel/index strategies win.
+
+    ``block_col`` composes the prefix filter WITH blocking (VERDICT r4 #7,
+    folding the PPJoin filters into the inverted-index path): the prefix
+    self-join keys on (block, gram) instead of gram, so candidates must
+    share a block AND a prefix token — the prefix/length/positional bounds
+    stay lossless within a block, and the oracle for the block-constrained
+    query is the blocked one. This is the scale form for mid thresholds
+    (t ~ 0.6) where a full inverted-index self-join pays k² hit expansion
+    on every popular gram but pure prefix filtering alone admits too much.
     """
     assert 0.5 < threshold <= 1.0, "ppjoin needs a high threshold (> 0.5)"
     # Rounding slack: the final filter is round(jac, 4) >= threshold, so any
@@ -851,29 +861,41 @@ def ngram_jaccard_pairs_ppjoin(
     # t_eff so no such pair is pruned (and FP ceil boundaries are avoided).
     t_eff = threshold - 0.5e-4
     grams = shingles(text_col, n)
-    base = scoped_persist(
-        df.select(F.col(id_col).alias("id"), grams.alias("g"), F.size(grams).alias("sz"))
+    blk = (
+        (F.col(block_col) if isinstance(block_col, str) else block_col)
+        if block_col is not None
+        else F.lit(0)
     )
-    tok = base.select("id", "sz", F.explode("g").alias("gram"))
+    base = scoped_persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            grams.alias("g"),
+            F.size(grams).alias("sz"),
+            blk.alias("blk"),
+        )
+    )
+    tok = base.select("id", "sz", "blk", F.explode("g").alias("gram"))
     # Global canonical order = (document frequency asc, gram asc). No global
     # rank is materialised — the (dfc, gram) struct itself is the sort key,
     # so ordering is a dictionary-sized aggregation plus a per-doc array_sort.
     dfreq = tok.groupBy("gram").agg(F.count(F.lit(1)).alias("dfc"))
     sorted_docs = (
         tok.join(dfreq, "gram")
-        .groupBy("id", "sz")
+        .groupBy("id", "sz", "blk")
         .agg(F.array_sort(F.collect_list(F.struct("dfc", "gram"))).alias("sg"))
     )
     p = (F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz")) + 1).cast("int")
     prefix = sorted_docs.select(
         "id",
         "sz",
+        "blk",
         F.posexplode(F.slice(F.col("sg.gram"), 1, p)).alias("pos", "gram"),
     )
     a = prefix.select(
-        "gram", F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("pos").alias("pa")
+        "blk", "gram", F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("pos").alias("pa")
     )
     b = prefix.select(
+        F.col("blk").alias("blk_b"),
         F.col("gram").alias("gram_b"),
         F.col("id").alias("id_b"),
         F.col("sz").alias("sz_b"),
@@ -882,7 +904,8 @@ def ngram_jaccard_pairs_ppjoin(
     cand = (
         a.join(
             b,
-            (F.col("gram") == F.col("gram_b"))
+            (F.col("blk") == F.col("blk_b"))
+            & (F.col("gram") == F.col("gram_b"))
             & (F.col("id_a") < F.col("id_b"))
             # length filter: jac <= min_sz / max_sz
             & (F.least("sz_a", "sz_b") >= F.lit(t_eff) * F.greatest("sz_a", "sz_b")),
@@ -1250,13 +1273,22 @@ def srp_lsh_near_dup(
     per row: higher-order functions skip whole-stage codegen, measured
     28s -> 1.5s at sf0.1 for the matmul). Band keys are small integers,
     so the candidate self-join shuffles (band, key, id) rows only; the
-    exact-cosine verify touches just the candidate pairs, broadcast
-    against the (id, vector) frame. Like every near-dup operator here:
+    exact-cosine verify touches just the candidate pairs joined against
+    the (id, vector) frame (no forced broadcast — AQE picks the strategy
+    from the runtime candidate count). Like every near-dup operator here:
     never all-pairs.
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    if nbits % bands:
+        # trailing nbits - bands*(nbits//bands) signature bits would be
+        # silently ignored, weakening recall below the documented banding
+        # math — refuse rather than surprise
+        raise ValueError(
+            f"nbits ({nbits}) must be divisible by bands ({bands}); "
+            "leftover signature bits would be silently dropped"
+        )
     rows_per_band = nbits // bands
     if dim is None:
         # inspecting the data for the dimension costs a driver action and
@@ -1314,8 +1346,12 @@ def srp_lsh_near_dup(
         F.col(vec_col).alias("__vv"),
         norm(F.col(vec_col)).alias("__vn"),
     )
+    # NO broadcast hint on cand: narrow bands admit candidate sets far past
+    # broadcast size (4.2M pairs measured at 4-bit bands on the 4k copy
+    # corpus) — an unconditional broadcast is a driver OOM at scale. AQE
+    # still broadcasts small candidate sets from its runtime size estimate.
     scored = (
-        F.broadcast(cand)
+        cand
         .join(vecs, F.col("id_a") == F.col("__vid"))
         .select("id_a", "id_b", F.col("__vv").alias("v_a"), F.col("__vn").alias("n_a"))
         .join(vecs, F.col("id_b") == F.col("__vid"))
@@ -1346,7 +1382,12 @@ def dedup_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     back on the hash; reassembly is a per-doc sort of the surviving
     (pos, line) pairs. Three shuffles, all on narrow keys; text moves
     twice (explode in, reassemble out) — the unavoidable minimum for a
-    rewrite op."""
+    rewrite op.
+
+    Every input document appears in the output: a doc whose text is all
+    empty/whitespace lines survives as (id, 0, 0, '') via the left join back
+    onto the id set (same contract as ``duplicated_spans``) — a rewrite op
+    that silently LOSES documents is a hazardous curation primitive."""
     lines = (
         df.select(
             F.col(id_col).alias("id"),
@@ -1367,22 +1408,29 @@ def dedup_lines(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             & (F.col("pos") == F.col("first_occ.pos")),
         )
     )
-    return (
-        kept.groupBy("id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lines"),
-            F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("keep"), F.struct("pos", "line"))
-                        )
-                    ),
-                    lambda x: x["line"],
+    per_doc = kept.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("pos", "line"))
+                    )
                 ),
-                "\n",
-            ).alias("cleaned_text"),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_lines", F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
 
@@ -1432,10 +1480,15 @@ def ngram_containment_pairs(
     rk = Window.partitionBy("id_a").orderBy(
         F.asc("df"), F.asc("gram")
     )
-    # pigeonhole: C >= t allows at most sz_a - ceil(t*sz_a) missing grams.
-    # The 1e-9 guard keeps binary-float t*sz (e.g. 0.8*5 = 4.0000000000000002)
+    # pigeonhole: C >= t allows at most sz_a - ceil(t*sz_a) missing grams —
+    # but acceptance keeps round(containment,4) >= t, which admits RAW values
+    # down to t - 5e-5, so the prefix must be sized from that effective
+    # threshold (the PPJoin t_eff convention) or boundary pairs in the
+    # rounding band get pruned that the acceptance filter would keep. The
+    # extra 1e-9 keeps binary-float t*sz (e.g. 0.8*5 = 4.0000000000000002)
     # from ceiling one too high and shrinking the prefix below losslessness.
-    required = F.ceil(threshold * F.col("sz_a") - 1e-9).cast("int")
+    t_eff = threshold - 5e-5 - 1e-9
+    required = F.ceil(t_eff * F.col("sz_a")).cast("int")
     prefix_len = F.col("sz_a") - required + 1
     prefix = (
         a_base.join(dfreq, "gram", "left")

@@ -548,7 +548,13 @@ def cosine_topk_blocked(
                 top = min(kk, S.shape[1])
                 part = np.argpartition(-S, top - 1, axis=1)[:, :top]
                 for i in range(S.shape[0]):
-                    cut = S[i, part[i]].min() - 1e-9
+                    # Final ranking is round(cosine,4) desc with id tie-break,
+                    # so a true top-k member under the ROUNDED ordering can
+                    # trail the kk-th raw score by up to the 5e-5 rounding
+                    # quantum; the cut must cover that band (same t_eff
+                    # convention as the PPJoin prefix filter) or near-tied
+                    # candidates get silently pruned block-locally.
+                    cut = S[i, part[i]].min() - 5e-5 - 1e-9
                     sel = np.where(S[i] >= cut)[0]
                     out_q.extend([qids[i]] * len(sel))
                     out_c.extend(cids[sel])

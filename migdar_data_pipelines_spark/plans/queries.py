@@ -849,24 +849,8 @@ _PROFILE_COLS = {
 }
 
 
-@register(
-    "profile_orders",
-    sql="WITH src AS (SELECT * FROM orders)\n"
-    + "\nUNION ALL\n".join(
-        _PROFILE_BLOCK.format(name=n, expr=e) for n, e in _PROFILE_COLS.items()
-    ),
-)
-def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass table profile (operators/profile.py): per-column row/null/
-    distinct counts and typed min/max — the systematic form of the
-    reference's ad-hoc field validation (unused_fields / whitelists /
-    percent sanity, SURVEY §2.10). The timestamp is pre-formatted so string
-    presentation is engine-exact; ``status_nn`` nullifies the modal status to
-    exercise the null accounting. The oracle recomputes each column's block
-    independently — the Spark side does all five in ONE aggregation pass."""
-    from ..operators.profile import profile
-
-    d = _t(spark, sf_dir, "orders").select(
+def _profile_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
         "o_orderpriority",
@@ -875,7 +859,80 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_orderstatus"))
         .alias("status_nn"),
     )
-    return profile(d).withColumnRenamed("column", "col_name")
+
+
+def _profile_hll_block(name: str, expr: str) -> str:
+    from ..operators.sketches import hll_by_sql
+
+    hll = hll_by_sql(
+        f"CAST({expr} AS VARCHAR)", "1", f"src WHERE ({expr}) IS NOT NULL"
+    )
+    return f"""
+SELECT '{name}' AS col_name, b.n_rows, b.n_null, h.n_distinct_est,
+       b.min_str, b.max_str
+FROM (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         CAST(min({expr}) AS VARCHAR) AS min_str,
+         CAST(max({expr}) AS VARCHAR) AS max_str
+  FROM src
+) b CROSS JOIN (
+  SELECT hll_estimate AS n_distinct_est FROM ({hll})
+) h
+"""
+
+
+@register(
+    "profile_orders",
+    sql=None,  # generated below (needs sketches.hll_by_sql at import time)
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile in its 100 TB-DEFAULT form
+    (operators/profile.py::profile_hll): per-column row/null counts, typed
+    min/max, and cardinality from the ENGINE-PORTABLE HyperLogLog — the
+    benched default per VERDICT r4 #4 (the exact multi-COUNT(DISTINCT) form
+    EXPANDs the scan ×(cols+1) and shuffles every distinct value; the sketch
+    exchanges ≤ cols×256 register rows). The oracle rebuilds each column's
+    sketch from the generated mirror SQL (sketches.hll_by_sql) and must match
+    the estimate to 4dp. The exact form stays registered as
+    ``profile_orders_exact`` (oracle-gated, excluded from bench)."""
+    from ..operators.profile import profile_hll
+
+    return profile_hll(_profile_src(spark, sf_dir)).withColumnRenamed(
+        "column", "col_name"
+    )
+
+
+QUERIES["profile_orders"]["sql"] = (
+    "WITH src AS (SELECT * FROM orders)\n"
+    + "\nUNION ALL\n".join(
+        _profile_hll_block(n, e) for n, e in _PROFILE_COLS.items()
+    )
+)
+
+
+@register(
+    "profile_orders_exact",
+    sql="WITH src AS (SELECT * FROM orders)\n"
+    + "\nUNION ALL\n".join(
+        _PROFILE_BLOCK.format(name=n, expr=e) for n, e in _PROFILE_COLS.items()
+    ),
+)
+def profile_orders_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT profile (operators/profile.py::profile, exact=True): per-
+    column row/null/distinct counts and typed min/max — the systematic form
+    of the reference's ad-hoc field validation (unused_fields / whitelists /
+    percent sanity, SURVEY §2.10). The timestamp is pre-formatted so string
+    presentation is engine-exact; ``status_nn`` nullifies the modal status to
+    exercise the null accounting. Kept oracle-gated as the semantics
+    reference for ``profile_orders``' sketch estimates, but EXCLUDED from
+    bench: its multi-COUNT(DISTINCT) EXPAND multiplies the scan ×6 — the
+    operator's own docstring says don't run this form at 100 TB."""
+    from ..operators.profile import profile
+
+    return profile(_profile_src(spark, sf_dir)).withColumnRenamed(
+        "column", "col_name"
+    )
 
 
 @register(
@@ -1687,11 +1744,14 @@ FROM ranked WHERE cum >= 0.8 * (SELECT t FROM tot)
 def pareto_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (the 80/20 report): how many top customers —
     ranked by spend with a custkey tie-break — account for 80% of total
-    revenue. The cumulative window runs over the AGGREGATED customer-sized
-    frame, not the fact table, so the single-partition ordered window is
-    bounded by customer cardinality (the fact-scale work is the one
-    map-side-combinable spend aggregate); the answer is the first rank
-    whose running sum crosses the threshold."""
+    revenue. The rank and running sum come from running_totals'
+    TWO-PHASE plan (range-exchange on spend desc, parallel per-partition
+    cumsums, broadcast prefix offsets from one tiny summary row per
+    partition) — at a real 100 TB the customer aggregate is 10⁸⁺ rows, and
+    the old no-partition Window.orderBy pushed all of them through a single
+    task ("Moving all data to a single partition"); this plan never does."""
+    from ..operators.windows import running_totals
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("s"))
     tot = F.broadcast(
@@ -1700,11 +1760,13 @@ def pareto_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_customers"),
         )
     )
-    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
     ranked = (
-        spend.withColumn("rk", F.row_number().over(w))
-        .withColumn(
-            "cum", F.sum("s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        running_totals(
+            spend,
+            "s",
+            order_by=[("s", "desc"), ("o_custkey", "asc")],
+            cum_col="cum",
+            rank_col="rk",
         )
         .crossJoin(tot)
         .filter(F.col("cum") >= 0.8 * F.col("__t"))

@@ -470,3 +470,40 @@ def test_cosine_topk_blocked_matches_expression_path(spark):
     ra = sorted(tuple(r) for r in a.collect())
     rb = sorted(tuple(r) for r in b.collect())
     assert ra == rb  # blocked kernel is rank- and score-identical
+
+
+def test_dedup_lines_keeps_all_input_docs(spark):
+    """ADVICE r4: a doc whose text is only empty/whitespace lines must still
+    appear in the output as (id, 0, 0, '') — a rewrite op may not lose
+    input documents."""
+    from migdar_data_pipelines_spark.llm.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep me\nshared line"),
+            (2, "shared line\nother text"),
+            (3, "\n   \n  \n"),      # space/empty lines only: none survive
+                                      # (trim strips spaces in both engines)
+            (4, ""),                   # fully empty
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r for r in dedup_lines(df, "text", "id").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for empty_id in (3, 4):
+        r = got[empty_id]
+        assert (r.n_lines, r.n_kept, r.cleaned_text) == (0, 0, "")
+    assert got[1].n_kept == 2          # both its lines are corpus-first
+    assert got[2].n_kept == 1          # 'shared line' deduped away
+
+
+def test_srp_lsh_rejects_indivisible_bands(spark):
+    """ADVICE r4: nbits not divisible by bands would silently drop trailing
+    signature bits — must raise instead."""
+    import pytest as _pytest
+
+    from migdar_data_pipelines_spark.llm.dedup import srp_lsh_near_dup
+
+    df = spark.createDataFrame([(1, [1.0] * 8)], "id long, v array<double>")
+    with _pytest.raises(ValueError, match="divisible"):
+        srp_lsh_near_dup(df, "v", "id", nbits=100, bands=8, dim=8)

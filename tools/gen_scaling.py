@@ -33,7 +33,13 @@ PICK = [
     ("unigram_lm_nll_documents", "documents", "token agg + broadcast LM join"),
     ("dedup_lines_documents", "documents", "line-hash agg + rebuild"),
     ("ngram_containment_pairs", "probe x corpus", "prefix-filtered index join"),
-    ("margin_mining_embeddings", "embedding halves", "two top-k passes + margin join"),
+    ("margin_mining_embeddings", "embedding halves", "persisted top-k pass + margin join"),
+    ("mutual_knn_clusters_embeddings", "embedding corpus", "persisted blocked kNN + CC rounds"),
+    ("ngram_jaccard_pairs_ppjoin", "documents + dup corpus", "prefix self-join + exact verify"),
+    ("ngram_jaccard_pairs_invidx_prefix", "documents + dup corpus", "block+prefix index join"),
+    ("exact_percentiles_lineitem", "lineitem rows", "value histogram + two-phase cumsum"),
+    ("pareto_revenue_customers", "customer aggregate", "range exchange + two-phase cumsum"),
+    ("profile_orders", "orders rows", "one-pass stats + portable HLL registers"),
 ]
 
 
