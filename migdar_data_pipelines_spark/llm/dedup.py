@@ -1516,3 +1516,76 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable MinHash (md5-derived, like the HLL/CMS sketches): the
+# SIGNATURE ITSELF is the deliverable — for signature stores, cross-engine
+# handoff, and estimator-calibration queries — unlike _shingle_band_frames'
+# xxhash64 signatures, which are Spark-internal (fine for in-engine LSH,
+# unverifiable anywhere else).
+# ---------------------------------------------------------------------------
+
+MINHASH_MERSENNE = (1 << 31) - 1
+
+
+def _minhash_coeffs(n_hashes: int) -> list[tuple[int, int]]:
+    """Fixed universal-hash coefficients (golden-ratio stride, odd a) —
+    Python literals so Spark expressions and generated SQL inline the exact
+    same integers."""
+    return [
+        (
+            ((0x9E3779B1 * (i + 1)) % MINHASH_MERSENNE) | 1,
+            (0x85EBCA77 * (i + 1)) % MINHASH_MERSENNE,
+        )
+        for i in range(n_hashes)
+    ]
+
+
+def minhash_signature_portable(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(id, m0..m{n_hashes-1}): engine-portable MinHash signature over word
+    k-shingles. Base hash = first 8 md5 hex digits as an integer mod the
+    Mersenne prime (integer/string ops any engine reproduces); permutations
+    are (a_i*h + b_i) mod p with the fixed coefficients. One explode + one
+    groupBy(id) whose min() partials combine map-side — the signature
+    exchange carries (id, n_hashes longs) only, same shape as the LSH
+    front half. E[fraction of equal components] = Jaccard (Broder 1997),
+    so two engines' signatures agree bit-for-bit AND estimate identically."""
+    h8 = F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("long")
+    rows = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("__g")
+    ).withColumn("__h", h8 % MINHASH_MERSENNE)
+    aggs = [
+        F.min((F.col("__h") * a + b) % MINHASH_MERSENNE).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(n_hashes))
+    ]
+    return rows.groupBy("id").agg(*aggs)
+
+
+def minhash_signature_sql(
+    n_hashes: int, grams_sql: str, id_expr: str = "id", gram_expr: str = "gram"
+) -> str:
+    """DuckDB mirror of ``minhash_signature_portable`` from the same
+    coefficients. ``grams_sql`` must yield (id, gram) rows."""
+    p = MINHASH_MERSENNE
+    nib = "strpos('0123456789abcdef', substr(__md, {j}, 1)) - 1"
+    hex8 = " + ".join(
+        f"({nib.format(j=j + 1)}) * {16 ** (7 - j)}" for j in range(8)
+    )
+    mins = ", ".join(
+        f"min(({a} * __h + {b}) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(n_hashes))
+    )
+    return f"""
+SELECT {id_expr} AS id, {mins}
+FROM (
+  SELECT {id_expr}, (({hex8}) % {p}) AS __h
+  FROM (SELECT {id_expr}, md5({gram_expr}) AS __md FROM ({grams_sql}))
+) GROUP BY {id_expr}
+"""

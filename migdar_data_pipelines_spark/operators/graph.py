@@ -1,0 +1,130 @@
+"""Iterative graph analytics, Spark-first and engine-portable.
+
+PageRank is the canonical iterative-aggregation workload a curation pipeline
+runs over a link graph (quality weighting for web corpora — the original use
+— and authority scoring for citation/reference graphs like the reference's
+Zotero publications). A distributed engine expresses one iteration as a
+join + map-side-combinable groupBy (the Pregel-equivalent dataflow); the
+driver only counts rounds, never touches data.
+
+FIXED-POINT arithmetic makes the result engine-exact: ranks are BIGINTs
+scaled by 10^12 and every step is integer multiply/floor-divide/sum —
+integers add associatively, so any partitioning, any engine, any shuffle
+order produces the identical table (the same portability contract as the
+md5 HLL/CMS sketches in operators/sketches.py). Double-typed PageRank can
+NOT be oracle-gated by hash: float sums are association-sensitive and every
+iteration compounds the divergence.
+
+Scale notes (100 TB graph):
+  * each round = one equi-join of edges with the rank frame on src (both
+    sides hash-partitioned on the same key; co-partitioned across rounds)
+    plus one groupBy(dst) whose partial sums combine map-side — shuffle
+    volume is O(edges) per round, never O(edges^2);
+  * ``localCheckpoint`` per round truncates the lineage (5 rounds of
+    join-agg otherwise nest the plan 5 deep and re-run everything on any
+    recompute — same convention as llm/dedup.py::canonical_groups);
+  * dangling mass: nodes without out-edges simply contribute nothing (the
+    classic "dangling nodes donate to the teleport term" simplification);
+    documented so the oracle mirrors it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .._serde import register_self_contained
+
+register_self_contained(__name__)
+
+SCALE = 10**12  # fixed-point denominator: rank 1.0 == 10^12
+DAMP_PCT = 85   # damping factor as an integer percentage (d = 0.85)
+
+
+def pagerank_fixed_point(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "u",
+    dst_col: str = "v",
+    iterations: int = 5,
+) -> DataFrame:
+    """(id, rank_fp) after ``iterations`` rounds of fixed-point PageRank.
+
+    rank_fp is the BIGINT rank scaled by ``SCALE``; the update is
+
+        r'(v) = (15 * SCALE) div (100 * n)  +  (85 * sum_in) div 100
+        sum_in = sum over edges u->v of  r(u) div outdeg(u)
+
+    with ``div`` = integer floor division throughout — reproducible bit-for-
+    bit in any engine (DuckDB mirrors it with ``//``). ``n`` is the node
+    count (one bounded driver scalar); initial rank is SCALE div n.
+    """
+    n = nodes.count()
+    base = (15 * SCALE) // (100 * n)
+    init = SCALE // n
+
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("__d"))
+    # (u, v, outdeg(u)) — built once, reused every round
+    ed = e.join(deg, "u").localCheckpoint()
+
+    node_ids = nodes.select(F.col(id_col).alias("id")).localCheckpoint()
+    ranks = node_ids.select("id", F.lit(init).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = ed.join(ranks, ed["u"] == ranks["id"]).select(
+            "v", F.expr("r div __d").alias("c")
+        )
+        sums = contrib.groupBy("v").agg(F.sum("c").cast("long").alias("s"))
+        ranks = (
+            node_ids.join(sums, node_ids["id"] == sums["v"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.expr(f"({DAMP_PCT} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+def pagerank_sql(
+    nodes_sql: str,
+    edges_sql: str,
+    id_col: str = "id",
+    src_col: str = "u",
+    dst_col: str = "v",
+    iterations: int = 5,
+) -> str:
+    """DuckDB mirror of ``pagerank_fixed_point``, generated from the same
+    constants: the bounded iteration count is UNROLLED as a CTE chain (r1..rK)
+    because standard SQL forbids aggregates in a recursive CTE term. Every
+    expression is the integer twin of the Spark form, so the ranks hash-match
+    exactly. BIGINT casts guard DuckDB's HUGEINT sum widening."""
+    parts = [
+        f"WITH nd AS (SELECT {id_col} AS id FROM ({nodes_sql})),",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),",
+        f"ed0 AS (SELECT {src_col} AS u, {dst_col} AS v FROM ({edges_sql})),",
+        "deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM ed0 GROUP BY u),",
+        "ed AS (SELECT e.u, e.v, deg.d FROM ed0 e JOIN deg ON e.u = deg.u),",
+        f"r0 AS (SELECT id, (SELECT {SCALE} // n FROM nn) AS r FROM nd),",
+        f"bs AS (SELECT (15 * {SCALE}) // (100 * n) AS b FROM nn),",
+    ]
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT nd.id, CAST((SELECT b FROM bs)"
+            f" + ({DAMP_PCT} * coalesce(s.c, 0)) // 100 AS BIGINT) AS r"
+            f" FROM nd LEFT JOIN ("
+            f"SELECT e.v AS id, CAST(sum(p.r // e.d) AS BIGINT) AS c"
+            f" FROM ed e JOIN {prev} p ON e.u = p.id GROUP BY e.v"
+            f") s ON nd.id = s.id),"
+        )
+        prev = f"r{i}"
+    body = "\n".join(parts).rstrip(",")
+    return f"{body}\nSELECT id, r AS rank_fp FROM {prev}"
+
+
+__all__ = ["pagerank_fixed_point", "pagerank_sql", "SCALE", "DAMP_PCT"]

@@ -4034,3 +4034,227 @@ def session_bounce_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("bounce_rate"),
     )
+
+
+from ..operators.graph import pagerank_fixed_point, pagerank_sql  # noqa: E402
+
+_PR_NODES_SQL = "SELECT doc_id AS id FROM documents"
+_PR_EDGES_SQL = """
+SELECT u, v FROM (
+  SELECT doc_id AS u,
+         (doc_id * 31 + 7) % (SELECT count(*) FROM documents) AS v
+  FROM documents
+  UNION
+  SELECT doc_id,
+         (doc_id * 17 + 3) % (SELECT count(*) FROM documents)
+  FROM documents
+) WHERE u <> v
+"""
+
+
+@register(
+    "pagerank_documents",
+    sql=pagerank_sql(_PR_NODES_SQL, _PR_EDGES_SQL, iterations=5)
+    .replace("SELECT id, r AS rank_fp", "SELECT id AS doc_id, r AS rank_fp"),
+)
+def pagerank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.py) over a deterministic
+    synthetic link graph on the documents table (each doc links to two
+    affine-modular targets — the seeded stand-in for a web/citation graph;
+    UNION-deduped, self-loops dropped): the quality-weighting signal a
+    web-corpus curation pipeline computes before sampling. Five rounds of
+    join + map-side-combinable groupBy, lineage truncated per round; ranks
+    are INTEGER fixed-point (SCALE=10^12), so the oracle — the same five
+    rounds UNROLLED as a CTE chain with identical integer arithmetic —
+    hash-matches exactly, which float PageRank never could."""
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    nodes = d.select(F.col("doc_id").alias("id"))
+    mk = lambda a, b: (F.col("doc_id") * a + b) % F.lit(n)  # noqa: E731
+    edges = (
+        d.select(F.col("doc_id").alias("u"), mk(31, 7).alias("v"))
+        .unionByName(d.select(F.col("doc_id").alias("u"), mk(17, 3).alias("v")))
+        .distinct()
+        .filter(F.col("u") != F.col("v"))
+    )
+    return pagerank_fixed_point(nodes, edges, iterations=5).select(
+        F.col("id").alias("doc_id"), "rank_fp"
+    )
+
+
+from ..operators.layout import zorder_key, zorder_key_sql  # noqa: E402
+
+_Z_X = "datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 1024"
+_Z_Y = "(user_id % 1024)"
+
+
+@register(
+    "zorder_locality_events",
+    sql=f"""
+WITH d AS (
+  SELECT CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 1024
+              AS BIGINT) AS day_n,
+         CAST(user_id % 1024 AS BIGINT) AS user_b
+  FROM events
+), z AS (
+  SELECT day_n, user_b, {zorder_key_sql(["day_n", "user_b"], bits=10)} AS zk
+  FROM d
+)
+SELECT CAST(zk // 16384 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(day_n) AS BIGINT) AS min_day, CAST(max(day_n) AS BIGINT) AS max_day,
+       CAST(min(user_b) AS BIGINT) AS min_user, CAST(max(user_b) AS BIGINT) AS max_user,
+       CAST((max(day_n) - min(day_n) + 1) * (max(user_b) - min(user_b) + 1)
+            AS BIGINT) AS bbox_area
+FROM z GROUP BY 1
+""",
+)
+def zorder_locality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys for the lakehouse OPTIMIZE path
+    (operators/layout.py): events mapped to a (day, user-bucket) plane, bits
+    interleaved by pure integer arithmetic into a 20-bit Morton key, bucketed
+    by the key's high 6 bits — each bucket is the row set one output file
+    would hold after ``cluster_by_zorder``. The per-bucket min/max bounding
+    box (exactly what a parquet footer would publish) is the data-skipping
+    evidence: Morton buckets cover small hyper-rectangles in BOTH dimensions,
+    where a single-column sort gives ranges only in its leading column. The
+    oracle recomputes the interleave from the generated integer-div/mod
+    mirror SQL — engine-exact, like every portable key here. Scan-local
+    expressions + one bucket-cardinality groupBy; nothing wide."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            % 1024
+        ).cast("long").alias("day_n"),
+        (F.col("user_id") % 1024).cast("long").alias("user_b"),
+    )
+    z = d.withColumn("zk", zorder_key(["day_n", "user_b"], bits=10))
+    return (
+        z.groupBy(F.shiftright("zk", 14).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("day_n").cast("long").alias("min_day"),
+            F.max("day_n").cast("long").alias("max_day"),
+            F.min("user_b").cast("long").alias("min_user"),
+            F.max("user_b").cast("long").alias("max_user"),
+            (
+                (F.max("day_n") - F.min("day_n") + 1)
+                * (F.max("user_b") - F.min("user_b") + 1)
+            ).cast("long").alias("bbox_area"),
+        )
+    )
+
+
+from ..llm.dedup import (  # noqa: E402
+    minhash_signature_portable,
+    minhash_signature_sql,
+)
+
+_MH_N = 16
+_MH_GRAMS_SQL = f"""
+SELECT id, unnest(s) AS gram FROM (
+  SELECT id, {_SH3} AS s FROM (
+    SELECT id, {_W} AS words FROM (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' zzdup' FROM documents
+    )
+  ) w
+)
+"""
+_MH_EQ = " + ".join(
+    f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MH_N)
+)
+
+
+@register(
+    "minhash_jaccard_estimate_documents",
+    sql=f"""
+WITH sig AS ({minhash_signature_sql(_MH_N, _MH_GRAMS_SQL)}),
+g AS (
+  SELECT id, {_SH3} AS s FROM (
+    SELECT id, {_W} AS words FROM (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' zzdup' FROM documents
+    )
+  ) w
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST({_MH_EQ} AS BIGINT) AS n_eq
+  FROM sig a JOIN sig b ON b.id = a.id + 100000
+  WHERE a.id < 100000
+),
+ex AS (
+  SELECT ga.id AS id_a,
+         round(CAST(len(list_intersect(ga.s, gb.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(ga.s, gb.s))), 4) AS exact_jaccard
+  FROM g ga JOIN g gb ON gb.id = ga.id + 100000
+  WHERE ga.id < 100000
+)
+SELECT p.id_a, p.id_b, round(p.n_eq / {float(_MH_N)}, 4) AS est_jaccard,
+       ex.exact_jaccard
+FROM pairs p JOIN ex ON p.id_a = ex.id_a
+""",
+)
+def minhash_jaccard_estimate_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash as an ESTIMATOR, not just a candidate generator
+    (llm/dedup.py::minhash_signature_portable): every (doc, doc+' zzdup')
+    pair gets the fraction of agreeing signature components — the Broder
+    estimate of Jaccard — next to the exact trigram Jaccard, the calibration
+    report a dedup team reads before picking bands/rows. Signatures are
+    md5-derived integers, so the oracle rebuilds the IDENTICAL signature
+    matrix from generated SQL (the same portability contract as HLL/CMS) —
+    this checks the estimator itself, where the xxhash64 LSH path can only
+    be checked by its verified output. One explode + map-side-combined
+    min() aggregation per side; the pair join is a trivially co-partitioned
+    equi-join on the derived id."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.select(F.col("doc_id").alias("id"), "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.concat("text", F.lit(" zzdup")).alias("text"),
+        )
+    )
+    from ..operators.caching import scoped_persist
+
+    sig = scoped_persist(
+        minhash_signature_portable(corpus, "text", "id", n_hashes=_MH_N, k=3)
+    )
+    a = sig.select("id", *[F.col(f"m{i}").alias(f"a{i}") for i in range(_MH_N)])
+    b = sig.select(
+        (F.col("id") - 100000).alias("id"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_MH_N)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_MH_N)
+    )
+    est = (
+        a.filter(F.col("id") < 100000)
+        .join(b, "id")
+        .select(
+            F.col("id").alias("id_a"),
+            (F.col("id") + 100000).alias("id_b"),
+            F.round(n_eq.cast("double") / _MH_N, 4).alias("est_jaccard"),
+        )
+    )
+    from ..llm.dedup import shingles
+
+    g = scoped_persist(
+        corpus.select("id", shingles("text", 3).alias("s"))
+    )
+    ga = g.select(F.col("id").alias("id_a"), F.col("s").alias("s_a")).filter(
+        F.col("id_a") < 100000
+    )
+    gb = g.select((F.col("id") - 100000).alias("id_a"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = (F.size("s_a") + F.size("s_b") - inter).cast("double")
+    ex = ga.join(gb, "id_a").select(
+        "id_a", F.round(inter.cast("double") / union, 4).alias("exact_jaccard")
+    )
+    return est.join(ex, "id_a")

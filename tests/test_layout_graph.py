@@ -1,0 +1,104 @@
+"""Unit tests for operators/layout.py (Z-order clustering) and
+operators/graph.py (fixed-point PageRank)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from migdar_data_pipelines_spark.operators.graph import (
+    SCALE,
+    pagerank_fixed_point,
+)
+from migdar_data_pipelines_spark.operators.layout import (
+    cluster_by_zorder,
+    zorder_key,
+    zorder_key_sql,
+)
+
+
+def _interleave(x: int, y: int, bits: int = 10) -> int:
+    out = 0
+    for b in range(bits):
+        out |= ((x >> b) & 1) << (2 * b)
+        out |= ((y >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    rows = [(x, y) for x in (0, 1, 5, 511, 1023) for y in (0, 2, 7, 1023)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zorder_key(["x", "y"], bits=10)).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == _interleave(x, y), (x, y)
+
+
+def test_zorder_sql_mirror_matches(spark, duck):
+    rows = [(x, (x * 37) % 1024) for x in range(200)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = sorted(
+        tuple(r)
+        for r in df.withColumn("z", zorder_key(["x", "y"], bits=10)).collect()
+    )
+    sql = zorder_key_sql(["x", "y"], bits=10)
+    want = sorted(
+        duck.sql(
+            "WITH t AS (SELECT range AS x, (range*37) % 1024 AS y FROM range(200)) "
+            f"SELECT x, y, {sql} AS z FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_zorder_key_rejects_overflow():
+    with pytest.raises(ValueError, match="signed long"):
+        zorder_key(["a", "b", "c"], bits=21)
+
+
+def test_cluster_by_zorder_partitions_are_disjoint_ranges(spark):
+    """The OPTIMIZE write path: after range-partitioning on the Morton key,
+    per-partition z ranges must be disjoint (each output file covers one
+    contiguous key range — the property parquet footer pruning relies on)."""
+    rows = [((i * 13) % 500, (i * 29) % 500) for i in range(4000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = cluster_by_zorder(df, ["x", "y"], bits=9, num_partitions=8)
+    spans = (
+        out.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.min("__z").alias("lo"), F.max("__z").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in spans)
+    assert len(spans) > 1
+    for (lo_a, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b  # strictly disjoint, ascending
+
+
+def test_pagerank_fixed_point_properties(spark):
+    """Hand-checkable chain + properties: mass conservation bound, sink vs
+    source ordering, and partitioning invariance (the fixed-point claim)."""
+    # 0 -> 1 -> 2 -> 0 plus 3 -> 0 (3 has no in-links)
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "u long, v long"
+    )
+    got = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank_fixed_point(nodes, edges, iterations=5).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    # node 3 has no in-edges: exactly the teleport base
+    assert got[3] == (15 * SCALE) // (100 * 4)
+    # the in-link-less node is strictly the weakest
+    assert got[3] == min(got.values())
+    assert all(got[i] > got[3] for i in (0, 1, 2))
+    # total mass stays within rounding slack of SCALE (floor-div losses only)
+    assert SCALE * 0.8 < sum(got.values()) <= SCALE
+    # partitioning invariance: 1-partition and 16-partition runs identical
+    got_repart = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank_fixed_point(
+            nodes.repartition(16), edges.repartition(16), iterations=5
+        ).collect()
+    }
+    assert got == got_repart
