@@ -147,3 +147,79 @@ def unigram_lm_scores(df, text_col: str, id_col: str):
             F.round(F.avg(nll), 4).alias("nll"),
         )
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(col: Column | str) -> dict[str, Column]:
+    """The published Gopher document-quality rules (Rae et al. 2021 §A1.1)
+    as per-rule booleans plus their counters — the rule set web-corpus
+    pipelines apply verbatim, kept ENGINE-EXACT by doing every ratio test as
+    a CROSS-MULTIPLIED INTEGER comparison (``10*n_sym <= n_words`` instead of
+    ``n_sym/n_words <= 0.1``): integer counts compare identically in any
+    engine, where a float ratio at the boundary depends on division rounding.
+
+    Rules: word count in [50, 100000]; mean word length in [3, 10]
+    (3*n_words <= word_chars <= 10*n_words); symbol-to-word ratio <= 0.1
+    (symbols = '#' chars + '...' occurrences); bullet-starting lines <= 90%;
+    ellipsis-ending lines <= 30%; >= 80% of words contain an alphabetic
+    character; >= 2 distinct-occurrence stopword hits. ``keep`` is the AND.
+    All scan-local expressions — at 100 TB this is a free rider on any scan.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    ws = words(c)
+    n_words = F.size(ws).cast("long")
+    word_chars = F.aggregate(
+        F.transform(ws, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    n_sym = (n_hash + n_ellipsis).cast("long")
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.ltrim(x), 1, 1).isin("-", "*"),
+        )
+    ).cast("long")
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(ws, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(ws, lambda x: F.lower(x).isin(*GOPHER_STOPWORDS))
+    ).cast("long")
+
+    rules = {
+        "r_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "r_mean_word_len": (word_chars >= 3 * n_words)
+        & (word_chars <= 10 * n_words),
+        "r_symbol_ratio": 10 * n_sym <= n_words,
+        "r_bullet_lines": 10 * n_bullet <= 9 * n_lines,
+        "r_ellipsis_lines": 10 * n_ell_end <= 3 * n_lines,
+        "r_alpha_words": 5 * n_alpha_words >= 4 * n_words,
+        "r_stopwords": n_stop >= 2,
+    }
+    keep = None
+    for r in rules.values():
+        keep = r if keep is None else keep & r
+    return {
+        "n_words": n_words,
+        "word_chars": word_chars,
+        "n_symbols": n_sym,
+        "n_lines": n_lines,
+        "n_bullet_lines": n_bullet,
+        "n_ellipsis_lines": n_ell_end,
+        "n_alpha_words": n_alpha_words,
+        "n_stopwords": n_stop,
+        **rules,
+        "keep": keep,
+    }

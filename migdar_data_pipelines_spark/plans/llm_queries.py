@@ -4258,3 +4258,128 @@ def minhash_jaccard_estimate_documents(
         "id_a", F.round(inter.cast("double") / union, 4).alias("exact_jaccard")
     )
     return est.join(ex, "id_a")
+
+
+_GOPHER_STOP_SQL = "('the','be','to','of','and','that','have','with')"
+
+
+@register(
+    "gopher_rules_documents",
+    sql=f"""
+WITH w AS (
+  SELECT doc_id, text, {_W} AS words,
+         list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+              AS BIGINT) AS word_chars,
+         CAST(len(text) - len(replace(text, '#', ''))
+              + (len(text) - len(replace(text, '...', ''))) // 3
+              AS BIGINT) AS n_symbols,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+              x -> substr(ltrim(x), 1, 1) IN ('-', '*'))) AS BIGINT)
+           AS n_bullet_lines,
+         CAST(len(list_filter(lines, x -> ends_with(rtrim(x), '...')))
+              AS BIGINT) AS n_ellipsis_lines,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_filter(words, x -> lower(x) IN {_GOPHER_STOP_SQL}))
+              AS BIGINT) AS n_stopwords
+  FROM w
+)
+SELECT doc_id, n_words, word_chars, n_symbols, n_lines, n_bullet_lines,
+       n_ellipsis_lines, n_alpha_words, n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+       (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+         AS r_mean_word_len,
+       (10 * n_symbols <= n_words) AS r_symbol_ratio,
+       (10 * n_bullet_lines <= 9 * n_lines) AS r_bullet_lines,
+       (10 * n_ellipsis_lines <= 3 * n_lines) AS r_ellipsis_lines,
+       (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+       (n_stopwords >= 2) AS r_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+        AND (10 * n_symbols <= n_words)
+        AND (10 * n_bullet_lines <= 9 * n_lines)
+        AND (10 * n_ellipsis_lines <= 3 * n_lines)
+        AND (5 * n_alpha_words >= 4 * n_words)
+        AND (n_stopwords >= 2)) AS keep
+FROM c
+""",
+)
+def gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality rule set (llm/textanalysis.py::
+    gopher_rules) applied per document: every rule's counter, its boolean,
+    and the final keep decision — the verbatim filter stack a web-corpus
+    pipeline runs before any model-based scoring. Every ratio test is a
+    cross-multiplied INTEGER comparison in both engines, so the gate is
+    hash-exact with no float-boundary caveat (unlike score-style filters).
+    Pure scan-local expressions into a row-per-doc projection — a free
+    rider on the corpus scan at any scale."""
+    from ..llm.textanalysis import gopher_rules
+
+    d = _t(spark, sf_dir, "documents")
+    cols = gopher_rules("text")
+    return d.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@register(
+    "equi_depth_buckets_lineitem",
+    sql="""
+WITH h AS (
+  SELECT l_returnflag AS g, l_extendedprice AS v, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v, c, CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cm
+  FROM h
+),
+n AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY g)
+SELECT cum.g AS l_returnflag,
+       CAST(((cm - c) * 8) // n.n AS BIGINT) AS bucket,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       round(min(v), 2) AS lo, round(max(v), 2) AS hi
+FROM cum JOIN n ON cum.g = n.g
+GROUP BY 1, 2
+""",
+)
+def equi_depth_buckets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram per group — the bucketing a
+    stats collector or stratified sampler derives from the SAME distributed
+    order-statistics plan as exact_percentiles_lineitem: per-value counts
+    (map-side-combinable groupBy), running_totals' two-phase cumsum over the
+    value histogram, then bucket = ((cum_before_value) * k) div n — integer
+    arithmetic, so every row with a given value lands in one deterministic
+    bucket in any engine. No fact-table window, no per-group single-task
+    sort; the oracle recomputes the cumsum with a plain window over the
+    (tiny per-group) value histogram. k=8 buckets; buckets can be skipped
+    entirely when a hot value spans several (correct equi-depth semantics)."""
+    from ..operators.windows import running_totals
+
+    li = _t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = running_totals(
+        hist, "c", order_by=[("v", "asc")], partition_by=["g"], cum_col="cm"
+    )
+    n_by_g = F.broadcast(
+        cum.groupBy("g").agg(F.max("cm").cast("long").alias("n"))
+    )
+    return (
+        cum.join(n_by_g, "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            F.expr("((cm - c) * 8) div n").cast("long").alias("bucket"),
+            "v", "c",
+        )
+        .groupBy("l_returnflag", "bucket")
+        .agg(
+            F.sum("c").cast("long").alias("n_rows"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+        )
+    )
