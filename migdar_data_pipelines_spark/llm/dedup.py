@@ -1589,3 +1589,48 @@ FROM (
   FROM (SELECT {id_expr}, md5({gram_expr}) AS __md FROM ({grams_sql}))
 ) GROUP BY {id_expr}
 """
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+    algorithm): per document, the distinct set of window-minimum k-gram
+    hashes. Winnowing guarantees that any shared substring of at least
+    ``window + k - 1`` words yields at least one SHARED fingerprint, while
+    selecting only ~2/(window+1) of all gram hashes — the density-guaranteed
+    sparsification that raw "mod p == 0" fingerprinting lacks.
+
+    Engine-portable: gram hash = first 8 md5 hex digits as an integer (the
+    minhash_signature_portable base hash), window minima by array arithmetic
+    — any engine reproduces the identical fingerprint set, and the gate
+    hashes the sorted set. Scan-local per-row array expressions (grams are
+    document-bounded); nothing shuffles until a downstream fingerprint
+    index join, which carries (id, fingerprint) rows only.
+
+    Returns (id, n_grams, n_fingerprints, fingerprints) with the array kept
+    for downstream pair generation.
+    """
+    grams = shingles(text_col, k)
+    h8 = lambda g: (  # noqa: E731
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+    hs = F.transform(grams, h8)
+    m = F.size(hs)
+    nwin = F.greatest(m - F.lit(window) + 1, F.lit(1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.array_min(F.slice(hs, i, window)),
+        )
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        m.cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fingerprints"),
+        fps.alias("fingerprints"),
+    )
