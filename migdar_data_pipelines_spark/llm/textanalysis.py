@@ -162,10 +162,13 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
 
     Rules: word count in [50, 100000]; mean word length in [3, 10]
     (3*n_words <= word_chars <= 10*n_words); symbol-to-word ratio <= 0.1
-    (symbols = '#' chars + '...' occurrences); bullet-starting lines <= 90%;
-    ellipsis-ending lines <= 30%; >= 80% of words contain an alphabetic
-    character; >= 2 distinct-occurrence stopword hits. ``keep`` is the AND.
-    All scan-local expressions — at 100 TB this is a free rider on any scan.
+    applied to EACH symbol type separately — '#' characters and ellipses
+    (ASCII '...' occurrences plus the Unicode HORIZONTAL ELLIPSIS U+2026),
+    per the paper's per-symbol phrasing; bullet-starting lines <= 90%;
+    ellipsis-ending lines <= 30% (either ellipsis form); >= 80% of words
+    contain an alphabetic character; >= 2 distinct-occurrence stopword
+    hits. ``keep`` is the AND. All scan-local expressions — at 100 TB this
+    is a free rider on any scan.
     """
     c = F.col(col) if isinstance(col, str) else col
     ws = words(c)
@@ -175,11 +178,15 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_hash = (
+        F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    ).cast("long")
+    # '...' occurrences (greedy non-overlapping replace, same in any engine)
+    # plus the single-char Unicode ellipsis
     n_ellipsis = (
-        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
-    ) / 3
-    n_sym = (n_hash + n_ellipsis).cast("long")
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+        + (F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit(""))))
+    ).cast("long")
     lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
     n_lines = F.size(lines).cast("long")
     n_bullet = F.size(
@@ -189,7 +196,11 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
         )
     ).cast("long")
     n_ell_end = F.size(
-        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).endswith("...")
+            | F.rtrim(x).endswith("…"),
+        )
     ).cast("long")
     n_alpha_words = F.size(
         F.filter(ws, lambda x: x.rlike("[A-Za-z]"))
@@ -202,7 +213,8 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
         "r_word_count": (n_words >= 50) & (n_words <= 100_000),
         "r_mean_word_len": (word_chars >= 3 * n_words)
         & (word_chars <= 10 * n_words),
-        "r_symbol_ratio": 10 * n_sym <= n_words,
+        "r_symbol_ratio": (10 * n_hash <= n_words)
+        & (10 * n_ellipsis <= n_words),
         "r_bullet_lines": 10 * n_bullet <= 9 * n_lines,
         "r_ellipsis_lines": 10 * n_ell_end <= 3 * n_lines,
         "r_alpha_words": 5 * n_alpha_words >= 4 * n_words,
@@ -214,7 +226,8 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
     return {
         "n_words": n_words,
         "word_chars": word_chars,
-        "n_symbols": n_sym,
+        "n_hash": n_hash,
+        "n_ellipsis": n_ellipsis,
         "n_lines": n_lines,
         "n_bullet_lines": n_bullet,
         "n_ellipsis_lines": n_ell_end,

@@ -48,6 +48,7 @@ def pagerank_fixed_point(
     src_col: str = "u",
     dst_col: str = "v",
     iterations: int = 5,
+    tol_fp: int | None = None,
 ) -> DataFrame:
     """(id, rank_fp) after ``iterations`` rounds of fixed-point PageRank.
 
@@ -59,8 +60,28 @@ def pagerank_fixed_point(
     with ``div`` = integer floor division throughout — reproducible bit-for-
     bit in any engine (DuckDB mirrors it with ``//``). ``n`` is the node
     count (one bounded driver scalar); initial rank is SCALE div n.
+
+    ``tol_fp`` (optional, fixed-point units): after each round, compute the
+    L1 delta sum(|r' - r|) — ONE bounded single-row aggregate over the two
+    checkpointed rank frames — and stop early once it is <= tol_fp. A real
+    link-graph weighting runs to a threshold rather than a fixed unroll;
+    the default (None) keeps the deterministic fixed-round form the SQL
+    mirror unrolls. With tol_fp set, ``iterations`` becomes a cap.
+
+    Edge-set contract (mirrored exactly by ``pagerank_sql``): nodes with no
+    out-edges donate their mass to nothing but the teleport term (the
+    classic dangling simplification), and edges whose DESTINATION is not in
+    ``nodes`` drop their contribution at the final left join — i.e. the
+    node frame defines the rank universe; validate edges against nodes
+    upstream if strays are possible. Raises on an empty node frame (the
+    update is undefined at n == 0).
     """
     n = nodes.count()
+    if n == 0:
+        raise ValueError(
+            "pagerank_fixed_point: empty node frame (rank update divides "
+            "by the node count)"
+        )
     base = (15 * SCALE) // (100 * n)
     init = SCALE // n
 
@@ -76,7 +97,7 @@ def pagerank_fixed_point(
             "v", F.expr("r div __d").alias("c")
         )
         sums = contrib.groupBy("v").agg(F.sum("c").cast("long").alias("s"))
-        ranks = (
+        new_ranks = (
             node_ids.join(sums, node_ids["id"] == sums["v"], "left")
             .select(
                 "id",
@@ -87,6 +108,22 @@ def pagerank_fixed_point(
             )
             .localCheckpoint()
         )
+        if tol_fp is not None:
+            # bounded driver scalar: both frames are checkpointed, so this
+            # is one co-partitioned join + single-row agg, no recompute
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "id")
+                .agg(
+                    F.sum(F.abs(F.col("a.r") - F.col("b.r"))).alias("d")
+                )
+                .first()["d"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta <= tol_fp:
+                break
+        else:
+            ranks = new_ranks
     return ranks.select("id", F.col("r").alias("rank_fp"))
 
 

@@ -4275,34 +4275,36 @@ WITH w AS (
          CAST(len(words) AS BIGINT) AS n_words,
          CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
               AS BIGINT) AS word_chars,
-         CAST(len(text) - len(replace(text, '#', ''))
-              + (len(text) - len(replace(text, '...', ''))) // 3
-              AS BIGINT) AS n_symbols,
+         CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST((len(text) - len(replace(text, '...', ''))) // 3
+              + (len(text) - len(replace(text, '…', '')))
+              AS BIGINT) AS n_ellipsis,
          CAST(len(lines) AS BIGINT) AS n_lines,
          CAST(len(list_filter(lines,
               x -> substr(ltrim(x), 1, 1) IN ('-', '*'))) AS BIGINT)
            AS n_bullet_lines,
-         CAST(len(list_filter(lines, x -> ends_with(rtrim(x), '...')))
-              AS BIGINT) AS n_ellipsis_lines,
+         CAST(len(list_filter(lines, x -> ends_with(rtrim(x), '...')
+              OR ends_with(rtrim(x), '…'))) AS BIGINT) AS n_ellipsis_lines,
          CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
               AS BIGINT) AS n_alpha_words,
          CAST(len(list_filter(words, x -> lower(x) IN {_GOPHER_STOP_SQL}))
               AS BIGINT) AS n_stopwords
   FROM w
 )
-SELECT doc_id, n_words, word_chars, n_symbols, n_lines, n_bullet_lines,
-       n_ellipsis_lines, n_alpha_words, n_stopwords,
+SELECT doc_id, n_words, word_chars, n_hash, n_ellipsis, n_lines,
+       n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_stopwords,
        (n_words >= 50 AND n_words <= 100000) AS r_word_count,
        (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
          AS r_mean_word_len,
-       (10 * n_symbols <= n_words) AS r_symbol_ratio,
+       (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words)
+         AS r_symbol_ratio,
        (10 * n_bullet_lines <= 9 * n_lines) AS r_bullet_lines,
        (10 * n_ellipsis_lines <= 3 * n_lines) AS r_ellipsis_lines,
        (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
        (n_stopwords >= 2) AS r_stopwords,
        ((n_words >= 50 AND n_words <= 100000)
         AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
-        AND (10 * n_symbols <= n_words)
+        AND (10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words)
         AND (10 * n_bullet_lines <= 9 * n_lines)
         AND (10 * n_ellipsis_lines <= 3 * n_lines)
         AND (5 * n_alpha_words >= 4 * n_words)

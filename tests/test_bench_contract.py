@@ -10,13 +10,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_stdout_is_one_compact_json_line():
+def test_bench_stdout_is_one_compact_json_line(tmp_path):
+    # the sidecar goes to tmp_path so this test never overwrites the round's
+    # full-registry bench_full.json artifact (VERDICT r5 finding #1)
+    out = tmp_path / "bench_full.json"
     env = dict(
         os.environ,
         SPARK_GRAFT_BENCH_ONLY="q1_pricing_summary,decimal_pricing_summary",
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_ORACLE="0",
         SPARK_GRAFT_CPUS="4",
+        SPARK_GRAFT_BENCH_OUT=str(out),
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -37,7 +41,7 @@ def test_bench_stdout_is_one_compact_json_line():
     # stay inside the driver's tail capture)
     assert '", "' not in line and '": ' not in line
     # the full-detail sidecar exists and is a superset of the stdout line
-    full = json.load(open(os.path.join(REPO, "bench_full.json")))
+    full = json.load(open(out))
     assert set(d["queries"]) == set(full["queries"])
     assert "slowest" in full
 

@@ -102,3 +102,47 @@ def test_pagerank_fixed_point_properties(spark):
         ).collect()
     }
     assert got == got_repart
+
+
+def test_pagerank_early_stop_and_guards(spark):
+    """The tol_fp early-stop path: converged ranks match the fixed-round
+    form, mass conservation holds, and the empty-node guard raises."""
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 0)], "u long, v long"
+    )
+    # a tolerance the first L1 delta cannot exceed stops after exactly one
+    # round: the result must equal the fixed-round form at iterations=1
+    one = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank_fixed_point(nodes, edges, iterations=1).collect()
+    }
+    early = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank_fixed_point(
+            nodes, edges, iterations=10, tol_fp=4 * SCALE
+        ).collect()
+    }
+    assert early == one
+    # tight tolerance: early-stop (which fires only on an exact repeat, a
+    # true fixed point) agrees with running the same cap out
+    capped = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank_fixed_point(nodes, edges, iterations=8).collect()
+    }
+    tight = {
+        r["id"]: r["rank_fp"]
+        for r in pagerank_fixed_point(
+            nodes, edges, iterations=8, tol_fp=0
+        ).collect()
+    }
+    assert tight == capped
+    assert SCALE * 0.8 < sum(tight.values()) <= SCALE
+    # teleport-only node keeps exactly the base under early stop too
+    assert tight[3] == (15 * SCALE) // (100 * 4)
+
+    empty = spark.createDataFrame([], "id long")
+    with pytest.raises(ValueError, match="empty node frame"):
+        pagerank_fixed_point(empty, edges, iterations=1)
