@@ -34,6 +34,17 @@ ORD = "__ord"
 # dimension-sized and the plain global window is cheaper than two extra jobs
 AUTO_PARTITION_THRESHOLD = 4
 
+# running_totals auto-routing bound, in ROWS (its inputs are usually
+# post-aggregation frames whose partition count is just shuffle.partitions,
+# so partition count carries no size signal there): at/below this the plain
+# window path wins — a few-million-row sort on one task is milliseconds
+# next to the two-phase plan's extra jobs; above it, two-phase
+AUTO_ROWS_THRESHOLD = 2_000_000
+
+# fail-fast bound on the two-phase driver summary (one row per physical
+# partition per group): beyond this the offsets closure stops being "tiny"
+MAX_SUMMARY_ROWS = 200_000
+
 
 def stamp_ord(df: DataFrame, order_by: list[Column | str] | None = None) -> DataFrame:
     """Stamp the engine's monotonic order column. With ``order_by``, a
@@ -285,10 +296,37 @@ def running_totals(
     cum_col: str = "cum",
     rank_col: str | None = None,
     num_partitions: int | None = None,
+    strategy: str = "auto",
+    auto_rows_threshold: int | None = None,
 ) -> DataFrame:
-    """Distributed running sum (and optional rank) with NO single-partition
-    (or low-cardinality-partition) WindowExec — the two-phase pattern
-    ``_forward_fill_distributed`` established, generalized:
+    """Distributed running sum (and optional rank).
+
+    ``strategy``:
+      * ``'auto'`` (default) — persist the input, count it (one bounded
+        scalar; the persisted frame feeds whichever path wins, so the count
+        pass is the only evaluation of the upstream plan), and route:
+        at/below ``auto_rows_threshold`` rows (default
+        ``AUTO_ROWS_THRESHOLD``) the plain window is strictly cheaper —
+        the two-phase form pays a range-exchange sampling pass, a summary
+        collect, and a mapInPandas Arrow round-trip that dominate on
+        dimension-sized inputs (measured 3.2-4.3s vs <1s at sf0.1 on the
+        value-histogram callers) — above it, the two-phase plan below.
+      * ``'window'`` — ``Window.partitionBy(partition_by).orderBy(...)``;
+        with no/low-cardinality ``partition_by`` this funnels each group
+        through one task: only for bounded inputs.
+      * ``'two_phase'`` (alias ``'distributed'``) — never sorts a group on
+        one task; the scale path:
+
+    Phase 1: range-exchange on ``(partition_by, order_by)`` — globally ordered
+    partition ranges, parallel intra-partition sorts — then ONE tiny summary
+    row per ``(physical partition, group)``: its sum and count. A driver-side
+    prefix scan over that bounded frame (``num_partitions × groups`` rows)
+    yields the offset each partition inherits from everything ordered before
+    it within its group. The collect is guarded by ``MAX_SUMMARY_ROWS`` —
+    a high-cardinality ``partition_by`` would make it unbounded, and for
+    that shape a plain ``Window.partitionBy`` already scales (many small
+    groups spread across tasks), so the guard raises with that advice
+    rather than silently shipping an enormous offsets closure.
 
     Phase 1: range-exchange on ``(partition_by, order_by)`` — globally ordered
     partition ranges, parallel intra-partition sorts — then ONE tiny summary
@@ -328,6 +366,40 @@ def running_totals(
         df.schema[value_col].dataType,
         (ByteType, ShortType, IntegerType, LongType),
     )
+
+    if strategy == "auto":
+        from .caching import scoped_persist as _persist
+
+        bound = (
+            AUTO_ROWS_THRESHOLD
+            if auto_rows_threshold is None
+            else auto_rows_threshold
+        )
+        df = _persist(df)
+        strategy = "window" if df.count() <= bound else "two_phase"
+    if strategy == "window":
+        ocols = [
+            F.col(n).desc() if d == "desc" else F.col(n).asc()
+            for n, d in specs
+        ]
+        w = (
+            Window.partitionBy(*partition_by).orderBy(*ocols)
+            if partition_by
+            else Window.orderBy(*ocols)
+        )
+        v = F.col(value_col).cast("long" if integral else "double")
+        out = df.withColumn(
+            cum_col,
+            F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        if rank_col:
+            out = out.withColumn(
+                rank_col, F.row_number().over(w).cast("long")
+            )
+        return out
+    if strategy not in ("two_phase", "distributed"):
+        raise ValueError(f"unknown running_totals strategy {strategy!r}")
+
     cum_ddl = "bigint" if integral else "double"
     work = df.withColumn(
         "__v", F.col(value_col).cast("long" if integral else "double")
@@ -342,11 +414,17 @@ def running_totals(
         .withColumn("__pid", F.spark_partition_id())
     )
 
-    summary = (
-        ranged.groupBy("__pid", *partition_by)
-        .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__c"))
-        .collect()
+    summary_df = ranged.groupBy("__pid", *partition_by).agg(
+        F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__c")
     )
+    summary = summary_df.limit(MAX_SUMMARY_ROWS + 1).collect()
+    if len(summary) > MAX_SUMMARY_ROWS:
+        raise ValueError(
+            f"running_totals: two-phase summary exceeds {MAX_SUMMARY_ROWS} "
+            "rows — partition_by is high-cardinality, and for that shape a "
+            "plain Window.partitionBy already scales (many small groups "
+            "spread across tasks); use it instead of the two-phase plan"
+        )
     per_group: dict[tuple, list] = {}
     for r in summary:
         per_group.setdefault(

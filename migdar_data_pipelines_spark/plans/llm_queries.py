@@ -4361,12 +4361,19 @@ def equi_depth_buckets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     entirely when a hot value spans several (correct equi-depth semantics)."""
     from ..operators.windows import running_totals
 
+    from ..operators.caching import scoped_persist
+
     li = _t(spark, sf_dir, "lineitem")
     hist = li.groupBy(
         F.col("l_returnflag").alias("g"), F.col("l_extendedprice").alias("v")
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
-    cum = running_totals(
-        hist, "c", order_by=[("v", "asc")], partition_by=["g"], cum_col="cm"
+    # persisted: n_by_g and the bucket projection both read it — without
+    # the pin the auto window path would recompute the cumsum per reference
+    cum = scoped_persist(
+        running_totals(
+            hist, "c", order_by=[("v", "asc")], partition_by=["g"],
+            cum_col="cm",
+        )
     )
     n_by_g = F.broadcast(
         cum.groupBy("g").agg(F.max("cm").cast("long").alias("n"))

@@ -27,6 +27,7 @@ def test_running_totals_global_matches_window(spark):
     got = running_totals(
         df, "v", order_by=[("v", "desc"), ("id", "asc")],
         cum_col="cum", rank_col="rk", num_partitions=7,
+        strategy="two_phase",
     )
     w = Window.orderBy(F.desc("v"), F.asc("id"))
     want = df.withColumn("rk", F.row_number().over(w).cast("long")).withColumn(
@@ -45,6 +46,7 @@ def test_running_totals_grouped_matches_window(spark):
     got = running_totals(
         df, "v", order_by=[("v", "asc"), ("id", "asc")],
         partition_by=["g"], cum_col="cum", rank_col="rk", num_partitions=6,
+        strategy="two_phase",
     )
     w = Window.partitionBy("g").orderBy("v", "id")
     want = df.withColumn("rk", F.row_number().over(w).cast("long")).withColumn(
@@ -57,7 +59,8 @@ def test_running_totals_double_values(spark):
     data = [(i, float(i % 13) + 0.25) for i in range(200)]
     df = spark.createDataFrame(data, "id long, v double")
     got = running_totals(
-        df, "v", order_by=[("id", "asc")], cum_col="cum", num_partitions=5
+        df, "v", order_by=[("id", "asc")], cum_col="cum", num_partitions=5,
+        strategy="two_phase",
     )
     w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
     want = {r["id"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
@@ -67,7 +70,12 @@ def test_running_totals_double_values(spark):
 
 def test_running_totals_no_window_exec(spark):
     df = spark.range(100).withColumn("v", F.col("id") % 7)
-    got = running_totals(df, "v", order_by=[("id", "asc")], num_partitions=4)
+    got = running_totals(
+        df, "v", order_by=[("id", "asc")], num_partitions=4,
+        # auto would route this dimension-sized frame to the window path;
+        # force two-phase to pin its Window-free plan
+        strategy="two_phase",
+    )
     plan = got._sc._jvm.PythonSQLUtils.explainString(
         got._jdf.queryExecution(), "formatted"
     )
@@ -95,13 +103,17 @@ def test_bounded_running_rank_and_cumsum(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_percentiles_and_pareto_plans_have_no_window(spark, sf_dir):
+def test_percentiles_and_pareto_plans_have_no_window(spark, sf_dir, monkeypatch):
     """The two VERDICT-r4 scale defects: exact_percentiles must not sort per
     3-value group on single tasks, pareto must not push the customer frame
-    through one WindowExec task. Both now run the two-phase plan — assert the
-    executed plans contain no Window node at all."""
+    through one WindowExec task. Their running_totals calls auto-route by
+    row count — at test scale they legitimately take the window path, so pin
+    the threshold to 0 to simulate a fact-sized input and assert the routed
+    two-phase plans contain no Window node at all."""
+    from migdar_data_pipelines_spark.operators import windows as windows_mod
     from migdar_data_pipelines_spark.plans import query_fns
 
+    monkeypatch.setattr(windows_mod, "AUTO_ROWS_THRESHOLD", 0)
     fns = query_fns()
     for name in ("exact_percentiles_lineitem", "pareto_revenue_customers"):
         df = fns[name](spark, sf_dir)
@@ -109,3 +121,59 @@ def test_percentiles_and_pareto_plans_have_no_window(spark, sf_dir):
             df._jdf.queryExecution(), "formatted"
         )
         assert "Window" not in plan, name
+
+
+def test_running_totals_auto_routing(spark):
+    """auto takes the window path on dimension-sized input, the two-phase
+    path above the threshold, and both agree with the reference window."""
+    import random
+
+    random.seed(3)
+    data = [
+        (i, ["x", "y"][i % 2], random.randint(1, 40)) for i in range(400)
+    ]
+    df = spark.createDataFrame(data, "id long, g string, v long")
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = df.withColumn("rk", F.row_number().over(w).cast("long")).withColumn(
+        "cum", F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    kw = dict(
+        order_by=[("v", "asc"), ("id", "asc")], partition_by=["g"],
+        cum_col="cum", rank_col="rk", num_partitions=5,
+    )
+
+    small = running_totals(df, "v", **kw)  # auto: 400 <= threshold
+    plan = small._sc._jvm.PythonSQLUtils.explainString(
+        small._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" in plan
+    assert _rows(small, "id", "g", "cum", "rk") == _rows(
+        want, "id", "g", "cum", "rk"
+    )
+
+    big = running_totals(df, "v", auto_rows_threshold=10, **kw)
+    plan = big._sc._jvm.PythonSQLUtils.explainString(
+        big._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+    assert _rows(big, "id", "g", "cum", "rk") == _rows(
+        want, "id", "g", "cum", "rk"
+    )
+
+
+def test_running_totals_summary_bound_fail_fast(spark, monkeypatch):
+    """A high-cardinality partition_by must raise instead of collecting an
+    unbounded per-(partition, group) summary to the driver."""
+    import pytest
+
+    from migdar_data_pipelines_spark.operators import windows as windows_mod
+
+    monkeypatch.setattr(windows_mod, "MAX_SUMMARY_ROWS", 5)
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 50).alias("g"), F.lit(1).alias("v")
+    )
+    with pytest.raises(ValueError, match="high-cardinality"):
+        running_totals(
+            df, "v", order_by=[("id", "asc")], partition_by=["g"],
+            num_partitions=4, strategy="two_phase",
+        )
