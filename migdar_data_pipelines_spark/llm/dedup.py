@@ -155,6 +155,41 @@ def _shingle_band_frames(
     return base, band_rows
 
 
+# Broadcast-hint ceiling for LSH candidate-pair frames. The hint is only
+# safe when the candidate list is provably executor-memory-small; crawl
+# corpora run 30-50% duplication, so the pair list is O(dup pairs) —
+# billions of rows at 100 TB — and an unconditional broadcast is an OOM,
+# not a retuning nit. The gate estimates the pre-dedup pair volume from
+# the (persisted) band table's bucket sizes — one cheap aggregate — and
+# falls back to a plain shuffle join above the ceiling (AQE may still
+# broadcast from its own runtime size estimate).
+MAX_BROADCAST_CANDIDATE_PAIRS = 1_000_000
+
+
+def _self_join_pair_estimate(band_rows: DataFrame) -> int:
+    """Upper bound on the band self-join's candidate pairs: sum over buckets
+    of n*(n-1)/2. Exact for the pre-dedup pair count; the cross-band
+    distinct only shrinks it."""
+    row = (
+        band_rows.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("p"))
+        .first()
+    )
+    return int(row["p"] or 0)
+
+
+def _probe_join_pair_estimate(
+    probe_bands: DataFrame, index_bands: DataFrame
+) -> int:
+    """Upper bound on a probe-vs-index bucket join's candidate pairs: sum
+    over shared buckets of n_probe * n_index."""
+    pc = probe_bands.groupBy("bucket").agg(F.count(F.lit(1)).alias("np"))
+    ic = index_bands.groupBy("bucket").agg(F.count(F.lit(1)).alias("ni"))
+    row = pc.join(ic, "bucket").agg(F.sum(F.expr("np * ni")).alias("p")).first()
+    return int(row["p"] or 0)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -164,8 +199,13 @@ def minhash_lsh_pairs(
     k: int = 3,
     jaccard_threshold: float = 0.5,
     persist_shingles: bool = True,
+    max_broadcast_candidates: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with true shingle Jaccard.
+
+    ``max_broadcast_candidates`` overrides ``MAX_BROADCAST_CANDIDATE_PAIRS``
+    — the estimated-candidate ceiling above which the verification joins
+    drop the broadcast hint (see the inline comment at the verify step).
 
     rows-per-band = n_hashes/bands sets the collision sensitivity
     (threshold ~ (1/bands)^(1/rows)). Self-join happens per band-bucket only;
@@ -219,25 +259,35 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # Verify only the (few) candidates with true Jaccard over shingle sets.
-    # The candidate side is EXPLICITLY broadcast in both lookups — not left
-    # to AQE's runtime estimate — so the persisted shingle frame is never
-    # shuffled for verification. Size rationale: the candidate list IS the
-    # verification workload; if it outgrew a broadcast (executor-memory
-    # scale), the LSH parameters produce more verification work than any
-    # join strategy could save and need retuning (more rows per band /
-    # a bucket-size cap), so forcing the hint is safe by construction.
-    # The second hint covers the (pairs + sh_a) intermediate, whose row
-    # count is the same candidate count.
+    # Verify only the candidates with true Jaccard over shingle sets. The
+    # candidate side is broadcast in both lookups ONLY when the band table's
+    # bucket sizes prove it small (one cheap aggregate over the persisted
+    # band frame, the cms_join_size decision applied with exact bucket
+    # counts): a high-duplication corpus makes the candidate list O(dup
+    # pairs) — far past executor memory at 100 TB — so past the ceiling the
+    # verification runs as ordinary shuffle joins on id (co-partitioned
+    # across the two lookups; AQE may still broadcast from its runtime
+    # estimate). When the frames aren't persisted the estimate would
+    # recompute the whole signature pipeline, so we skip the hint and let
+    # AQE decide.
+    if persist_shingles:
+        est_pairs = _self_join_pair_estimate(band_rows)
+        hint = est_pairs <= (
+            MAX_BROADCAST_CANDIDATE_PAIRS
+            if max_broadcast_candidates is None
+            else max_broadcast_candidates
+        )
+    else:
+        hint = False
     sh_df = base.select(F.col("id").alias("__sid"), F.col("__sh"))
     cand = (
-        F.broadcast(cand)
+        (F.broadcast(cand) if hint else cand)
         .join(sh_df, F.col("id_a") == F.col("__sid"))
         .withColumnRenamed("__sh", "sh_a")
         .drop("__sid")
     )
     cand = (
-        F.broadcast(cand)
+        (F.broadcast(cand) if hint else cand)
         .join(sh_df, F.col("id_b") == F.col("__sid"))
         .withColumnRenamed("__sh", "sh_b")
         .drop("__sid")
@@ -261,6 +311,7 @@ def incremental_dedup(
     bands: int = 16,
     k: int = 3,
     jaccard_threshold: float = 0.8,
+    max_broadcast_candidates: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against a STANDING corpus — the production shape at
     100 TB: the corpus is never re-deduped; the daily increment probes it.
@@ -300,17 +351,25 @@ def incremental_dedup(
         .select("id_b", "id_i")
         .dropDuplicates(["id_b", "id_i"])
     )
-    # Verification: candidates are broadcast against both persisted shingle
-    # frames (same rationale as minhash_lsh_pairs — the candidate list IS the
-    # verification workload and must stay broadcast-small by construction).
+    # Verification: the candidate side gets a broadcast hint ONLY when the
+    # bucket-size estimate proves it small (same gate as minhash_lsh_pairs
+    # — a high-dup batch against a big index makes the candidate list
+    # O(batch x index dup pairs), past executor memory at scale); above
+    # the ceiling these run as shuffle joins on id.
+    est_pairs = _probe_join_pair_estimate(b_bands, i_bands)
+    hint = est_pairs <= (
+        MAX_BROADCAST_CANDIDATE_PAIRS
+        if max_broadcast_candidates is None
+        else max_broadcast_candidates
+    )
     cand = (
-        F.broadcast(cand)
+        (F.broadcast(cand) if hint else cand)
         .join(b_base.select(F.col("id").alias("__sid"), F.col("__sh").alias("sh_b")),
               F.col("id_b") == F.col("__sid"))
         .drop("__sid")
     )
     cand = (
-        F.broadcast(cand)
+        (F.broadcast(cand) if hint else cand)
         .join(i_base.select(F.col("id").alias("__sid"), F.col("__sh").alias("sh_i")),
               F.col("id_i") == F.col("__sid"))
         .drop("__sid")

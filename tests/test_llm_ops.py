@@ -800,3 +800,53 @@ def test_ngram_ppjoin_blocked_matches_blocked_join_path(spark):
     assert got_exact == got_pp
     assert (3, 4, 1.0) in got_pp
     assert not any(p[0] == 5 for p in got_pp)
+
+
+def test_minhash_broadcast_gate_high_dup_corpus(spark):
+    """VERDICT r5 #3: an adversarially duplicated corpus must NOT get a
+    forced candidate broadcast — the hint is gated on the bucket-size pair
+    estimate — and the verified pairs are identical either way."""
+    from migdar_data_pipelines_spark.llm.dedup import (
+        incremental_dedup,
+        minhash_lsh_pairs,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(40)], "id long, text string"
+    )
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    # 40 identical docs, bands=4 -> est = 4 * 40*39/2 = 3120 pre-dedup pairs
+    low = minhash_lsh_pairs(
+        docs, "text", "id", n_hashes=8, bands=4, jaccard_threshold=0.9,
+        max_broadcast_candidates=1000,
+    )
+    assert "ResolvedHint" not in analyzed(low)
+    high = minhash_lsh_pairs(
+        docs, "text", "id", n_hashes=8, bands=4, jaccard_threshold=0.9,
+        max_broadcast_candidates=10**9,
+    )
+    assert "ResolvedHint" in analyzed(high)
+    rows_low = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in low.collect())
+    rows_high = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in high.collect())
+    assert rows_low == rows_high
+    assert len(rows_low) == 40 * 39 // 2
+    assert all(j == 1.0 for _, _, j in rows_low)
+
+    # incremental probe: batch == index -> est = sum over buckets nb*ni,
+    # far past a limit of 100 -> no hint on the verification joins
+    inc = incremental_dedup(
+        docs, docs, "text", "id", n_hashes=8, bands=4,
+        max_broadcast_candidates=100,
+    )
+    plan = analyzed(inc)
+    # the documented batch-probe broadcast hint remains (b_bands is
+    # batch-sized by contract); the two candidate-side hints must be gone,
+    # so exactly one ResolvedHint survives in the analyzed plan
+    assert plan.count("ResolvedHint") == 1
+    got = {r["id"]: r for r in inc.collect()}
+    assert len(got) == 40
+    assert all(r["dup_exact"] for r in got.values())
