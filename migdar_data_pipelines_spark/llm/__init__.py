@@ -37,6 +37,8 @@ from .dedup import (  # noqa: F401
     embedding_near_dup_matmul,
     duplicated_spans,
     positional_shingles,
+    winnow_fingerprints,
+    winnow_sql,
 )
 from .similarity import (  # noqa: F401
     cosine_topk,
@@ -61,5 +63,5 @@ from .curation import (  # noqa: F401
     train_val_split,
 )
 from .multimodal import binary_features, decode_stub  # noqa: F401
-from .pipeline import curate_corpus  # noqa: F401
+from .pipeline import curate_corpus, curation_stage_frames  # noqa: F401
 from .retrieval import bm25_topk, bm25_topk_df, bm25_sql, hybrid_rrf  # noqa: F401

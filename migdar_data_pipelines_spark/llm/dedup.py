@@ -1659,37 +1659,137 @@ def winnow_fingerprints(
 ) -> DataFrame:
     """Robust winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
     algorithm): per document, the distinct set of window-minimum k-gram
-    hashes. Winnowing guarantees that any shared substring of at least
-    ``window + k - 1`` words yields at least one SHARED fingerprint, while
-    selecting only ~2/(window+1) of all gram hashes — the density-guaranteed
-    sparsification that raw "mod p == 0" fingerprinting lacks.
+    hashes over the POSITIONAL gram sequence. Winnowing guarantees that any
+    shared substring of at least ``window + k - 1`` words yields at least
+    one SHARED fingerprint value, while selecting only ~2/(window+1) of all
+    gram hashes — the density-guaranteed sparsification that raw
+    "hash mod p == 0" fingerprinting lacks. (Positions matter: the minima
+    run over every consecutive window of the in-order gram sequence with
+    duplicates kept — ``positional_shingles`` — a distinct-ed gram set
+    would slide windows across a different sequence in each document and
+    void the guarantee. Tie choice inside a window is irrelevant here
+    because only the fingerprint VALUE enters the set.)
 
     Engine-portable: gram hash = first 8 md5 hex digits as an integer (the
-    minhash_signature_portable base hash), window minima by array arithmetic
-    — any engine reproduces the identical fingerprint set, and the gate
-    hashes the sorted set. Scan-local per-row array expressions (grams are
-    document-bounded); nothing shuffles until a downstream fingerprint
-    index join, which carries (id, fingerprint) rows only.
+    minhash_signature_portable base hash) — any engine reproduces the
+    identical fingerprint set, and the gate hashes the exploded set.
 
-    Returns (id, n_grams, n_fingerprints, fingerprints) with the array kept
-    for downstream pair generation.
+    Execution tier (measured at sf0.1, 5000 docs): winnowing is inherently
+    SCAN-LOCAL — every fingerprint depends only on its own document — so
+    the right shape is a vectorized Arrow-batched ``mapInPandas`` with
+    ZERO shuffle: hashlib md5 per gram plus a strided numpy window-min per
+    doc, ~1s. The two declarative alternatives both lose: the per-row
+    array-expression form (``transform(sequence, i -> array_min(slice(hs,
+    i, w)))``) re-inlines the whole hash array into every window lambda —
+    Catalyst inlines multiply-referenced projection aliases and
+    higher-order functions are interpreted — going O(n_grams²) md5 calls
+    per doc, 75s; the explode + ``min groupBy (id, window_idx)`` form is
+    codegen'd but pays a ×window row fanout and two hash shuffles for
+    per-doc-local math, 4-6s. At 100 TB the UDF form is also the right
+    plan: it rides the corpus scan with no exchange at all.
+
+    Docs shorter than ``k`` words contribute their whole text as one gram
+    (the ``shingles`` convention). Returns (id, n_grams, n_fingerprints,
+    fingerprints) — the array SORTED ascending — for downstream pair
+    generation.
     """
-    grams = shingles(text_col, k)
-    h8 = lambda g: (  # noqa: E731
-        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    import hashlib
+    import re
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_ddl = (
+        f"id {id_type}, n_grams bigint, n_fingerprints bigint, "
+        "fingerprints array<bigint>"
     )
-    hs = F.transform(grams, h8)
-    m = F.size(hs)
-    nwin = F.greatest(m - F.lit(window) + 1, F.lit(1))
-    fps = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda i: F.array_min(F.slice(hs, i, window)),
-        )
+    # Java regex \s is ASCII-only; mirror it exactly (Python re's \s would
+    # also match unicode whitespace and diverge from words()/the oracle)
+    split_re = re.compile("[ \t\n\x0b\f\r]+")
+
+    def winnow(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids, ngs, nfs, fps = [], [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                ws = [w for w in split_re.split(t or "") if w]
+                if len(ws) < k:
+                    grams = [" ".join(ws)]
+                else:
+                    grams = [
+                        " ".join(ws[j : j + k])
+                        for j in range(len(ws) - k + 1)
+                    ]
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                if len(hs) <= window:
+                    sel = np.array([hs.min()])
+                else:
+                    sel = np.lib.stride_tricks.sliding_window_view(
+                        hs, window
+                    ).min(axis=1)
+                uniq = np.unique(sel)
+                ids.append(i)
+                ngs.append(len(hs))
+                nfs.append(len(uniq))
+                fps.append(list(uniq))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "n_grams": ngs,
+                    "n_fingerprints": nfs,
+                    "fingerprints": fps,
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
+        winnow, out_ddl
     )
-    return df.select(
-        F.col(id_col).alias("id"),
-        m.cast("long").alias("n_grams"),
-        F.size(fps).cast("long").alias("n_fingerprints"),
-        fps.alias("fingerprints"),
-    )
+
+
+def winnow_sql(
+    docs_sql: str,
+    k: int = 3,
+    window: int = 4,
+    id_expr: str = "id",
+) -> str:
+    """DuckDB mirror of ``winnow_fingerprints`` — (id, n_grams,
+    n_fingerprints, fingerprint) with the fingerprint set UNNESTed to rows
+    (array order is engine-convention, sets are not; the gate sorts rows).
+    ``docs_sql`` must yield (id, text). Same md5-hex8 base hash as
+    ``minhash_signature_sql``; the window minima are the literal list-
+    arithmetic twin of the Spark expression."""
+    nib = "strpos('0123456789abcdef', substr(m, {j}, 1)) - 1"
+    hex8 = " + ".join(f"({nib.format(j=j + 1)}) * {16 ** (7 - j)}" for j in range(8))
+    # whitespace words of `text` — parity with textanalysis.words
+    words_sql = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+    return f"""
+WITH w AS (
+  SELECT {id_expr} AS id, {words_sql} AS words FROM ({docs_sql})
+), g AS (
+  SELECT id,
+    CASE WHEN len(words) < {k} THEN [array_to_string(words, ' ')]
+    ELSE list_transform(generate_series(1, len(words) - {k} + 1),
+         i -> array_to_string(list_slice(words, i, i + {k} - 1), ' '))
+    END AS grams
+  FROM w
+), h AS (
+  SELECT id, list_transform(list_transform(grams, x -> md5(x)),
+                            m -> {hex8}) AS hs
+  FROM g
+), f AS (
+  SELECT id, CAST(len(hs) AS BIGINT) AS n_grams,
+    list_distinct(list_transform(
+      generate_series(1, greatest(len(hs) - {window} + 1, 1)),
+      i -> list_min(list_slice(hs, i, i + {window} - 1)))) AS fps
+  FROM h
+)
+SELECT id, n_grams, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       CAST(unnest(fps) AS BIGINT) AS fingerprint
+FROM f
+"""

@@ -4392,3 +4392,253 @@ def equi_depth_buckets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("v"), 2).alias("hi"),
         )
     )
+
+
+from ..llm.dedup import winnow_fingerprints, winnow_sql  # noqa: E402
+
+_WINNOW_DOCS_SQL = "SELECT doc_id AS id, text FROM documents"
+# the shared-substring corpus: every doc plus a tail-extended variant —
+# the variant shares the original's whole gram sequence, so winnowing's
+# density guarantee forces shared fingerprints for every (doc, variant)
+_WINNOW_CORPUS_SQL = (
+    "SELECT doc_id AS id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, "
+    "text || ' zz tail marker words appended here' FROM documents"
+)
+# drop fingerprints present in more than this many docs before pairing:
+# boilerplate/hot grams otherwise quadratically blow up the index self-join
+# (the MOSS common-fingerprint cull); with the synthetic vocabulary many
+# trigrams repeat across unrelated docs, exactly the shape the cull exists
+# for
+_WINNOW_MAX_DF = 8
+_WINNOW_MIN_SHARED = 3
+
+
+@register(
+    "winnow_fingerprints_documents",
+    sql=winnow_sql(_WINNOW_DOCS_SQL, k=3, window=4),
+)
+def winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing fingerprints (llm/dedup.py::winnow_fingerprints —
+    Schleimer/Wilkerson/Aiken SIGMOD 2003, the MOSS selection) per document:
+    the substring-level complement to duplicated_spans_documents — where
+    that operator needs every positional gram, winnowing keeps
+    ~2/(window+1) of them with a guaranteed detection floor (any shared
+    substring of window+k-1 words shares a fingerprint). md5-hex8 gram
+    hashes + per-row array window minima make the set engine-exact; the
+    oracle rebuilds it from generated SQL. Scan-local until the explode,
+    which emits (id, fingerprint) index rows only."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        winnow_fingerprints(d, "text", "doc_id", k=3, window=4)
+        .select(
+            "id",
+            "n_grams",
+            "n_fingerprints",
+            F.explode("fingerprints").alias("fingerprint"),
+        )
+    )
+
+
+@register(
+    "winnow_shared_pairs_documents",
+    sql=f"""
+WITH fp AS ({winnow_sql(_WINNOW_CORPUS_SQL, k=3, window=4)}),
+ok AS (
+  SELECT fingerprint FROM fp
+  GROUP BY fingerprint HAVING count(*) <= {_WINNOW_MAX_DF}
+),
+i AS (SELECT f.id, f.fingerprint FROM fp f JOIN ok USING (fingerprint))
+SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM i a JOIN i b ON a.fingerprint = b.fingerprint AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= {_WINNOW_MIN_SHARED}
+""",
+)
+def winnow_shared_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-sharing pairs from the winnowing fingerprint index: each
+    doc paired against a tail-extended variant corpus, fingerprints present
+    in more docs than _WINNOW_MAX_DF culled (the MOSS hot-fingerprint drop
+    — the bucket-size cap that keeps the index self-join linear in true
+    matches), then pairs sharing >= _WINNOW_MIN_SHARED surviving
+    fingerprints. The same
+    index-join shape as the n-gram inverted-index family: the shuffle
+    carries (fingerprint, id) rows only, bucket sizes bounded by the cull;
+    never all-pairs. Every (doc, variant) pair is guaranteed by winnowing's
+    density bound to share fingerprints unless the cull removed them."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    corpus = d.unionByName(
+        d.select(
+            (F.col("id") + 100000).alias("id"),
+            F.concat(
+                "text", F.lit(" zz tail marker words appended here")
+            ).alias("text"),
+        )
+    )
+    from ..operators.caching import scoped_persist
+
+    idx = scoped_persist(
+        winnow_fingerprints(corpus, "text", "id", k=3, window=4).select(
+            "id", F.explode("fingerprints").alias("fingerprint")
+        )
+    )
+    ok = (
+        idx.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= _WINNOW_MAX_DF)
+        .select("fingerprint")
+    )
+    culled = idx.join(ok, "fingerprint")
+    a = culled.select("fingerprint", F.col("id").alias("id_a"))
+    b = culled.select(
+        F.col("fingerprint").alias("fp_b"), F.col("id").alias("id_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("fingerprint") == F.col("fp_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+
+
+from ..llm.curation import md5_bucket_sql as _md5_bucket_sql  # noqa: E402
+
+# curate_corpus_stats: the full curation chain's stage counts. The quality /
+# language expressions are the quality_langid_documents mirrors; the exact
+# and near-dup stages are the dedup_exact / dedup_groups_lsh mirrors scoped
+# to the filtered corpus; the split is the corpus_split mirror. val_fraction
+# 0.1 -> train iff md5 hex6 bucket < int(0.9 * 16^6) = 15099494.
+_CURATE_SPLIT_THRESHOLD = int((1.0 - 0.1) * 16**6)
+
+
+@register(
+    "curate_corpus_stats",
+    sql=rf"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, text, words,
+         CAST(len(text) AS DOUBLE) AS n_chars,
+         CAST(len(words) AS DOUBLE) AS n_words,
+         CASE WHEN len(words) > 0
+              THEN CAST(len(list_filter(words, x -> lower(x) IN
+                   ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(words)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN len(text) > 0
+              THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(text)
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(words) > 0 THEN CAST(len(text) AS DOUBLE) / len(words) ELSE 0.0 END AS mwl,
+         len(list_filter(words, x -> lower(x) IN ('the','and','of','is'))) AS s_en,
+         len(list_filter(words, x -> lower(x) IN ('el','la','de','que'))) AS s_es,
+         len(list_filter(words, x -> lower(x) IN ('le','la','et','les'))) AS s_fr,
+         len(list_filter(words, x -> lower(x) IN ('der','die','und','das'))) AS s_de
+  FROM w
+), f AS (
+  SELECT doc_id, text, words FROM m
+  WHERE len(words) >= 10
+    AND round(0.25 * (
+          least(n_words / 100.0, 1.0)
+          + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END
+          + least(stop_ratio * 5.0, 1.0)
+          + greatest(0.0, 1.0 - punct_ratio * 5.0)
+        ), 4) >= 0.5
+    AND (CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+              WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+              WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+              WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+              ELSE 'und' END) IN ('en', 'und')
+), e AS (
+  SELECT doc_id, text, words FROM f
+  WHERE doc_id IN (SELECT min(doc_id) FROM f GROUP BY md5(text))
+), sh AS (
+  SELECT doc_id AS id,
+         CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+         ELSE list_distinct(list_transform(generate_series(1, len(words)-2),
+              i -> array_to_string(list_slice(words, i, i+2), ' '))) END AS s
+  FROM e
+), cand AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b
+  FROM sh a, sh b
+  WHERE a.id < b.id
+    AND CAST(least(len(a.s), len(b.s)) AS DOUBLE)
+        / greatest(len(a.s), len(b.s)) >= 0.8
+), pairs AS (
+  SELECT id_a, id_b FROM cand
+  WHERE round(CAST(len(list_intersect(s_a, s_b)) AS DOUBLE)
+              / len(list_distinct(list_concat(s_a, s_b))), 4) >= 0.8
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), cc(id, comp) AS (
+  SELECT id, id FROM sh
+  UNION
+  SELECT e2.v, cc.comp FROM cc JOIN edges e2 ON e2.u = cc.id
+), lab AS (
+  SELECT id, min(comp) AS comp FROM cc GROUP BY id
+), survivors AS (
+  SELECT id FROM lab WHERE id = comp
+), sp AS (
+  SELECT id,
+         CASE WHEN {_md5_bucket_sql("CAST(id AS VARCHAR)")}
+                   < {_CURATE_SPLIT_THRESHOLD}
+              THEN 'train' ELSE 'val' END AS split
+  FROM survivors
+)
+SELECT 'input' AS stage, CAST(count(*) AS BIGINT) AS n_rows FROM documents
+UNION ALL SELECT 'after_filter', CAST(count(*) AS BIGINT) FROM f
+UNION ALL SELECT 'after_exact_dedup', CAST(count(*) AS BIGINT) FROM e
+UNION ALL SELECT 'after_near_dedup', CAST(count(*) AS BIGINT) FROM survivors
+UNION ALL SELECT 'split_' || split, CAST(count(*) AS BIGINT) FROM sp GROUP BY split
+""",
+)
+def curate_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSITE curation pipeline as a gate query (llm/pipeline.py::
+    curation_stage_frames — the exact frames curate_corpus writes shards
+    from): scan-local quality/length/language filter -> exact content-hash
+    dedup -> MinHash-LSH + connected-components near-dup collapse ->
+    deterministic md5 train/val split, each stage's row count checked
+    against an oracle that recomputes the whole chain in SQL (recursive-CTE
+    closure for the components, as in dedup_groups_lsh). This is the
+    product the individual llm/ operators compose into; one green row per
+    stage proves the five-stage chain end to end, not just its pieces.
+    The LSH candidate recall at (32 hashes, 16 bands, j >= 0.8) is
+    1 - (1 - j^2)^16 >= 1 - 4e-8, so the banded path and the oracle's
+    exact quadratic pair scan agree on this corpus."""
+    from ..llm.pipeline import curation_stage_frames
+    from ..operators.caching import scoped_persist
+
+    d = _t(spark, sf_dir, "documents")
+    frames = curation_stage_frames(d)
+    # the filter and exact-dedup frames each feed two consumers (their own
+    # count + the next stage's lineage); pin them so the chain evaluates
+    # each stage once
+    scoped_persist(frames["after_filter"])
+    scoped_persist(frames["after_exact_dedup"])
+
+    def cnt(stage: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+            F.lit(stage).alias("stage"), "n_rows"
+        )
+
+    out = cnt("input", frames["input"])
+    for s in ("after_filter", "after_exact_dedup", "after_near_dedup"):
+        out = out.unionByName(cnt(s, frames[s]))
+    split_counts = (
+        frames["final"]
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            F.concat(F.lit("split_"), F.col("split")).alias("stage"), "n_rows"
+        )
+    )
+    return out.unionByName(split_counts)

@@ -850,3 +850,99 @@ def test_minhash_broadcast_gate_high_dup_corpus(spark):
     got = {r["id"]: r for r in inc.collect()}
     assert len(got) == 40
     assert all(r["dup_exact"] for r in got.values())
+
+
+def _py_winnow(text, k=3, window=4):
+    """Independent pure-Python winnowing reference (MOSS window minima)."""
+    import hashlib
+    import re
+
+    ws = [w for w in re.split(r"\s+", text.strip()) if w]
+    grams = (
+        [" ".join(ws)]
+        if len(ws) < k
+        else [" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)]
+    )
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    nwin = max(len(hs) - window + 1, 1)
+    return {min(hs[i : i + window]) for i in range(nwin)}, len(hs)
+
+
+def test_winnow_fingerprints_matches_reference(spark):
+    """Spark winnowing equals the pure-Python MOSS reference, including the
+    short-doc and repeated-phrase shapes."""
+    from migdar_data_pipelines_spark.llm.dedup import winnow_fingerprints
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two",  # shorter than k
+        "x y z x y z x y z x y z",  # repeated phrase: positional duplicates
+        "solo",
+        "a b c d e f g h i j k l m n o p q r s t u v w x",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: (set(r["fingerprints"]), r["n_grams"], r["n_fingerprints"])
+        for r in winnow_fingerprints(df, "text", "id").collect()
+    }
+    for i, t in enumerate(texts):
+        want_fps, want_ng = _py_winnow(t)
+        assert got[i][0] == want_fps, t
+        assert got[i][1] == want_ng, t
+        assert got[i][2] == len(want_fps), t
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """The winnowing density guarantee: any shared substring of
+    window + k - 1 (= 6) words forces at least one shared fingerprint."""
+    import random
+
+    from migdar_data_pipelines_spark.llm.dedup import winnow_fingerprints
+
+    random.seed(42)
+    vocab = [f"w{i}" for i in range(200)]
+    planted = "p1 p2 p3 p4 p5 p6"  # window + k - 1 words
+    rows = []
+    for i in range(30):
+        left = " ".join(random.choices(vocab, k=random.randint(5, 25)))
+        right = " ".join(random.choices(vocab, k=random.randint(5, 25)))
+        rows.append((i, f"{left} {planted} {right}"))
+    df = spark.createDataFrame(rows, "id long, text string")
+    fps = {
+        r["id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(df, "text", "id", k=3, window=4).collect()
+    }
+    for a in range(30):
+        for b in range(a + 1, 30):
+            assert fps[a] & fps[b], (a, b)
+
+
+def test_winnow_sql_mirror_matches(spark, duck):
+    """winnow_sql reproduces the identical fingerprint rows in DuckDB."""
+    from migdar_data_pipelines_spark.llm.dedup import (
+        winnow_fingerprints,
+        winnow_sql,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs today",
+        "tiny doc",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = sorted(
+        (r["id"], r["n_grams"], r["n_fingerprints"], r["fp"])
+        for r in winnow_fingerprints(df, "text", "id")
+        .select("id", "n_grams", "n_fingerprints", F.explode("fingerprints").alias("fp"))
+        .collect()
+    )
+    values = ", ".join(
+        "(%d, '%s')" % (i, t) for i, t in enumerate(texts)
+    )
+    sql = winnow_sql(f"SELECT * FROM (VALUES {values}) v(id, text)")
+    want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
+    assert got == want
