@@ -37,9 +37,16 @@ PICK = [
     ("mutual_knn_clusters_embeddings", "embedding corpus", "persisted blocked kNN + CC rounds"),
     ("ngram_jaccard_pairs_ppjoin", "documents + dup corpus", "prefix self-join + exact verify"),
     ("ngram_jaccard_pairs_invidx_prefix", "documents + dup corpus", "block+prefix index join"),
-    ("exact_percentiles_lineitem", "lineitem rows", "value histogram + two-phase cumsum"),
-    ("pareto_revenue_customers", "customer aggregate", "range exchange + two-phase cumsum"),
+    ("exact_percentiles_lineitem", "lineitem rows", "value histogram + auto-routed cumsum"),
+    ("pareto_revenue_customers", "customer aggregate", "auto-routed running totals"),
     ("profile_orders", "orders rows", "one-pass stats + portable HLL registers"),
+    ("equi_depth_buckets_lineitem", "lineitem rows", "value histogram + auto-routed cumsum"),
+    ("dedup_groups_lsh", "documents + dup corpus", "LSH pairs + CC rounds"),
+    ("pagerank_documents", "doc link graph", "per-round edge join + map-side agg"),
+    ("minhash_jaccard_estimate_documents", "documents + dup corpus", "portable signature agg + pair join"),
+    ("winnow_fingerprints_documents", "documents", "scan-local Arrow window minima"),
+    ("winnow_shared_pairs_documents", "doc + variant corpus", "culled fingerprint index self-join"),
+    ("curate_corpus_stats", "documents", "filter + exact dedup + LSH/CC + split chain"),
 ]
 
 
