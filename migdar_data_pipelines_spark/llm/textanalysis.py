@@ -236,3 +236,242 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
         **rules,
         "keep": keep,
     }
+
+
+# Gopher repetition-rule thresholds (Rae et al. 2021 §A1.1, the "repetitious
+# text" table): (rule key, threshold numerator out of 100). Shared Python
+# literals so the Spark expressions and any generated SQL compare the exact
+# same integers.
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 30,
+    "dup_line_char_frac": 20,
+    "dup_para_frac": 30,
+    "dup_para_char_frac": 20,
+    "top_2gram_char_frac": 20,
+    "top_3gram_char_frac": 18,
+    "top_4gram_char_frac": 16,
+    "dup_5gram_frac": 15,
+    "dup_6gram_frac": 14,
+    "dup_7gram_frac": 13,
+    "dup_8gram_frac": 12,
+    "dup_9gram_frac": 11,
+    "dup_10gram_frac": 10,
+}
+
+
+def gopher_repetition(df, text_col: str, id_col: str):
+    """The OTHER half of the published Gopher quality filter (Rae et al.
+    2021 §A1.1, "repetitious text") — ``gopher_rules`` covers the
+    quality-signal table, this covers the 13 repetition rules: duplicate
+    line / paragraph fractions (count and character), top-{2,3,4}-gram
+    character fractions, and duplicated-{5..10}-gram coverage fractions.
+    One boolean per rule plus its integer counters and ``keep`` = AND.
+
+    Every ratio test is a CROSS-MULTIPLIED INTEGER comparison
+    (``100 * dup <= thr * total``), so the booleans are engine-exact.
+    Deterministic definitional choices (the paper leaves these open; every
+    published re-implementation picks its own — documented here so the SQL
+    mirror and any other engine agree bit-for-bit):
+      * lines split on '\\n', paragraphs on '\\n{2,}', blank entries
+        dropped; a duplicated line/paragraph contributes ALL its
+        occurrences to the char numerator (lines cannot overlap);
+      * top n-gram = highest occurrence count, ties broken by
+        lexicographically smallest gram; char numerator = count * len(gram)
+        over len(text);
+      * duplicated n-gram coverage counts each WORD POSITION covered by at
+        least one >1-occurrence n-gram ONCE (interval union in word space
+        — the paper's "careful not to count characters twice" clause,
+        measured against n_words rather than chars: overlap-free and
+        integer-exact without a char-offset model).
+
+    Shape at scale: lines/paragraphs/grams explode into (id, key) rows
+    collapsed by map-side-combinable groupBys; the interval union is a
+    per-(doc, n) gaps-and-islands window — partition keys are (id, n), so
+    parallelism is per-document, never a global sort. Returns one row per
+    input document.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    from ..operators.caching import scoped_persist
+
+    d = scoped_persist(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(text_col).alias("__t"),
+            words(text_col).alias("__ws"),
+        )
+    )
+    ids = d.select(
+        "id",
+        F.length("__t").cast("long").alias("text_chars"),
+        F.size("__ws").cast("long").alias("n_words"),
+    )
+
+    def _seg_stats(split_re: str, prefix: str) -> DataFrame:
+        segs = d.select(
+            "id",
+            F.explode(
+                F.filter(
+                    F.split("__t", split_re), lambda x: F.trim(x) != ""
+                )
+            ).alias("seg"),
+        )
+        grp = segs.groupBy("id", "seg").agg(F.count(F.lit(1)).alias("c"))
+        return grp.groupBy("id").agg(
+            F.sum("c").cast("long").alias(f"{prefix}_total"),
+            (F.sum("c") - F.count(F.lit(1)))
+            .cast("long")
+            .alias(f"{prefix}_dup"),
+            F.sum(F.col("c") * F.length("seg"))
+            .cast("long")
+            .alias(f"{prefix}_chars"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("seg")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias(f"{prefix}_dup_chars"),
+        )
+
+    lines = _seg_stats(r"\n", "line")
+    paras = _seg_stats(r"\n{2,}", "para")
+
+    from .dedup import positional_shingles_of_words
+
+    def _gram_rows(ns: list[int]) -> DataFrame:
+        arrays = [
+            F.transform(
+                F.slice(
+                    positional_shingles_of_words(F.col("__ws"), n),
+                    F.lit(1),
+                    F.greatest(F.size("__ws") - n + 1, F.lit(0)),
+                ),
+                lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram")),
+            )
+            for n in ns
+        ]
+        return d.select(
+            "id", F.posexplode(F.flatten(F.array(*arrays))).alias("gpos", "g")
+        ).select("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"), "gpos")
+
+    # top-{2,3,4}-gram char mass: occurrence count of the most frequent
+    # gram (ties -> smallest gram) times its length
+    tg = _gram_rows([2, 3, 4])
+    tcnt = tg.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    tmax = tcnt.groupBy("id", "n").agg(F.max("c").alias("mx"))
+    top = (
+        tcnt.join(tmax, ["id", "n"])
+        .filter(F.col("c") == F.col("mx"))
+        .groupBy("id", "n")
+        .agg((F.max("mx") * F.length(F.min("gram"))).cast("long").alias("tc"))
+        .groupBy("id")
+        .pivot("n", [2, 3, 4])
+        .agg(F.first("tc"))
+        .select(
+            "id",
+            F.col("2").alias("top2_chars"),
+            F.col("3").alias("top3_chars"),
+            F.col("4").alias("top4_chars"),
+        )
+    )
+
+    # duplicated-{5..10}-gram coverage: word positions covered by any
+    # >1-occurrence n-gram, counted once (gaps-and-islands interval union)
+    ns_dup = [5, 6, 7, 8, 9, 10]
+    dg = _gram_rows(ns_dup)
+    # gpos is the index within the flattened multi-n array; recover the
+    # in-sequence position per (id, n) by ranking gpos inside the group
+    # (flatten preserves order, so rank order == gram position order)
+    dcnt = dg.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    dpos = dg.join(dcnt.filter(F.col("c") > 1), ["id", "n", "gram"])
+    # gpos is the index in the flattened multi-n array; each n's sub-array
+    # is contiguous there, so within an (id, n) group gpos equals the true
+    # word position up to a constant shift — and interval-union length is
+    # shift-invariant, so the island arithmetic can run on gpos directly
+    w_prev = (
+        Window.partitionBy("id", "n")
+        .orderBy("gpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        dpos.withColumn("end", F.col("gpos") + F.col("n") - 1)
+        .withColumn("prev_end", F.max("end").over(w_prev))
+        .withColumn(
+            "contrib",
+            F.greatest(
+                F.col("end")
+                - F.greatest(
+                    F.col("gpos") - 1, F.coalesce("prev_end", F.lit(-1))
+                ),
+                F.lit(0),
+            ),
+        )
+        .groupBy("id", "n")
+        .agg(F.sum("contrib").cast("long").alias("cw"))
+        .groupBy("id")
+        .pivot("n", ns_dup)
+        .agg(F.first("cw"))
+        .select(
+            "id",
+            *[
+                F.col(str(n)).alias(f"dup{n}gram_words")
+                for n in ns_dup
+            ],
+        )
+    )
+
+    out = (
+        ids.join(lines, "id", "left")
+        .join(paras, "id", "left")
+        .join(top, "id", "left")
+        .join(cov, "id", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    counters = {
+        "text_chars": F.col("text_chars"),
+        "n_words": F.col("n_words"),
+        "n_lines": z("line_total"),
+        "n_dup_lines": z("line_dup"),
+        "line_chars": z("line_chars"),
+        "dup_line_chars": z("line_dup_chars"),
+        "n_paras": z("para_total"),
+        "n_dup_paras": z("para_dup"),
+        "para_chars": z("para_chars"),
+        "dup_para_chars": z("para_dup_chars"),
+        "top2_chars": z("top2_chars"),
+        "top3_chars": z("top3_chars"),
+        "top4_chars": z("top4_chars"),
+        **{f"dup{n}gram_words": z(f"dup{n}gram_words") for n in ns_dup},
+    }
+    t = GOPHER_REP_THRESHOLDS
+    rules = {
+        "r_dup_line_frac": 100 * counters["n_dup_lines"]
+        <= t["dup_line_frac"] * counters["n_lines"],
+        "r_dup_line_chars": 100 * counters["dup_line_chars"]
+        <= t["dup_line_char_frac"] * counters["line_chars"],
+        "r_dup_para_frac": 100 * counters["n_dup_paras"]
+        <= t["dup_para_frac"] * counters["n_paras"],
+        "r_dup_para_chars": 100 * counters["dup_para_chars"]
+        <= t["dup_para_char_frac"] * counters["para_chars"],
+        "r_top_2gram": 100 * counters["top2_chars"]
+        <= t["top_2gram_char_frac"] * counters["text_chars"],
+        "r_top_3gram": 100 * counters["top3_chars"]
+        <= t["top_3gram_char_frac"] * counters["text_chars"],
+        "r_top_4gram": 100 * counters["top4_chars"]
+        <= t["top_4gram_char_frac"] * counters["text_chars"],
+        **{
+            f"r_dup_{n}gram": 100 * counters[f"dup{n}gram_words"]
+            <= t[f"dup_{n}gram_frac"] * counters["n_words"]
+            for n in ns_dup
+        },
+    }
+    keep = None
+    for r in rules.values():
+        keep = r if keep is None else keep & r
+    return out.select(
+        "id",
+        *[c.alias(name) for name, c in counters.items()],
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )
