@@ -13,10 +13,14 @@ per-batch imperative work.
 """
 
 from .textanalysis import (  # noqa: F401
+    GOPHER_REP_THRESHOLDS,
     token_stats,
     quality_score,
     language_id,
     doc_fingerprint,
+    gopher_repetition,
+    gopher_repetition_sql,
+    gopher_rules,
     unigram_lm_scores,
 )
 from .dedup import (  # noqa: F401

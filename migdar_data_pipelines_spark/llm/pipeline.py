@@ -42,8 +42,19 @@ def curation_stage_frames(
     ``curate_corpus_stats`` gate query consume, so the oracle-checked
     chain IS the shipped chain. Keys: input, after_filter,
     after_exact_dedup, after_near_dedup, final (with the split column).
-    Each frame builds on the previous lazily; callers that read several
-    should persist the shared prefixes."""
+
+    The shared prefixes (``after_filter``, ``after_exact_dedup``,
+    ``after_near_dedup``) come back ``scoped_persist``-ed BY this function:
+    every stage from exact dedup on has at least two consumers (the next
+    stage plus the caller's audit count), and the LSH stage additionally
+    runs its broadcast-gate estimate eagerly at CONSTRUCTION time
+    (dedup.py::minhash_lsh_pairs) — a persist added by the caller after
+    this function returns would come too late to stop that estimate from
+    re-deriving the whole prefix. Pinning here is what makes
+    ``curate_corpus`` single-pass; ``release_scoped()`` (invoked by the
+    query registry between queries) frees the pins."""
+    from ..operators.caching import scoped_persist
+
     out: dict[str, DataFrame] = {"input": docs}
 
     # 1. scan-local filter
@@ -52,12 +63,15 @@ def curation_stage_frames(
         & (quality_score(text_col) >= min_quality)
         & language_id(text_col).isin(*languages)
     )
+    kept = scoped_persist(kept)
     out["after_filter"] = kept
 
     # 2. exact dedup: keep each content hash's canonical (minimum) id
     exact = exact_dedup(kept, text_col, id_col)
-    kept = kept.join(
-        exact.select(F.col("canonical_id").alias(id_col)), id_col, "inner"
+    kept = scoped_persist(
+        kept.join(
+            exact.select(F.col("canonical_id").alias(id_col)), id_col, "inner"
+        )
     )
     out["after_exact_dedup"] = kept
 
@@ -69,7 +83,7 @@ def curation_stage_frames(
     )
     groups = canonical_groups(kept, pairs.select("id_a", "id_b"), id_col)
     dropped = groups.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
-    kept = kept.join(dropped, id_col, "left_anti")
+    kept = scoped_persist(kept.join(dropped, id_col, "left_anti"))
     out["after_near_dedup"] = kept
 
     # 4. deterministic split
@@ -90,28 +104,59 @@ def curate_corpus(
     n_shards: int = 4,
 ) -> dict:
     """Run the five-stage curation over ``docs`` and write training shards
-    to ``out_dir``. Returns per-stage counts + the writer's shard layout."""
+    to ``out_dir``. Returns per-stage counts + the writer's shard layout.
+
+    SINGLE-PASS accounting: every stage's lineage executes exactly once —
+    the audit counts never re-run the chain. Two mechanisms:
+
+    * the raw-input count rides the FILTER pass as an Observation (an
+      accumulator-backed side metric of the cache-materializing action), so
+      the input scan is never repeated just to count it — at 100 TB the
+      alternative is a second full corpus read;
+    * the three stage frames come back ``scoped_persist``-ed from
+      ``curation_stage_frames`` (pinned BEFORE the LSH stage's eager
+      broadcast-gate estimate runs — see its docstring), so each
+      ``.count()`` materializes its own stage once and every downstream
+      consumer — including the LSH + connected-components pass and the
+      shard write — reads the cache instead of re-deriving the prefix. The
+      split histogram likewise rides the already-shuffled shard-count
+      aggregate inside ``write_training_shards`` (split is a deterministic
+      md5 fold of the id, so recomputing the column on the cached frame is
+      free).
+
+    ``tests/test_llm_ops.py::test_curate_corpus_single_pass`` pins the
+    guarantee with an accumulator on the input: exactly one computation of
+    every input row across the whole five-stage run.
+    """
+    from pyspark.sql import Observation
+
     from ..sinks.shards import write_training_shards
 
+    obs_in = Observation()
     frames = curation_stage_frames(
-        docs, text_col, id_col, min_words, min_quality, languages,
+        docs.observe(obs_in, F.count(F.lit(1)).alias("n")),
+        text_col, id_col, min_words, min_quality, languages,
         jaccard_threshold, val_fraction,
     )
-    stats: dict = {
-        "input_rows": frames["input"].count(),
-        "after_filter": frames["after_filter"].count(),
+    stats: dict = {"after_filter": frames["after_filter"].count()}
+    # the filter pass above materialized the cache THROUGH the observe node,
+    # so the input count is already collected — no separate input scan
+    stats = {
+        "input_rows": int(obs_in.get["n"]),
+        **stats,
         "after_exact_dedup": frames["after_exact_dedup"].count(),
         "after_near_dedup": frames["after_near_dedup"].count(),
     }
     final = frames["final"]
-    split_counts = {
-        r["split"]: r["n"]
-        for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    stats["split"] = split_counts
 
-    # 5. shard write
-    stats["shards"] = write_training_shards(
-        final, out_dir, id_col, n_shards=n_shards
+    # 5. shard write; the split histogram folds over the per-(shard, split)
+    # counts the writer aggregates anyway
+    shards = write_training_shards(
+        final, out_dir, id_col, n_shards=n_shards, count_by=["split"]
     )
+    split_counts: dict = {}
+    for (_shard, split), c in shards.pop("rows_per_shard_split").items():
+        split_counts[split] = split_counts.get(split, 0) + c
+    stats["split"] = split_counts
+    stats["shards"] = shards
     return stats

@@ -475,3 +475,139 @@ def gopher_repetition(df, text_col: str, id_col: str):
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep"),
     )
+
+
+def gopher_repetition_sql(docs_sql: str) -> str:
+    """Generated DuckDB mirror of ``gopher_repetition`` (the ``winnow_sql``
+    playbook: the SQL is derived from the SAME threshold literals —
+    ``GOPHER_REP_THRESHOLDS`` — so the two engines compare identical
+    integers). ``docs_sql`` must yield ``(id, text)``.
+
+    Mirrored conventions, in the same terms as the operator docstring:
+    lines/paragraphs split + blank-dropped identically; the top-n-gram char
+    mass uses ``max(count) * len(min(gram among the tied))``; the
+    duplicated-n-gram coverage re-runs the gaps-and-islands interval union
+    on TRUE word positions — the operator runs it on flattened-array
+    offsets, which are per-(doc, n) shifts of the true positions, and
+    interval-union length is shift-invariant, so the counters agree
+    exactly.
+    """
+    t = GOPHER_REP_THRESHOLDS
+    ns_dup = [5, 6, 7, 8, 9, 10]
+    top_cols = ",\n         ".join(
+        f"CAST(coalesce(t{n}.tc, 0) AS BIGINT) AS top{n}_chars" for n in (2, 3, 4)
+    )
+    cov_cols = ",\n         ".join(
+        f"CAST(coalesce(c{n}.cw, 0) AS BIGINT) AS dup{n}gram_words" for n in ns_dup
+    )
+    top_joins = "\n  ".join(
+        f"LEFT JOIN topstat t{n} ON t{n}.id = ids.id AND t{n}.n = {n}"
+        for n in (2, 3, 4)
+    )
+    cov_joins = "\n  ".join(
+        f"LEFT JOIN cov c{n} ON c{n}.id = ids.id AND c{n}.n = {n}" for n in ns_dup
+    )
+    rules = {
+        "r_dup_line_frac": f"100 * n_dup_lines <= {t['dup_line_frac']} * n_lines",
+        "r_dup_line_chars": f"100 * dup_line_chars <= {t['dup_line_char_frac']} * line_chars",
+        "r_dup_para_frac": f"100 * n_dup_paras <= {t['dup_para_frac']} * n_paras",
+        "r_dup_para_chars": f"100 * dup_para_chars <= {t['dup_para_char_frac']} * para_chars",
+        "r_top_2gram": f"100 * top2_chars <= {t['top_2gram_char_frac']} * text_chars",
+        "r_top_3gram": f"100 * top3_chars <= {t['top_3gram_char_frac']} * text_chars",
+        "r_top_4gram": f"100 * top4_chars <= {t['top_4gram_char_frac']} * text_chars",
+        **{
+            f"r_dup_{n}gram": f"100 * dup{n}gram_words <= {t[f'dup_{n}gram_frac']} * n_words"
+            for n in ns_dup
+        },
+    }
+    rule_cols = ",\n       ".join(f"({e}) AS {k}" for k, e in rules.items())
+    keep = " AND ".join(f"({e})" for e in rules.values())
+    return f"""
+WITH base AS (
+  SELECT id, text,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+  FROM ({docs_sql})
+),
+ids AS (
+  SELECT id, CAST(len(text) AS BIGINT) AS text_chars,
+         CAST(len(words) AS BIGINT) AS n_words
+  FROM base
+),
+segs AS (
+  SELECT id, 'line' AS kind,
+         unnest(list_filter(string_split_regex(text, chr(10)), x -> trim(x) <> '')) AS seg
+  FROM base
+  UNION ALL
+  SELECT id, 'para',
+         unnest(list_filter(string_split_regex(text, chr(10) || '{{2,}}'), x -> trim(x) <> ''))
+  FROM base
+),
+segstat AS (
+  SELECT id, kind,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(c) - count(*) AS BIGINT) AS dup,
+         CAST(sum(c * len(seg)) AS BIGINT) AS chars,
+         CAST(coalesce(sum(CASE WHEN c > 1 THEN c * len(seg) END), 0) AS BIGINT) AS dup_chars
+  FROM (SELECT id, kind, seg, count(*) AS c FROM segs GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+pos AS (
+  SELECT id, n, words,
+         unnest(generate_series(1, len(words) - n + 1)) AS p
+  FROM base, (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n)
+),
+grams AS (
+  SELECT id, n, p, array_to_string(words[p:p+n-1], ' ') AS gram FROM pos
+),
+gcnt AS (
+  SELECT id, n, gram, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2, 3
+),
+topstat AS (
+  SELECT id, n, CAST(max(c) * len(min(gram)) AS BIGINT) AS tc
+  FROM (
+    SELECT id, n, gram, c, max(c) OVER (PARTITION BY id, n) AS mx
+    FROM gcnt WHERE n IN (2, 3, 4)
+  ) s
+  WHERE c = mx
+  GROUP BY 1, 2
+),
+dpos AS (
+  SELECT g.id, g.n, g.p
+  FROM grams g JOIN gcnt ON gcnt.id = g.id AND gcnt.n = g.n AND gcnt.gram = g.gram
+  WHERE gcnt.c > 1 AND g.n >= 5
+),
+isl AS (
+  SELECT id, n,
+         greatest(
+           p + n - 1 - greatest(
+             p - 1,
+             coalesce(max(p + n - 1) OVER (
+               PARTITION BY id, n ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)),
+           0) AS contrib
+  FROM dpos
+),
+cov AS (SELECT id, n, CAST(sum(contrib) AS BIGINT) AS cw FROM isl GROUP BY 1, 2),
+agg AS (
+  SELECT ids.id, ids.text_chars, ids.n_words,
+         CAST(coalesce(l.total, 0) AS BIGINT) AS n_lines,
+         CAST(coalesce(l.dup, 0) AS BIGINT) AS n_dup_lines,
+         CAST(coalesce(l.chars, 0) AS BIGINT) AS line_chars,
+         CAST(coalesce(l.dup_chars, 0) AS BIGINT) AS dup_line_chars,
+         CAST(coalesce(pa.total, 0) AS BIGINT) AS n_paras,
+         CAST(coalesce(pa.dup, 0) AS BIGINT) AS n_dup_paras,
+         CAST(coalesce(pa.chars, 0) AS BIGINT) AS para_chars,
+         CAST(coalesce(pa.dup_chars, 0) AS BIGINT) AS dup_para_chars,
+         {top_cols},
+         {cov_cols}
+  FROM ids
+  LEFT JOIN segstat l ON l.id = ids.id AND l.kind = 'line'
+  LEFT JOIN segstat pa ON pa.id = ids.id AND pa.kind = 'para'
+  {top_joins}
+  {cov_joins}
+)
+SELECT agg.*,
+       {rule_cols},
+       ({keep}) AS keep
+FROM agg
+"""

@@ -4615,15 +4615,12 @@ def curate_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 - (1 - j^2)^16 >= 1 - 4e-8, so the banded path and the oracle's
     exact quadratic pair scan agree on this corpus."""
     from ..llm.pipeline import curation_stage_frames
-    from ..operators.caching import scoped_persist
 
     d = _t(spark, sf_dir, "documents")
+    # the stage frames come back scoped_persist-ed from
+    # curation_stage_frames itself (pinned before the LSH stage's eager
+    # broadcast-gate estimate), so the chain evaluates each stage once
     frames = curation_stage_frames(d)
-    # the filter and exact-dedup frames each feed two consumers (their own
-    # count + the next stage's lineage); pin them so the chain evaluates
-    # each stage once
-    scoped_persist(frames["after_filter"])
-    scoped_persist(frames["after_exact_dedup"])
 
     def cnt(stage: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
@@ -4642,3 +4639,45 @@ def curate_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.unionByName(split_counts)
+
+
+from ..llm.textanalysis import gopher_repetition, gopher_repetition_sql  # noqa: E402
+
+# The synthetic documents are single-line and rarely repeat a 5-gram, so the
+# plain table would leave the dup-line/para and coverage rules exercised only
+# at zero. The gate corpus therefore unions each doc with a variant that is
+# the doc repeated three times as blank-line-separated paragraphs — every
+# line, paragraph and n-gram in the variant is duplicated, driving all 13
+# rules through their non-trivial branches (the winnowing-corpus playbook).
+_GOPHER_REP_CORPUS_SQL = (
+    "SELECT doc_id AS id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, "
+    "text || chr(10) || chr(10) || text || chr(10) || chr(10) || text "
+    "FROM documents"
+)
+
+
+@register(
+    "gopher_repetition_documents",
+    sql=gopher_repetition_sql(_GOPHER_REP_CORPUS_SQL),
+)
+def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-rule half of the published quality filter
+    (llm/textanalysis.py::gopher_repetition — Rae et al. 2021 §A1.1
+    "repetitious text"): 13 rules over duplicate lines/paragraphs (count +
+    char mass), top-{2,3,4}-gram char fractions, and duplicated-{5..10}-gram
+    word coverage, every counter integer-exact and every ratio a
+    cross-multiplied integer comparison. The oracle SQL is GENERATED from
+    the same GOPHER_REP_THRESHOLDS literals (the winnow_sql playbook).
+    Corpus = documents plus a triple-repeat paragraph variant per doc so the
+    dup branches all fire. Shape at scale: segment/gram explodes into
+    map-side-combinable groupBys; the coverage interval union is a
+    per-(doc, n) window — parallel per document, no global sort."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    variant = d.select(
+        (F.col("id") + 100000).alias("id"),
+        F.concat_ws("\n\n", "text", "text", "text").alias("text"),
+    )
+    return gopher_repetition(d.unionByName(variant), "text", "id")

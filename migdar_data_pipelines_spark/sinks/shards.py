@@ -42,10 +42,17 @@ def write_training_shards(
     order_col: str | None = None,
     max_records_per_file: int | None = None,
     mode: str = "overwrite",
+    count_by: list[str] | None = None,
 ) -> dict:
     """Write ``df`` as ``path/shard=K/*.parquet`` with deterministic
     assignment and in-shard order. Returns per-shard row counts (one extra
     aggregate over the same shuffled data — cheap relative to the write).
+
+    ``count_by``: extra columns to sub-divide the count aggregate by; the
+    result then also carries ``rows_per_shard_split`` keyed by
+    ``(shard, *count_by values)`` — callers wanting e.g. a train/val
+    histogram fold it from the aggregate the writer runs anyway instead of
+    paying their own pass (see llm/pipeline.py::curate_corpus).
     """
     sharded = df.withColumn("shard", shard_assignment(id_col, n_shards))
     out = sharded.repartition(n_shards, "shard")
@@ -54,8 +61,14 @@ def write_training_shards(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
     writer.parquet(path)
-    counts = {
-        int(r["shard"]): int(r["n"])
-        for r in sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    return {"path": path, "n_shards": n_shards, "rows_per_shard": counts}
+    by = ["shard", *(count_by or [])]
+    rows = sharded.groupBy(*by).agg(F.count(F.lit(1)).alias("n")).collect()
+    counts: dict = {}
+    for r in rows:
+        counts[int(r["shard"])] = counts.get(int(r["shard"]), 0) + int(r["n"])
+    result = {"path": path, "n_shards": n_shards, "rows_per_shard": counts}
+    if count_by:
+        result["rows_per_shard_split"] = {
+            (int(r["shard"]), *[r[c] for c in count_by]): int(r["n"]) for r in rows
+        }
+    return result

@@ -946,3 +946,144 @@ def test_winnow_sql_mirror_matches(spark, duck):
     sql = winnow_sql(f"SELECT * FROM (VALUES {values}) v(id, text)")
     want = sorted(tuple(r) for r in duck.execute(sql).fetchall())
     assert got == want
+
+
+def _py_gopher_repetition(text):
+    """Independent pure-Python reference for gopher_repetition's 13 Gopher
+    repetition rules (Rae et al. 2021 §A1.1) under the operator's documented
+    conventions: all-occurrence dup char mass, lexicographic top-gram
+    tie-break, set-union word coverage (checked against the operator's
+    gaps-and-islands form)."""
+    import re
+    from collections import Counter
+
+    from migdar_data_pipelines_spark.llm.textanalysis import (
+        GOPHER_REP_THRESHOLDS as T,
+    )
+
+    ws = [w for w in re.split(r"\s+", text.strip()) if w]
+    out = {"text_chars": len(text), "n_words": len(ws)}
+
+    def seg(split_re, prefix):
+        segs = [s for s in re.split(split_re, text) if s.strip() != ""]
+        c = Counter(segs)
+        out[f"n_{prefix}s"] = sum(c.values())
+        out[f"n_dup_{prefix}s"] = sum(c.values()) - len(c)
+        out[f"{prefix}_chars"] = sum(n * len(s) for s, n in c.items())
+        out[f"dup_{prefix}_chars"] = sum(
+            n * len(s) for s, n in c.items() if n > 1
+        )
+
+    seg(r"\n", "line")
+    seg(r"\n{2,}", "para")
+    grams = {
+        n: [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+        for n in range(2, 11)
+    }
+    for n in (2, 3, 4):
+        c = Counter(grams[n])
+        if not c:
+            out[f"top{n}_chars"] = 0
+            continue
+        mx = max(c.values())
+        out[f"top{n}_chars"] = mx * len(min(g for g in c if c[g] == mx))
+    for n in range(5, 11):
+        c = Counter(grams[n])
+        covered = set()
+        for i, g in enumerate(grams[n]):
+            if c[g] > 1:
+                covered.update(range(i, i + n))
+        out[f"dup{n}gram_words"] = len(covered)
+    rules = {
+        "r_dup_line_frac": 100 * out["n_dup_lines"]
+        <= T["dup_line_frac"] * out["n_lines"],
+        "r_dup_line_chars": 100 * out["dup_line_chars"]
+        <= T["dup_line_char_frac"] * out["line_chars"],
+        "r_dup_para_frac": 100 * out["n_dup_paras"]
+        <= T["dup_para_frac"] * out["n_paras"],
+        "r_dup_para_chars": 100 * out["dup_para_chars"]
+        <= T["dup_para_char_frac"] * out["para_chars"],
+        "r_top_2gram": 100 * out["top2_chars"]
+        <= T["top_2gram_char_frac"] * out["text_chars"],
+        "r_top_3gram": 100 * out["top3_chars"]
+        <= T["top_3gram_char_frac"] * out["text_chars"],
+        "r_top_4gram": 100 * out["top4_chars"]
+        <= T["top_4gram_char_frac"] * out["text_chars"],
+        **{
+            f"r_dup_{n}gram": 100 * out[f"dup{n}gram_words"]
+            <= T[f"dup_{n}gram_frac"] * out["n_words"]
+            for n in range(5, 11)
+        },
+    }
+    out.update(rules)
+    out["keep"] = all(rules.values())
+    return out
+
+
+def test_gopher_repetition_matches_reference(spark):
+    """gopher_repetition equals the pure-Python reference on docs crafted to
+    hit every rule's non-trivial branch: dup lines vs dup paragraphs, top-gram
+    lexicographic ties, overlapping duplicated n-grams (interval union), and
+    short/degenerate docs."""
+    from migdar_data_pipelines_spark.llm.textanalysis import gopher_repetition
+
+    filler = " ".join(f"u{i}" for i in range(40))
+    texts = [
+        # dup lines, one paragraph
+        "spam line\nspam line\nother line\n" + filler,
+        # dup paragraphs (also dup lines)
+        "para one text\n\npara one text\n\n" + filler,
+        # heavy 2-gram repetition + a tie between 'b a' and 'a b'
+        "a b a b a b a b " + filler,
+        # overlapping duplicated 5..10-grams: repeated 12-word phrase
+        ("one two three four five six seven eight nine ten eleven twelve " * 3)
+        + filler,
+        # short doc: no grams of any order, single line
+        "tiny",
+        # empty-ish doc: whitespace only
+        "   ",
+        # blank-line soup: mixed \n and \n\n\n separators
+        "x y z\n\n\nx y z\nq r s\n\nq r s " + filler,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {r["id"]: r.asDict() for r in gopher_repetition(df, "text", "id").collect()}
+    assert set(got) == set(range(len(texts)))
+    for i, t in enumerate(texts):
+        want = _py_gopher_repetition(t)
+        have = {k: v for k, v in got[i].items() if k != "id"}
+        assert have == want, (i, {k: (have[k], want[k]) for k in want if have[k] != want[k]})
+
+
+def test_curate_corpus_single_pass(spark, sf_dir, tmp_path):
+    """The single-pass guarantee (llm/pipeline.py::curate_corpus): every
+    input row is computed EXACTLY once across the whole five-stage run — the
+    input count rides the filter pass as an Observation and the persisted
+    stage frames stop the chain prefix from re-deriving per consumer. An
+    accumulator on the input lineage makes re-execution visible: if any
+    stage count re-ran the scan, the accumulator would exceed the row
+    count."""
+    from migdar_data_pipelines_spark.llm.pipeline import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    instrumented = docs.mapInPandas(counting, schema=docs.schema)
+    stats = curate_corpus(instrumented, str(tmp_path / "shards"))
+    assert stats["input_rows"] == n
+    assert acc.value == n, f"input lineage ran {acc.value / n:.1f}x"
+    assert stats["split"]["train"] + stats["split"].get("val", 0) == stats[
+        "after_near_dedup"
+    ]
+    assert sum(stats["shards"]["rows_per_shard"].values()) == stats[
+        "after_near_dedup"
+    ]
