@@ -46,9 +46,13 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     cosine_topk,
+    cosine_topk_blocked,
     dequantize_expr,
     ivf_build_and_search,
     ivf_topk,
+    knn_graph,
+    margin_mining,
+    mutual_knn_clusters,
     quantize_int8,
     search_ivf_index,
     train_ivf_centroids,

@@ -407,6 +407,128 @@ def ivf_build_and_search(
     )
 
 
+def knn_graph(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    strategy: str = "exact",
+    n_cells: int | str = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    block_rows: int = 1024,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Corpus-wide kNN graph: top-``k`` cosine neighbours of EVERY vector,
+    as (query_id, neighbour_id, cosine, rank) — the input graph for
+    mutual-kNN clustering, SemDeDup-style semantic dedup, and graph-based
+    mining.
+
+    ``strategy``:
+      * ``"exact"`` — the blocked-matmul brute force
+        (:func:`cosine_topk_blocked`): every block pair scored, output
+        bit-identical to ``cosine_topk``. Quadratic in corpus size — this
+        is the ORACLE GATE path and the right choice up to ~1M vectors.
+      * ``"ivf"`` — the scale path: train the learned coarse quantizer on
+        a bounded sample (:func:`train_ivf_centroids`), assign every
+        corpus vector its cell, probe each query's ``nprobe`` nearest
+        cells, and score ONLY same-cell block pairs (cell-mode
+        :func:`cosine_topk_blocked` — an equi-join on cell, never a
+        cross join, and NOTHING is broadcast: both sides here are
+        corpus-sized, so the join shuffles on the cell key and stays
+        co-partitioned). Work scales ~``nprobe/n_cells`` of the exact
+        pass per query — sub-quadratic once ``n_cells`` grows with the
+        corpus: ``n_cells="auto"`` sizes it to ~sqrt(n) (one cheap count),
+        which keeps per-cell candidate lists flat at O(sqrt(n)) and total
+        scored pairs at O(n^1.5 * nprobe), the standard IVF sizing.
+        Survivors are exact-rescored, so edges that
+        ARE found carry the same rounded cosine and rank order as the
+        exact graph; recall < 1 by design and rises with ``nprobe``
+        (``tests/test_llm_ops.py::test_knn_graph_ivf_recall`` pins
+        >= 0.95 edge recall on the benchmark corpus).
+    """
+    if strategy == "exact":
+        return cosine_topk_blocked(
+            df, df, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
+            k=k, exclude_self=exclude_self, block_rows=block_rows,
+        )
+    if strategy != "ivf":
+        raise ValueError(f"knn_graph: unknown strategy {strategy!r}")
+    if n_cells == "auto":
+        n_cells = max(4, int(df.count() ** 0.5))
+    cents = train_ivf_centroids(df, vec_col, n_cells, seed=seed, id_col=id_col)
+    corpus = assign_cells(df, cents, vec_col, out_col="__cell")
+    q = top_cells(df, cents, vec_col, nprobe, out_col="__cells").select(
+        F.col(id_col), F.col(vec_col), F.explode("__cells").alias("__qcell")
+    )
+    return cosine_topk_blocked(
+        q, corpus, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
+        k=k, exclude_self=exclude_self, block_rows=block_rows,
+        query_cell_col="__qcell", corpus_cell_col="__cell",
+    )
+
+
+def mutual_knn_clusters(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    strategy: str = "exact",
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Semantic clustering by mutual-kNN + connected components (the
+    SemDeDup-family pipeline shape): an edge exists only where BOTH
+    vectors rank each other in their top-``k`` — the symmetric filter that
+    stops chain-linking through hubs — then connected components label
+    every vector (singletons stay their own cluster). Returns
+    (id_col, cluster_id, cluster_size).
+
+    ``strategy`` routes the kNN pass (see :func:`knn_graph`): ``"exact"``
+    is the oracle-gated quadratic kernel; ``"ivf"`` is the sub-quadratic
+    production path. Note the ANN pass's sub-1 recall cuts both ways at
+    the edge level: a missed true neighbour usually drops a mutual edge
+    (under-merge), but it also promotes the next-nearest candidate into
+    the top-k, which can occasionally mint a spurious mutual edge — the
+    mutual filter bounds, but does not eliminate, that effect. On
+    separable data (the regime clustering is FOR) the kNN recall is ~1
+    and the clusterings coincide; the recall gate in
+    tests/test_llm_ops.py pins both."""
+    from ..operators.caching import scoped_persist
+
+    from .dedup import canonical_groups
+
+    e = df.select(id_col, vec_col)
+    # the kNN pass feeds THREE consumers (both sides of the mutual
+    # semi-join plus canonical_groups' edge checkpoint); without a persist
+    # Spark re-runs the full kernel per consumer
+    knn = scoped_persist(
+        knn_graph(
+            e, id_col, vec_col, k=k, strategy=strategy,
+            n_cells=n_cells, nprobe=nprobe, seed=seed,
+        ).select(
+            F.col("query_id").alias("qid"), F.col("neighbour_id").alias("cid")
+        )
+    )
+    knn_r = knn.select(F.col("cid").alias("qid2"), F.col("qid").alias("cid2"))
+    mutual = (
+        knn.filter(F.col("qid") < F.col("cid"))
+        .join(
+            knn_r,
+            (F.col("qid") == F.col("qid2")) & (F.col("cid") == F.col("cid2")),
+            "left_semi",
+        )
+        .select(F.col("qid").alias("id_a"), F.col("cid").alias("id_b"))
+    )
+    groups = canonical_groups(e.select(id_col), mutual, id_col)
+    return groups.select(
+        F.col(id_col),
+        F.col("canonical_id").alias("cluster_id"),
+        F.col("group_size").alias("cluster_size"),
+    )
+
+
 def margin_mining(
     left: DataFrame,
     right: DataFrame,
@@ -414,6 +536,10 @@ def margin_mining(
     vec_col: str = "embedding",
     k: int = 4,
     margin_threshold: float = 1.05,
+    strategy: str = "exact",
+    n_cells: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
     """Margin-based candidate mining between two embedding spaces (Artetxe &
     Schwenk 2019, the LASER/CCMatrix bitext-mining scorer): for a candidate
@@ -426,28 +552,49 @@ def margin_mining(
     Returns (left_id, right_id, cosine, margin) for pairs in the left
     side's top-k whose margin clears the threshold.
 
-    Shape: two ``cosine_topk`` passes (each broadcasts the smaller side and
-    caps at k per query — at scale swap in the IVF index path), two
-    k-row-per-id aggregates for the avgk denominators, and a candidate-
-    sized join to score margins. All ranking is on rounded cosines with id
-    tie-breaks, so the mined set is engine-exact."""
+    Shape: two top-k passes, two k-row-per-id aggregates for the avgk
+    denominators, and a candidate-sized join to score margins. All ranking
+    is on rounded cosines with id tie-breaks, so the mined set is
+    engine-exact.
+
+    ``strategy="exact"`` (the oracle-gated default) runs both passes on
+    the blocked matmul kernel: margin mining's query side is corpus-sized,
+    which is exactly when the interpreted expression fold collapses
+    (42s -> ~3s at sf0.1); cosine_topk_blocked is rank-identical by
+    construction. ``strategy="ivf"`` is the sub-quadratic production
+    path: each direction trains a coarse quantizer on ITS corpus side and
+    scores only probed-cell block pairs (cell-mode blocked kernel, same
+    route as :func:`knn_graph`); mined pairs still carry exact rescored
+    cosines, and a pair missed by the ANN pass only shrinks the mined set
+    (margins of FOUND pairs shift by at most the avgk drift of missed
+    neighbours)."""
     from ..operators.caching import scoped_persist
 
-    # fwd feeds both the avgk aggregate and the candidate join — persist so
-    # the top-k pass runs once per direction. Both passes use the blocked
-    # matmul kernel: margin mining's query side is corpus-sized, which is
-    # exactly when the interpreted expression fold collapses (42s -> ~3s at
-    # sf0.1); cosine_topk_blocked is rank-identical by construction.
-    fwd = scoped_persist(
-        cosine_topk_blocked(
-            left, right, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
-            k=k, exclude_self=False,
+    def _topk(qs: DataFrame, cs: DataFrame) -> DataFrame:
+        if strategy == "exact":
+            return cosine_topk_blocked(
+                qs, cs, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
+                k=k, exclude_self=False,
+            )
+        if strategy != "ivf":
+            raise ValueError(f"margin_mining: unknown strategy {strategy!r}")
+        cents = train_ivf_centroids(
+            cs, vec_col, n_cells, seed=seed, id_col=id_col
         )
-    )
-    rev = cosine_topk_blocked(
-        right, left, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
-        k=k, exclude_self=False,
-    )
+        corpus = assign_cells(cs, cents, vec_col, out_col="__cell")
+        q = top_cells(qs, cents, vec_col, nprobe, out_col="__cells").select(
+            F.col(id_col), F.col(vec_col), F.explode("__cells").alias("__qcell")
+        )
+        return cosine_topk_blocked(
+            q, corpus, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
+            k=k, exclude_self=False,
+            query_cell_col="__qcell", corpus_cell_col="__cell",
+        )
+
+    # fwd feeds both the avgk aggregate and the candidate join — persist so
+    # the top-k pass runs once per direction.
+    fwd = scoped_persist(_topk(left, right))
+    rev = _topk(right, left)
     avg_l = fwd.groupBy("query_id").agg(F.avg("cosine").alias("avg_l"))
     avg_r = rev.groupBy("query_id").agg(F.avg("cosine").alias("avg_r"))
     cand = (
@@ -481,6 +628,8 @@ def cosine_topk_blocked(
     k: int = 5,
     exclude_self: bool = True,
     block_rows: int = 1024,
+    query_cell_col: str | None = None,
+    corpus_cell_col: str | None = None,
 ) -> DataFrame:
     """``cosine_topk`` for LARGE query sides: exact top-k per query with the
     scoring inner loop as a blocked numpy matmul instead of 1M interpreted
@@ -498,36 +647,77 @@ def cosine_topk_blocked(
     the expression fold and re-ranked on rounded cosines with the id
     tie-break, making the output bit-identical to ``cosine_topk``.
 
-    At 100 TB the block-pair join is the honest distributed brute-force
-    ANN: quadratic in blocks but each pair is a compiled matmul; prune
-    block pairs with the IVF index when the corpus outgrows it."""
+    CELL MODE (``query_cell_col`` + ``corpus_cell_col`` set): blocks are
+    formed per cell and the block-pair join becomes an EQUI-join on the
+    cell id — only same-cell block pairs are scored, which is the IVF
+    candidate route (see :func:`knn_graph`). The query side may carry one
+    exploded row per probe cell (multi-probe); the exact-rescore stage
+    dedups (query, candidate) pairs and query vectors, so each surviving
+    pair is scored once. Sub-blocking inside a cell uses the cell's OWN
+    row count (a broadcast-sized per-cell histogram, not a global
+    average), so one hot cell still splits into ~``block_rows`` blocks —
+    skew-safe without assuming the quantizer balanced the cells. Without
+    cell columns, the block-pair cross join is the honest distributed
+    brute-force: quadratic in blocks but each pair is a compiled matmul.
+
+    Construction runs count aggregates eagerly (block sizing); like the
+    LSH broadcast-gate estimates, building this plan triggers Spark jobs
+    before the caller's first action."""
     import numpy as np
 
-    # block count chosen from a cheap count: ceil(n / block_rows) buckets
-    n_q = queries.count()
-    n_c = corpus.count()
-    qb_n = max(1, (n_q + block_rows - 1) // block_rows)
-    cb_n = max(1, (n_c + block_rows - 1) // block_rows)
+    def _blocks(
+        df, idc, vecc, cellc, cell_out, bcol, id_out, vec_out, ids_out, vecs_out
+    ):
+        if cellc is None:
+            n = df.count()
+            bn = max(1, (n + block_rows - 1) // block_rows)
+            keys = [bcol]
+            sel = df.select(
+                F.pmod(F.xxhash64(F.col(idc)), F.lit(bn)).alias(bcol),
+                F.col(idc).alias(id_out),
+                F.col(vecc).alias(vec_out),
+            )
+        else:
+            # per-cell block counts: |cell| rows -> ceil(|cell|/block_rows)
+            # blocks, broadcast back (n_cells rows, always driver-tiny)
+            cnt = df.groupBy(F.col(cellc).alias(cell_out)).agg(
+                F.count(F.lit(1)).alias("__cn")
+            )
+            keys = [cell_out, bcol]
+            sel = (
+                df.join(F.broadcast(cnt), F.col(cellc) == F.col(cell_out))
+                .select(
+                    cell_out,
+                    F.pmod(
+                        F.xxhash64(F.col(idc)),
+                        F.greatest(
+                            F.ceil(F.col("__cn") / block_rows).cast("long"),
+                            F.lit(1),
+                        ),
+                    ).alias(bcol),
+                    F.col(idc).alias(id_out),
+                    F.col(vecc).alias(vec_out),
+                )
+            )
+        return sel.groupBy(*keys).agg(
+            F.collect_list(id_out).alias(ids_out),
+            F.collect_list(vec_out).alias(vecs_out),
+        )
 
-    qblocks = (
-        queries.select(
-            F.pmod(F.xxhash64(F.col(query_id)), F.lit(qb_n)).alias("qb"),
-            F.col(query_id).alias("qid"),
-            F.col(query_vec).alias("qv"),
-        )
-        .groupBy("qb")
-        .agg(F.collect_list("qid").alias("qids"), F.collect_list("qv").alias("qvs"))
+    qblocks = _blocks(
+        queries, query_id, query_vec, query_cell_col,
+        "__qbcell", "qb", "qid", "qv", "qids", "qvs",
     )
-    cblocks = (
-        corpus.select(
-            F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(cb_n)).alias("cb"),
-            F.col(corpus_id).alias("cid"),
-            F.col(corpus_vec).alias("cv"),
-        )
-        .groupBy("cb")
-        .agg(F.collect_list("cid").alias("cids"), F.collect_list("cv").alias("cvs"))
+    cblocks = _blocks(
+        corpus, corpus_id, corpus_vec, corpus_cell_col,
+        "__cbcell", "cb", "cid", "cv", "cids", "cvs",
     )
-    paired = qblocks.crossJoin(cblocks)
+    if query_cell_col is None:
+        paired = qblocks.crossJoin(cblocks)
+    else:
+        paired = qblocks.join(
+            cblocks, F.col("__qbcell") == F.col("__cbcell")
+        )
 
     kk = k + 4
     from pyspark.sql.functions import pandas_udf  # noqa: F401
@@ -568,6 +758,10 @@ def cosine_topk_blocked(
     qv_frame = queries.select(
         F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv")
     )
+    if query_cell_col is not None:
+        # multi-probe queries carry one row per probe cell; rescore each
+        # query vector once
+        qv_frame = qv_frame.dropDuplicates(["qid"])
     cv_frame = corpus.select(
         F.col(corpus_id).alias("cid"), F.col(corpus_vec).alias("__cv")
     )

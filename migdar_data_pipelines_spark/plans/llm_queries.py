@@ -3880,13 +3880,14 @@ def knn_graph_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is the whole corpus. The block-pair matmul kernel scores it
     compiled (the interpreted expression fold is the 40s version of this
     query); candidates carry a rounding-slack cut and are exact-rescored,
-    so the graph matches the quadratic oracle edge-for-edge."""
-    from ..llm.similarity import cosine_topk_blocked
+    so the graph matches the quadratic oracle edge-for-edge. This EXACT
+    strategy is the oracle gate; the production scale path is
+    knn_graph(strategy="ivf") — same output contract, sub-quadratic,
+    recall-gated in tests/test_llm_ops.py::test_knn_graph_ivf_recall."""
+    from ..llm.similarity import knn_graph
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return cosine_topk_blocked(
-        e, e, "vec_id", "vec_id", k=3, exclude_self=True
-    )
+    return knn_graph(e, "vec_id", "embedding", k=3, strategy="exact")
 
 
 @register(
@@ -3931,37 +3932,13 @@ def mutual_knn_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     entirely from gate-proven parts: the block-pair matmul kNN
     (cosine_topk_blocked) and connected_components; the oracle recomputes
     the exact kNN graph, the mutual filter, and the transitive closure by
-    recursive CTE."""
-    from ..llm.dedup import canonical_groups
-    from ..llm.similarity import cosine_topk_blocked
-    from ..operators.caching import scoped_persist
+    recursive CTE. The EXACT strategy gates the operator; production runs
+    mutual_knn_clusters(strategy="ivf") — sub-quadratic, and the mutual
+    filter only ever UNDER-merges on a missed ANN edge."""
+    from ..llm.similarity import mutual_knn_clusters
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # The blocked-matmul kNN pass feeds THREE consumers (both sides of the
-    # mutual semi-join plus canonical_groups' edge checkpoint); without a
-    # persist Spark re-runs the full pair-block kernel per consumer — the
-    # same double-eval bug fixed for margin mining in c6f5807.
-    knn = scoped_persist(
-        cosine_topk_blocked(
-            e, e, "vec_id", "vec_id", k=3, exclude_self=True
-        ).select(F.col("query_id").alias("qid"), F.col("neighbour_id").alias("cid"))
-    )
-    knn_r = knn.select(F.col("cid").alias("qid2"), F.col("qid").alias("cid2"))
-    mutual = (
-        knn.filter(F.col("qid") < F.col("cid"))
-        .join(
-            knn_r,
-            (F.col("qid") == F.col("qid2")) & (F.col("cid") == F.col("cid2")),
-            "left_semi",
-        )
-        .select(F.col("qid").alias("id_a"), F.col("cid").alias("id_b"))
-    )
-    groups = canonical_groups(e, mutual, "vec_id")
-    return groups.select(
-        F.col("vec_id"),
-        F.col("canonical_id").alias("cluster_id"),
-        F.col("group_size").alias("cluster_size"),
-    )
+    return mutual_knn_clusters(e, "vec_id", "embedding", k=3, strategy="exact")
 
 
 @register(

@@ -1087,3 +1087,104 @@ def test_curate_corpus_single_pass(spark, sf_dir, tmp_path):
     assert sum(stats["shards"]["rows_per_shard"].values()) == stats[
         "after_near_dedup"
     ]
+
+
+def test_knn_graph_ivf_recall(spark):
+    """The ANN route for the clustering/mining operators
+    (llm/similarity.py::knn_graph strategy='ivf'): >= 0.95 edge recall vs
+    the exact blocked-matmul graph at sf0.1, and every found edge carries
+    the exact rescored cosine (rank-consistent with the exact graph, since
+    post-candidate scoring is identical).
+
+    Recall is asserted on the deterministically CLUSTERED corpus derived
+    from the sf0.1 vectors (+2.0 on coordinate `label` — the
+    test_ivf_nprobe_recall construction): the raw embeddings are isotropic
+    random, where ANY cell-probing ANN's recall degrades to ~the scanned
+    fraction by information theory. On the raw corpus we assert the
+    monotonicity that probing wider can only help."""
+    from migdar_data_pipelines_spark.llm.similarity import knn_graph
+
+    e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    clustered = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x + F.when(i == F.col("label"), F.lit(2.0)).otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+    def edges(strategy, nprobe=4):
+        rows = knn_graph(
+            clustered, "vec_id", k=3, strategy=strategy,
+            n_cells=16, nprobe=nprobe, seed=7,
+        ).collect()
+        d = {(r["query_id"], r["neighbour_id"]): r["cosine"] for r in rows}
+        # no duplicate (query, neighbour) pairs survive the multi-probe
+        # explode and every query keeps exactly k edges (its own cell always
+        # provides candidates)
+        assert len(d) == len(rows)
+        return d
+
+    exact = edges("exact")
+    ann = edges("ivf", nprobe=4)
+    found = set(ann) & set(exact)
+    for pair in found:
+        assert ann[pair] == exact[pair]
+    recall = len(found) / len(exact)
+    assert recall >= 0.95, f"edge recall {recall:.3f}"
+
+    # raw isotropic corpus: wider probing monotonically improves recall
+    raw = e.select("vec_id", "embedding")
+    raw_exact = set(
+        (r["query_id"], r["neighbour_id"])
+        for r in knn_graph(raw, "vec_id", k=3, strategy="exact").collect()
+    )
+
+    def raw_recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbour_id"])
+            for r in knn_graph(
+                raw, "vec_id", k=3, strategy="ivf", n_cells=16,
+                nprobe=nprobe, seed=7,
+            ).collect()
+        }
+        return len(got & raw_exact) / len(raw_exact)
+
+    assert raw_recall(1) <= raw_recall(4)
+
+
+def test_mutual_knn_clusters_ivf_matches_exact_on_separable(spark):
+    """mutual_knn_clusters strategy='ivf' (the sub-quadratic production
+    path) reproduces the exact clustering on separable data — the regime
+    clustering exists for (on isotropic random vectors ANN recall is the
+    scanned fraction by information theory, and edge-level differences cut
+    both ways: a missed true neighbour both drops a mutual edge and can
+    promote a spurious one)."""
+    from migdar_data_pipelines_spark.llm.similarity import mutual_knn_clusters
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    clustered = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x + F.when(i == F.col("label"), F.lit(2.0)).otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    exact = {
+        r["vec_id"]: r["cluster_id"]
+        for r in mutual_knn_clusters(
+            clustered, "vec_id", k=3, strategy="exact"
+        ).collect()
+    }
+    ivf = {
+        r["vec_id"]: r["cluster_id"]
+        for r in mutual_knn_clusters(
+            clustered, "vec_id", k=3, strategy="ivf", n_cells=8, nprobe=4,
+            seed=7,
+        ).collect()
+    }
+    assert ivf == exact

@@ -47,6 +47,38 @@ PICK = [
     ("winnow_fingerprints_documents", "documents", "scan-local Arrow window minima"),
     ("winnow_shared_pairs_documents", "doc + variant corpus", "culled fingerprint index self-join"),
     ("curate_corpus_stats", "documents", "filter + exact dedup + LSH/CC + split chain"),
+    ("gopher_repetition_documents", "doc + repeat-variant corpus", "segment/gram aggs + per-doc interval union"),
+    ("knn_graph_embeddings", "embedding corpus", "block-pair matmul (quadratic gate path)"),
+]
+
+
+def _knn_graph_ivf(spark, sf_dir):
+    """The ANN production route for the clustering/mining operators: the
+    IVF-candidate kNN graph (knn_graph strategy='ivf', n_cells='auto' ~
+    sqrt(n)) — measured here against its exact quadratic gate
+    (knn_graph_embeddings registered above) so the table shows the
+    sub-quadratic growth the route exists for."""
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.llm.similarity import knn_graph
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return knn_graph(
+        e, "vec_id", "embedding", k=3, strategy="ivf",
+        n_cells="auto", nprobe=2, seed=7,
+    )
+
+
+# non-registry measurements: (name, callable, what scales, dominant cost)
+EXTRA = [
+    (
+        "knn_graph_ivf (scale path)",
+        _knn_graph_ivf,
+        "embedding corpus",
+        "sqrt(n) cells, same-cell block pairs only",
+    ),
 ]
 
 
@@ -60,9 +92,11 @@ def main() -> None:
     )
     from migdar_data_pipelines_spark.plans.llm_queries import QUERIES
 
+    runs = [(name, QUERIES[name]["fn"], scales, cost) for name, scales, cost in PICK]
+    runs += [(name, fn, scales, cost) for name, fn, scales, cost in EXTRA]
+
     times: dict[str, dict[str, float]] = {}
-    for name, _, _ in PICK:
-        fn = QUERIES[name]["fn"]
+    for name, fn, _, _ in runs:
         times[name] = {}
         for sf in SFS:
             d = f"/root/testdata/sf{sf}"
@@ -83,7 +117,7 @@ def main() -> None:
         "| query | what scales | sf0.001 | sf0.01 | x | sf0.1 | x | dominant cost |",
         "|---|---|---|---|---|---|---|---|",
     ]
-    for name, scales, cost in PICK:
+    for name, _, scales, cost in runs:
         t = times[name]
         a, b, c = (t[sf] for sf in SFS)
         lines.append(
@@ -106,7 +140,7 @@ def main() -> None:
     with open(path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {path}")
-    for name, _, _ in PICK:
+    for name, _, _, _ in runs:
         t = times[name]
         print(name, {k: round(v, 2) for k, v in t.items()})
 
