@@ -127,7 +127,10 @@ def _shingle_band_frames(
 
     # permutation i: min over shingles of (a_i*h + b_i) mod p, with fixed odd
     # multipliers — deterministic across runs/partitionings, three integer
-    # ops per element.
+    # ops per element. Built as ONE parsed SQL string per aggregate instead
+    # of a py4j Column chain: this construction runs per invocation on the
+    # gate path, and the ~6x fewer gateway round-trips measurably cut the
+    # driver-side plan-build time for 32-hash signatures.
     def perm_min(i: int) -> Column:
         # large odd multipliers (golden-ratio stride) — h < 2^31 and a < 2^31
         # keep a*h < 2^62, inside a signed long under ANSI mode. Small
@@ -135,19 +138,22 @@ def _shingle_band_frames(
         # band-miss rate at threshold-grade similarity.
         a = ((0x9E3779B1 * (i + 1)) % mersenne) | 1
         b = (0x85EBCA77 * (i + 1)) % mersenne
-        return F.min(F.pmod(F.col("__h") * a + b, F.lit(mersenne)))
+        return F.expr(f"min(pmod(__h * {a}L + {b}L, {mersenne}L))")
 
     sig = shingle_rows.groupBy("id").agg(
         *[perm_min(i).alias(f"__m{i}") for i in range(n_hashes)]
     )
 
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(bnd), *[F.col(f"__m{bnd * rows + r}") for r in range(rows)]
+    band_keys = F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64({}, {})".format(
+                bnd,
+                ", ".join(f"__m{bnd * rows + r}" for r in range(rows)),
             )
             for bnd in range(bands)
-        ]
+        )
+        + ")"
     )
     band_rows = sig.select("id", F.explode(band_keys).alias("bucket"))
     if persist:
@@ -159,35 +165,17 @@ def _shingle_band_frames(
 # safe when the candidate list is provably executor-memory-small; crawl
 # corpora run 30-50% duplication, so the pair list is O(dup pairs) —
 # billions of rows at 100 TB — and an unconditional broadcast is an OOM,
-# not a retuning nit. The gate estimates the pre-dedup pair volume from
-# the (persisted) band table's bucket sizes — one cheap aggregate — and
-# falls back to a plain shuffle join above the ceiling (AQE may still
-# broadcast from its own runtime size estimate).
+# not a retuning nit. The gate counts the PERSISTED candidate frame
+# itself — the candidates have to be computed for verification anyway, so
+# pinning them and counting makes the decision exact and costs only the
+# count's scheduling overhead (r6 instead pre-estimated from bucket
+# histograms: an extra aggregate job whose answer the main pass then
+# recomputed; measured ~0.9s/query slower at sf0.1). Above the ceiling
+# the verification runs as shuffle joins (AQE may still broadcast from
+# its own runtime size estimate — but only the explicit hint keeps the
+# corpus-side shingle frame out of the exchange altogether, which is the
+# 100 TB point of gating at plan time).
 MAX_BROADCAST_CANDIDATE_PAIRS = 1_000_000
-
-
-def _self_join_pair_estimate(band_rows: DataFrame) -> int:
-    """Upper bound on the band self-join's candidate pairs: sum over buckets
-    of n*(n-1)/2. Exact for the pre-dedup pair count; the cross-band
-    distinct only shrinks it."""
-    row = (
-        band_rows.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("p"))
-        .first()
-    )
-    return int(row["p"] or 0)
-
-
-def _probe_join_pair_estimate(
-    probe_bands: DataFrame, index_bands: DataFrame
-) -> int:
-    """Upper bound on a probe-vs-index bucket join's candidate pairs: sum
-    over shared buckets of n_probe * n_index."""
-    pc = probe_bands.groupBy("bucket").agg(F.count(F.lit(1)).alias("np"))
-    ic = index_bands.groupBy("bucket").agg(F.count(F.lit(1)).alias("ni"))
-    row = pc.join(ic, "bucket").agg(F.sum(F.expr("np * ni")).alias("p")).first()
-    return int(row["p"] or 0)
 
 
 def minhash_lsh_pairs(
@@ -260,19 +248,21 @@ def minhash_lsh_pairs(
     )
 
     # Verify only the candidates with true Jaccard over shingle sets. The
-    # candidate side is broadcast in both lookups ONLY when the band table's
-    # bucket sizes prove it small (one cheap aggregate over the persisted
-    # band frame, the cms_join_size decision applied with exact bucket
-    # counts): a high-duplication corpus makes the candidate list O(dup
-    # pairs) — far past executor memory at 100 TB — so past the ceiling the
-    # verification runs as ordinary shuffle joins on id (co-partitioned
-    # across the two lookups; AQE may still broadcast from its runtime
-    # estimate). When the frames aren't persisted the estimate would
-    # recompute the whole signature pipeline, so we skip the hint and let
-    # AQE decide.
+    # candidate side is broadcast in both lookups ONLY when its EXACT size
+    # proves it small: the candidate frame is persisted (it has to be
+    # computed for verification anyway) and counted — an eager driver
+    # action at plan-construction time, after which the main pass reads
+    # the pinned pairs instead of re-running the bucket join. A
+    # high-duplication corpus makes the candidate list O(dup pairs) — far
+    # past executor memory at 100 TB — so past the ceiling the
+    # verification runs as ordinary shuffle joins on id (AQE may still
+    # broadcast from its runtime estimate, but only the plan-time hint
+    # keeps the corpus-side shingle frame out of the exchange). When the
+    # frames aren't persisted the count would recompute the whole
+    # signature pipeline, so we skip the hint and let AQE decide.
     if persist_shingles:
-        est_pairs = _self_join_pair_estimate(band_rows)
-        hint = est_pairs <= (
+        cand = scoped_persist(cand)
+        hint = cand.count() <= (
             MAX_BROADCAST_CANDIDATE_PAIRS
             if max_broadcast_candidates is None
             else max_broadcast_candidates
@@ -351,13 +341,13 @@ def incremental_dedup(
         .select("id_b", "id_i")
         .dropDuplicates(["id_b", "id_i"])
     )
-    # Verification: the candidate side gets a broadcast hint ONLY when the
-    # bucket-size estimate proves it small (same gate as minhash_lsh_pairs
-    # — a high-dup batch against a big index makes the candidate list
-    # O(batch x index dup pairs), past executor memory at scale); above
-    # the ceiling these run as shuffle joins on id.
-    est_pairs = _probe_join_pair_estimate(b_bands, i_bands)
-    hint = est_pairs <= (
+    # Verification: the candidate side gets a broadcast hint ONLY when its
+    # exact count proves it small (same persist-and-count gate as
+    # minhash_lsh_pairs — a high-dup batch against a big index makes the
+    # candidate list O(batch x index dup pairs), past executor memory at
+    # scale); above the ceiling these run as shuffle joins on id.
+    cand = scoped_persist(cand)
+    hint = cand.count() <= (
         MAX_BROADCAST_CANDIDATE_PAIRS
         if max_broadcast_candidates is None
         else max_broadcast_candidates

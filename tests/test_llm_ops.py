@@ -804,8 +804,9 @@ def test_ngram_ppjoin_blocked_matches_blocked_join_path(spark):
 
 def test_minhash_broadcast_gate_high_dup_corpus(spark):
     """VERDICT r5 #3: an adversarially duplicated corpus must NOT get a
-    forced candidate broadcast — the hint is gated on the bucket-size pair
-    estimate — and the verified pairs are identical either way."""
+    forced candidate broadcast — the hint is gated on the EXACT count of
+    the persisted candidate frame — and the verified pairs are identical
+    either way."""
     from migdar_data_pipelines_spark.llm.dedup import (
         incremental_dedup,
         minhash_lsh_pairs,
@@ -819,10 +820,10 @@ def test_minhash_broadcast_gate_high_dup_corpus(spark):
     def analyzed(df):
         return df._jdf.queryExecution().analyzed().toString()
 
-    # 40 identical docs, bands=4 -> est = 4 * 40*39/2 = 3120 pre-dedup pairs
+    # 40 identical docs -> exactly 40*39/2 = 780 distinct candidate pairs
     low = minhash_lsh_pairs(
         docs, "text", "id", n_hashes=8, bands=4, jaccard_threshold=0.9,
-        max_broadcast_candidates=1000,
+        max_broadcast_candidates=500,
     )
     assert "ResolvedHint" not in analyzed(low)
     high = minhash_lsh_pairs(
@@ -836,8 +837,8 @@ def test_minhash_broadcast_gate_high_dup_corpus(spark):
     assert len(rows_low) == 40 * 39 // 2
     assert all(j == 1.0 for _, _, j in rows_low)
 
-    # incremental probe: batch == index -> est = sum over buckets nb*ni,
-    # far past a limit of 100 -> no hint on the verification joins
+    # incremental probe: batch == index -> 40*40 = 1600 distinct candidate
+    # pairs, past a limit of 100 -> no hint on the verification joins
     inc = incremental_dedup(
         docs, docs, "text", "id", n_hashes=8, bands=4,
         max_broadcast_candidates=100,
