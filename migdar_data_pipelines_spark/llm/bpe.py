@@ -161,3 +161,80 @@ def bpe_segment(
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ------------------------------------------------------- pinned application
+# A pinned merge table for the ORACLE-GATED application path: production
+# tokenizers apply a FIXED vocabulary (training happens once, offline), so
+# the gate query segments with these merges — learned at import time from a
+# fixed frequency table by the same learn_bpe the unit tests pin — and the
+# SQL mirror is generated from the identical merge list.
+PINNED_BPE_FREQS = {
+    "table": 40, "value": 35, "spark": 30, "batch": 28, "merge": 25,
+    "scan": 22, "hash": 20, "sort": 18, "row": 15, "key": 12, "the": 50,
+    "a": 45, "fast": 10, "slow": 8, "window": 14, "line": 9, "part": 16,
+    "agg": 7, "order": 11, "index": 13,
+}
+PINNED_BPE_MERGES: list[tuple[str, str]] = learn_bpe(PINNED_BPE_FREQS, 60)
+
+
+def bpe_segment_sql(docs_sql: str, merges: list[tuple[str, str]]) -> str:
+    """Generated DuckDB mirror of ``bpe_segment`` + token counting for a
+    FIXED merge list: per-document whitespace words (lowercased), each
+    distinct word segmented by applying the merges IN RANK ORDER, each
+    exhaustively left-to-right.
+
+    Equivalence to ``segment_word``'s greedy lowest-rank loop: a merge can
+    only create symbols that participate in LATER-rank merges (a pair
+    containing symbol ``ab`` can only have been learned after ``ab``
+    existed), so rank-order exhaustive application reaches the identical
+    symbol sequence — the classic subword-nmt argument. Each single merge
+    is one non-overlapping left-to-right ``replace`` over the symbol
+    sequence encoded as chr(1)||sym||chr(2) runs: the sentinels make
+    symbol boundaries explicit, so a pattern can never match inside a
+    longer symbol, and consecutive occurrences merge exactly as the
+    one-at-a-time leftmost loop does. ``docs_sql`` must yield
+    ``(id, text)``; output is (id, n_words, n_bpe_tokens)."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    expr = (
+        "array_to_string(list_transform("
+        "list_append(regexp_extract_all(word, '.'), '</w>'), "
+        "c -> chr(1) || c || chr(2)), '')"
+    )
+    for a, b in merges:
+        pat = f"chr(1) || '{q(a)}' || chr(2) || chr(1) || '{q(b)}' || chr(2)"
+        rep = f"chr(1) || '{q(a + b)}' || chr(2)"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""
+WITH d AS ({docs_sql}),
+dw AS (
+  SELECT id,
+         list_transform(
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+           x -> lower(x)) AS ws
+  FROM d
+),
+w AS (SELECT id, unnest(ws) AS word FROM dw),
+v AS (SELECT DISTINCT word FROM w),
+seg AS (
+  SELECT word,
+         {expr} AS s
+  FROM v
+),
+cnt AS (
+  SELECT word,
+         CAST(len(s) - len(replace(s, chr(1), '')) AS BIGINT) AS ntok
+  FROM seg
+),
+per_doc AS (
+  SELECT w.id, CAST(sum(cnt.ntok) AS BIGINT) AS n_bpe_tokens
+  FROM w JOIN cnt ON w.word = cnt.word
+  GROUP BY w.id
+)
+SELECT dw.id, CAST(len(dw.ws) AS BIGINT) AS n_words,
+       CAST(coalesce(per_doc.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM dw LEFT JOIN per_doc ON dw.id = per_doc.id
+"""

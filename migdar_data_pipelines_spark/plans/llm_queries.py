@@ -2674,33 +2674,38 @@ def corr_pricing_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_token_count_documents", sql=None)
+from ..llm.bpe import PINNED_BPE_MERGES as _BPE_MERGES  # noqa: E402
+from ..llm.bpe import bpe_segment_sql as _bpe_segment_sql  # noqa: E402
+
+
+@register(
+    "bpe_token_count_documents",
+    sql=_bpe_segment_sql("SELECT doc_id AS id, text FROM documents", _BPE_MERGES),
+)
 def bpe_token_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training + application (llm/bpe.py) — registered
-    WITHOUT an oracle: the merge loop is an iterative argmax over shared
-    state, genuinely not SQL-expressible, so the gate records the weaker
-    rows/schema check (the unit test pins semantics: deterministic merges,
-    lossless segmentation, classic-corpus behavior). Shape: ONE corpus pass
-    collapses text to a vocabulary-sized (word,count) table; the merge loop
-    runs driver-side on that table (never the corpus); the learned merges
-    broadcast back inside the mapInPandas closure for segmentation. Output
-    is deterministic end to end — same corpus, same merges, same counts.
-    The collected vocabulary is BOUNDED (min_count=2 floors the hapax tail —
-    the standard trainer frequency cutoff — and top_n=500000 hard-caps
-    pathological web-scale vocabularies before the driver sees them;
-    VERDICT r4 #5)."""
-    from ..llm.bpe import bpe_segment, learn_bpe, word_counts
+    """BPE application (llm/bpe.py::bpe_segment) with the PINNED merge
+    table — the production shape: tokenizers apply a fixed, offline-trained
+    vocabulary, so the gate segments with PINNED_BPE_MERGES (learned at
+    import by the same deterministic learn_bpe the unit tests pin on the
+    classic corpus) and the ORACLE is generated from the identical merge
+    list (bpe_segment_sql: rank-order exhaustive replaces over
+    sentinel-wrapped symbols — provably equal to the greedy lowest-rank
+    loop). This graduated the registry's last oracle-less query to
+    hash-checked (VERDICT r6 #8); the TRAINING loop (corpus word counts ->
+    driver merge loop, vocabulary bounded by min_count/top_n) stays
+    covered by tests/test_llm_ops.py::test_bpe_train_and_segment. Shape:
+    merges ride the mapInPandas closure; the corpus pass is one
+    Arrow-batched scan with a per-batch word memo — scan-local, zero
+    shuffle."""
+    from ..llm.bpe import bpe_segment
     from ..llm.textanalysis import words as _words_fn
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    wc = {
-        r["word"]: r["count"]
-        for r in word_counts(d, min_count=2, top_n=500_000).collect()
-    }
-    merges = learn_bpe(wc, n_merges=100)
-    seg = bpe_segment(d, merges)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    seg = bpe_segment(d, _BPE_MERGES)
     return seg.select(
-        "doc_id",
+        "id",
         F.size(_words_fn("text")).cast("long").alias("n_words"),
         F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
     )

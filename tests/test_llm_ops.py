@@ -1189,3 +1189,42 @@ def test_mutual_knn_clusters_ivf_matches_exact_on_separable(spark):
         ).collect()
     }
     assert ivf == exact
+
+
+def test_bpe_pinned_merges_segment(spark):
+    """The pinned application path (llm/bpe.py::PINNED_BPE_MERGES — the
+    oracle-gated fixed-vocab shape): pinned-table words collapse to one
+    token, unseen words fall back to subword/char pieces, and the Spark
+    segmentation matches the pure-Python reference word for word."""
+    from migdar_data_pipelines_spark.llm.bpe import (
+        PINNED_BPE_FREQS,
+        PINNED_BPE_MERGES,
+        bpe_segment,
+        segment_word,
+    )
+
+    ranks = {p: i for i, p in enumerate(PINNED_BPE_MERGES)}
+    # high-frequency pinned words merge to a single token
+    assert segment_word("table", ranks) == ["table</w>"]
+    assert segment_word("the", ranks) == ["the</w>"]
+    # unseen word: falls back to learned subword pieces, lossless
+    for w in ("tablet", "keyed", "zzz"):
+        toks = segment_word(w, ranks)
+        assert "".join(toks) == w + "</w>"
+
+    df = spark.createDataFrame(
+        [(1, "The TABLE table zzz"), (2, ""), (3, "   ")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["bpe_tokens"]
+        for r in bpe_segment(df, PINNED_BPE_MERGES).collect()
+    }
+    want1 = (
+        segment_word("the", ranks)
+        + segment_word("table", ranks) * 2
+        + segment_word("zzz", ranks)
+    )
+    assert got[1] == want1
+    assert got[2] == [] and got[3] == []
+    assert set(PINNED_BPE_FREQS) and len(PINNED_BPE_MERGES) > 20
