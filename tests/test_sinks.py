@@ -144,16 +144,26 @@ class FakeEsClient:
         self.log.append(("delete_by_query", index, query))
 
 
-def test_es_sink_contract_call_sequence(spark, docs, tmp_path):
+def test_es_sink_contract_call_sequence(spark, tmp_path):
     """K3/K6 contract vs dump_to_es.py:43-171: mapping PUT -> bulk -> the two
     finalize delete_by_query bodies in order for the per-type index; then the
     shared docs index gets an enabled:false object mapping and struct _source
-    values, and NO revision GC (dump_to_es.py:49-50)."""
+    values, and NO revision GC (dump_to_es.py:49-50).
+
+    Inputs and expectations come from tests/es_scenario.py — the SAME
+    scenario the env-gated live-ES integration test (test_es_live.py) runs
+    against a real cluster, so the recorded call sequence here and the
+    observable index state there verify one behavior."""
     from migdar_data_pipelines_spark.sinks import EsSink
+
+    from tests import es_scenario as sc
 
     log = []
     sink = EsSink(client_factory=lambda: FakeEsClient(log))
-    es_dumper(docs, "pubs", revision=7, path=str(tmp_path / "es"), sink=sink, now=0.0)
+    es_dumper(
+        sc.docs_frame(spark), sc.RESOURCE, revision=sc.REVISION,
+        path=str(tmp_path / "es"), sink=sink, now=sc.STAMP_NOW,
+    )
 
     ops = [op[0] for op in log]
     assert ops == [
@@ -169,7 +179,7 @@ def test_es_sink_contract_call_sequence(spark, docs, tmp_path):
 
     # per-type index: mapping injected create_timestamp, coerce setting on
     _, idx, mappings, settings = log[1]
-    assert idx == "migdar__pubs"
+    assert idx == sc.INDEX
     assert mappings["properties"]["create_timestamp"] == {
         "index": True,
         "type": "float",
@@ -178,31 +188,28 @@ def test_es_sink_contract_call_sequence(spark, docs, tmp_path):
 
     # bulk actions: NDJSON pairs with es.mapping.id semantics on doc_id
     _, actions = log[2]
-    assert len(actions) == 6  # 3 docs x (action line + source line)
-    assert actions[0] == {"index": {"_index": "migdar__pubs", "_id": "d1"}}
-    assert actions[1]["doc_id"] == "d1" and actions[1]["revision"] == 7
+    assert len(actions) == 2 * len(sc.DOC_ROWS)  # (action, source) per doc
+    assert actions[0] == {"index": {"_index": sc.INDEX, "_id": "d1"}}
+    assert actions[1]["doc_id"] == "d1" and actions[1]["revision"] == sc.REVISION
+    assert actions[1]["create_timestamp"] == sc.STAMP_NOW
 
-    # finalize: the exact revision-GC bodies, in reference order
-    assert log[3] == (
-        "delete_by_query",
-        "migdar__pubs",
-        {"bool": {"must_not": {"exists": {"field": "revision"}}}},
-    )
-    assert log[4] == (
-        "delete_by_query",
-        "migdar__pubs",
-        {"range": {"revision": {"lt": 7}}},
-    )
+    # finalize: the exact revision-GC bodies, in reference order — the same
+    # bodies whose OBSERVABLE effect (stale seeds deleted, newer revision
+    # surviving) the live test asserts
+    gc = sc.expected_gc_queries()
+    assert log[3] == ("delete_by_query", sc.INDEX, gc[0])
+    assert log[4] == ("delete_by_query", sc.INDEX, gc[1])
 
     # docs index: value mapped as a disabled object, _source.value a real
     # object (dict), not an escaped JSON string — and no delete_by_query after
     _, didx, dmap, _ = log[6]
-    assert didx == "migdar__docs"
+    assert didx == sc.DOCS_INDEX
     assert dmap["properties"]["value"] == {"type": "object", "enabled": False}
     _, dactions = log[7]
-    assert dactions[0] == {"index": {"_index": "migdar__docs", "_id": "d1"}}
+    assert dactions[0] == {"index": {"_index": sc.DOCS_INDEX, "_id": "d1"}}
     assert isinstance(dactions[1]["value"], dict)
     assert dactions[1]["value"]["title"] == "alpha"
+    assert {a["index"]["_id"] for a in dactions[::2]} == sc.EXPECT_DOCS_IDS
     assert ops.count("delete_by_query") == 2
 
 
