@@ -232,10 +232,14 @@ def main() -> None:
 
     # Sidecar destination is overridable so harness runs (the pytest bench
     # contract test, ad-hoc filtered runs) never clobber the round's full
-    # 130+-query artifact in the repo root (VERDICT r5 finding #1).
-    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+    # 130+-query artifact in the repo root (VERDICT r5 finding #1). A
+    # BENCH_ONLY-restricted run self-routes to a scratch sidecar for the
+    # same reason — only an unrestricted run may replace the full artifact.
+    default_out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_full_partial.json" if only else "bench_full.json",
     )
+    full_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or default_out
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
     print(compact_stdout_line(result))

@@ -328,13 +328,6 @@ def running_totals(
     groups spread across tasks), so the guard raises with that advice
     rather than silently shipping an enormous offsets closure.
 
-    Phase 1: range-exchange on ``(partition_by, order_by)`` — globally ordered
-    partition ranges, parallel intra-partition sorts — then ONE tiny summary
-    row per ``(physical partition, group)``: its sum and count. A driver-side
-    prefix scan over that bounded frame (``num_partitions × groups`` rows)
-    yields the offset each partition inherits from everything ordered before
-    it within its group.
-
     Phase 2: a vectorized pandas cumsum per partition (mapInPandas, Arrow
     batches, per-group carry maintained across batches) seeded from the
     broadcast offset dict. ``rank_col`` rides along as offset-count +

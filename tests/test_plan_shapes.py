@@ -91,3 +91,36 @@ def test_record_linkage_rolls_up_before_blocking(spark, sf_dir):
 def test_bm25_query_side_broadcasts(spark, sf_dir):
     plan = _formatted_plan(query_fns()["bm25_topk_documents"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_knn_graph_ivf_joins_on_cell_not_cross(spark, sf_dir):
+    """The ANN production route (llm/similarity.py::knn_graph
+    strategy='ivf'): the block-pair stage must be an EQUI-join on the cell
+    id — never a cross join, and never a broadcast of the corpus-sized
+    block frames — the structural property that makes the path
+    sub-quadratic and OOM-safe at 100 TB. The exact strategy, by contrast,
+    IS the block cross join (its honest quadratic gate shape)."""
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.llm.similarity import knn_graph
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ivf_plan = _formatted_plan(
+        knn_graph(e, "vec_id", k=3, strategy="ivf", n_cells=8, nprobe=2, seed=7)
+    )
+    # candidate generation joins block frames on the cell key
+    assert "__qbcell" in ivf_plan and "__cbcell" in ivf_plan
+    assert "CartesianProduct" not in ivf_plan
+    # the only BroadcastNestedLoopJoin-free shape: block frames meet in a
+    # hash join keyed on cell (sort-merge or shuffled-hash both fine; AQE
+    # may broadcast the *block* frame if tiny — but never nested-loop)
+    assert "BroadcastNestedLoopJoin" not in ivf_plan
+
+    exact_plan = _formatted_plan(knn_graph(e, "vec_id", k=3, strategy="exact"))
+    # the exact gate is the declared block cross join
+    assert (
+        "CartesianProduct" in exact_plan
+        or "BroadcastNestedLoopJoin" in exact_plan
+    )

@@ -1,0 +1,87 @@
+"""Driver-contract simulation: run every queries() entry vs its oracle at sf0.01.
+
+The repo-owned form of the per-round full-parity gate (VERDICT r6 #4): run
+`python tools/driver_sim.py` on a quiet machine, then record the result line
+in PARITY.md. Copy to /tmp and run with NO PYTHONPATH to also exercise the
+pickle-by-value serde acid test.
+Usage: python tools/driver_sim.py [name_filter ...]
+
+Env: SPARK_GRAFT_SIM_SF_DIR overrides the sf0.01 default.
+"""
+
+import json
+import sys
+import time
+import traceback
+
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SIM_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main():
+    filters = sys.argv[1:]
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+    from tests import parity
+
+    ent = e.entry(spark)
+    n = ent.count()
+    print(f"entry(): {n} rows, schema={[f.name for f in ent.schema.fields]}")
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            if name in oracles:
+                parity.compare(df, con, oracles[name], name=name)
+                status = "green"
+            else:
+                c = df.count()
+                status = f"rows-only({c})"
+        except Exception as ex:
+            status = "RED"
+            print(f"--- {name} FAILED ---")
+            traceback.print_exc()
+        results[name] = (status, round(time.time() - t0, 2))
+        print(f"{name}: {status} ({results[name][1]}s)")
+
+    reds = [k for k, v in results.items() if v[0] == "RED"]
+    rows_only = [k for k, v in results.items() if v[0].startswith("rows-only")]
+    print(json.dumps({
+        "total": len(results),
+        "red": reds,
+        "rows_only": rows_only,
+        "sf_dir": SF_DIR,
+        "date": time.strftime("%Y-%m-%d"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
