@@ -70,6 +70,7 @@ from .curation import (  # noqa: F401
     repetition_stats,
     train_val_split,
 )
+from .dsir import dsir_log_weights, dsir_sample, dsir_sql  # noqa: F401
 from .multimodal import binary_features, decode_stub  # noqa: F401
 from .pipeline import curate_corpus, curation_stage_frames  # noqa: F401
 from .retrieval import bm25_topk, bm25_topk_df, bm25_sql, hybrid_rrf  # noqa: F401

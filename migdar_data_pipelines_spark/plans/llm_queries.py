@@ -4663,3 +4663,29 @@ def gopher_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("\n\n", "text", "text", "text").alias("text"),
     )
     return gopher_repetition(d.unionByName(variant), "text", "id")
+
+
+from ..llm.dsir import dsir_sample, dsir_sql  # noqa: E402
+
+_DSIR_RAW_SQL = "SELECT doc_id AS id, text FROM documents"
+_DSIR_TARGET_SQL = "SELECT doc_id AS id, text FROM documents WHERE lang = 'en'"
+
+
+@register(
+    "dsir_sample_documents",
+    sql=dsir_sql(_DSIR_RAW_SQL, _DSIR_TARGET_SQL, n_buckets=512, top_k=100),
+)
+def dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (llm/dsir.py — Xie et al. 2023): score
+    every document by the log importance weight of its hashed
+    unigram+bigram features under target-vs-raw bag-of-n-grams models
+    (target = the English subset), then Gumbel-top-100 with the
+    deterministic md5 uniform. The oracle is GENERATED from the same
+    md5_bucket folds and smoothing literals (dsir_sql). Shape at scale:
+    one feature explode, two broadcast n_buckets-row models, a per-doc
+    sum, TakeOrdered keep set — the unigram_lm_scores pattern; nothing
+    corpus-sized collected or broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "text")
+    target = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    return dsir_sample(raw, target, n_buckets=512, top_k=100)

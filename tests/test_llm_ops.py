@@ -1228,3 +1228,76 @@ def test_bpe_pinned_merges_segment(spark):
     assert got[1] == want1
     assert got[2] == [] and got[3] == []
     assert set(PINNED_BPE_FREQS) and len(PINNED_BPE_MERGES) > 20
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """llm/dsir.py vs an independent pure-Python DSIR reference: identical
+    hashed-feature buckets, identical add-one-smoothed log weights, and the
+    deterministic Gumbel-top-k keep set."""
+    import math
+
+    from migdar_data_pipelines_spark.llm.dsir import (
+        FEAT_HEX_DIGITS,
+        GUMBEL_HEX_DIGITS,
+        dsir_sample,
+    )
+
+    raw_rows = [
+        (1, "the cat sat on the mat"),
+        (2, "le chat noir dort"),
+        (3, "the dog sat on the log"),
+        (4, "el perro duerme"),
+        (5, "the cat and the dog"),
+        (6, "one"),
+    ]
+    tgt_rows = [(10, "the cat sat"), (11, "the dog sat on the mat")]
+    NB, K = 64, 3
+
+    def feats(text):
+        ws = [w.lower() for w in text.split()]
+        grams = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:FEAT_HEX_DIGITS], 16) % NB
+            for g in grams
+        ]
+
+    from collections import Counter
+
+    cq = Counter(b for _, t in raw_rows for b in feats(t))
+    cp = Counter(b for _, t in tgt_rows for b in feats(t))
+    totq, totp = sum(cq.values()), sum(cp.values())
+    want = {}
+    for i, t in raw_rows:
+        bs = feats(t)
+        lw = sum(
+            math.log((cp.get(b, 0) + 1) / (totp + NB))
+            - math.log((cq.get(b, 0) + 1) / (totq + NB))
+            for b in bs
+        )
+        u = (
+            int(hashlib.md5(str(i).encode()).hexdigest()[:GUMBEL_HEX_DIGITS], 16)
+            + 0.5
+        ) / 16**GUMBEL_HEX_DIGITS
+        # sample_key is derived from the ROUNDED log_weight (the contract
+        # surface), matching operator and oracle alike
+        want[i] = (
+            len(bs),
+            round(lw, 4),
+            round(round(lw, 4) - math.log(-math.log(u)), 6),
+        )
+    keep = set(
+        sorted(want, key=lambda i: (-want[i][2], i))[:K]
+    )
+
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    got = {
+        r["id"]: r
+        for r in dsir_sample(raw, tgt, n_buckets=NB, top_k=K).collect()
+    }
+    assert set(got) == set(want)
+    for i, (nf, lw, sk) in want.items():
+        assert got[i]["n_feats"] == nf, i
+        assert got[i]["log_weight"] == pytest.approx(lw, abs=1e-4), i
+        assert got[i]["sample_key"] == pytest.approx(sk, abs=1e-6), i
+        assert got[i]["keep"] == (i in keep), i
