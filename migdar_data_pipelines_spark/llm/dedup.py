@@ -192,8 +192,16 @@ def minhash_lsh_pairs(
     """Candidate pairs via banded LSH, verified with true shingle Jaccard.
 
     ``max_broadcast_candidates`` overrides ``MAX_BROADCAST_CANDIDATE_PAIRS``
-    — the estimated-candidate ceiling above which the verification joins
-    drop the broadcast hint (see the inline comment at the verify step).
+    — the candidate-count ceiling above which the verification joins drop
+    the broadcast hint (see the inline comment at the verify step).
+
+    NOTE — eager construction: with ``persist_shingles=True`` (default),
+    BUILDING this plan runs Spark jobs before the caller's first action:
+    the candidate frame is persisted and counted to make the broadcast
+    gate decision (a plan-time choice, so it cannot be deferred). The
+    work is reused — the main pass reads the pinned candidates — but
+    callers composing plans lazily should pass ``persist_shingles=False``
+    (gate then defers to AQE's runtime-size broadcast).
 
     rows-per-band = n_hashes/bands sets the collision sensitivity
     (threshold ~ (1/bands)^(1/rows)). Self-join happens per band-bucket only;
@@ -322,6 +330,11 @@ def incremental_dedup(
     (similarity.py::ivf_write_index).
 
     Returns one row per batch doc: (id, dup_exact, n_near_index, is_new).
+
+    NOTE — eager construction: building this plan persists and counts the
+    probe-join candidate frame (the broadcast-gate decision is made at
+    plan time), so Spark jobs run before the caller's first action; the
+    counted candidates are pinned and reused by the verification pass.
     """
     bh = batch.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h"))
     ih = (

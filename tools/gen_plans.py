@@ -51,6 +51,31 @@ PICK = {
     "market_share_snowflake": "7-table snowflake: one fact shuffle, dims broadcast",
 }
 
+
+def _knn_graph_ivf(spark, sf_dir):
+    from migdar_data_pipelines_spark.llm.similarity import knn_graph
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return knn_graph(
+        e, "vec_id", "embedding", k=3, strategy="ivf",
+        n_cells="auto", nprobe=2, seed=7,
+    )
+
+
+# non-registry plans: (title, callable, note)
+EXTRA = [
+    (
+        "knn_graph_ivf",
+        _knn_graph_ivf,
+        "ANN kNN graph: per-cell blocks meet in a cell equi-join "
+        "(no cross join, nothing corpus-sized broadcast) — the "
+        "sub-quadratic production route next to the exact block "
+        "cross-join gate",
+    ),
+]
+
 KEEP_DETAIL = re.compile(
     r"PushedFilters|ReadSchema|Location|Arguments: hashpartitioning"
     r"|Arguments: .*Broadcast|Join condition|Output \[",
@@ -91,8 +116,10 @@ def main() -> None:
         "Regenerate with `python tools/gen_plans.py`.",
         "",
     ]
-    for name, note in PICK.items():
-        df = QUERIES[name]["fn"](spark, "/root/testdata/sf0.01")
+    runs = [(n, QUERIES[n]["fn"], note) for n, note in PICK.items()]
+    runs += [(n, fn, note) for n, fn, note in EXTRA]
+    for name, fn, note in runs:
+        df = fn(spark, "/root/testdata/sf0.01")
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
