@@ -22,6 +22,8 @@ from .textanalysis import (  # noqa: F401
     gopher_repetition_sql,
     gopher_rules,
     unigram_lm_scores,
+    bigram_lm_scores,
+    bigram_lm_sql,
 )
 from .dedup import (  # noqa: F401
     canonical_groups,
@@ -74,3 +76,4 @@ from .dsir import dsir_log_weights, dsir_sample, dsir_sql  # noqa: F401
 from .multimodal import binary_features, decode_stub  # noqa: F401
 from .pipeline import curate_corpus, curation_stage_frames  # noqa: F401
 from .retrieval import bm25_topk, bm25_topk_df, bm25_sql, hybrid_rrf  # noqa: F401
+from .clustering import kmeans_fit, kmeans_sql, quantize_vectors  # noqa: F401

@@ -611,3 +611,144 @@ SELECT agg.*,
        ({keep}) AS keep
 FROM agg
 """
+
+
+#: Stupid Backoff discount (Brants et al. 2007, "Large Language Models in
+#: Machine Translation" — the web-scale LM scoring recipe: no normalization,
+#: relative frequencies, a fixed 0.4 backoff weight).
+BACKOFF_ALPHA = 0.4
+
+#: DuckDB mirror of ``words()`` (split-on-whitespace, drop empties) — kept
+#: next to the Spark form so they can only drift together.
+WORDS_SQL = r"list_filter(string_split_regex(trim({col}), '\s+'), x -> x <> '')"
+
+
+def _pair_rows(df, text_col: str, id_col: str):
+    """(id, prev, w) per token position: prev is NULL at position 1. The
+    pair array is built BELOW the explode (zip_with over the materialized
+    word array — the CollapseProject re-run trap), so the regex split runs
+    once per document, not once per token."""
+    ws = df.select(F.col(id_col).alias("id"), words(text_col).alias("__ws"))
+    n = F.size("__ws")
+    prevs = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice("__ws", 1, F.greatest(n - 1, F.lit(0))),
+    )
+    pairs = F.zip_with(
+        prevs, F.col("__ws"), lambda p, w: F.struct(p.alias("prev"), w.alias("w"))
+    )
+    return (
+        ws.select("id", F.explode(pairs).alias("g"))
+        .select("id", F.col("g.prev").alias("prev"), F.col("g.w").alias("w"))
+        # a zero-token doc zips to one (null, null) row - drop it
+        .where(F.col("w").isNotNull())
+    )
+
+
+def bigram_lm_scores(train, score, text_col: str = "text", id_col: str = "doc_id"):
+    """Stupid-Backoff bigram LM scoring: train relative-frequency bigram +
+    unigram tables on ``train``, score every ``score`` doc by per-token
+    average negative log score. The next rung of the CCNet ladder above
+    ``unigram_lm_scores`` (KenLM perplexity is the published form; Stupid
+    Backoff is the score Google actually shipped at corpus scale):
+
+        S(w | prev) = c(prev, w) / c(prev)          seen bigram
+                    = 0.4 * (c(w)+1)/(N+V)          backoff (add-one base)
+        S(w) at position 1 = (c(w)+1)/(N+V)
+
+    The add-one-smoothed unigram base (instead of raw c(w)/N) keeps OOV
+    scores finite and every probability an exact rational of train-corpus
+    counts — only the final ln/avg is float, rounded for the contract.
+    Returns (id, n_tokens, n_backoff, nll): n_backoff — how many positions
+    fell through to the unigram — is an exact-integer quality signal of its
+    own (high backoff rate = unseen-domain text).
+
+    Shape at scale: two map-side-combinable count aggregates over the train
+    corpus (vocab-sized and bigram-table-sized), broadcast onto the score
+    token stream (drop the hints past ~1e8 entries and the joins shuffle on
+    the word keys), one per-doc avg. No windows, no sorts — the position
+    pairing is the pre-explode zip, not a lag().
+    """
+    from ..operators.caching import scoped_persist
+
+    uni = scoped_persist(
+        train.select(F.explode(words(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    tot = uni.agg(
+        F.sum("cw").alias("n_toks"), F.count(F.lit(1)).alias("vocab")
+    )
+    big = (
+        _pair_rows(train, text_col, id_col)
+        .where(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    sp = _pair_rows(score, text_col, id_col)
+    j = (
+        sp.join(F.broadcast(uni), "w", "left")
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("prev"), F.col("cw").alias("cprev"))),
+            "prev",
+            "left",
+        )
+        .join(F.broadcast(big), ["prev", "w"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    base = (F.coalesce("cw", F.lit(0)) + 1) / (F.col("n_toks") + F.col("vocab"))
+    s = (
+        F.when(F.col("prev").isNull(), base)
+        .when(F.col("cb").isNotNull(), F.col("cb") / F.col("cprev"))
+        .otherwise(F.lit(BACKOFF_ALPHA) * base)
+    )
+    backoff = (F.col("prev").isNotNull() & F.col("cb").isNull()).cast("long")
+    return j.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(backoff).cast("long").alias("n_backoff"),
+        F.round(F.avg(-F.log(s)), 4).alias("nll"),
+    )
+
+
+def bigram_lm_sql(train_sql: str, score_sql: str, id_out: str = "id") -> str:
+    """Generated DuckDB mirror of ``bigram_lm_scores`` (same counts, same
+    smoothing literals, same backoff constant). ``train_sql``/``score_sql``
+    must yield ``(id, text)``. The oracle pairs positions with a lag()
+    window — semantically identical to the engine's pre-explode zip."""
+    w_of = WORDS_SQL.format(col="text")
+    pos = (
+        "SELECT id, pos, w, lag(w) OVER (PARTITION BY id ORDER BY pos) AS prev "
+        "FROM (SELECT id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos "
+        f"FROM (SELECT id, {w_of} AS ws FROM ({{src}})))"
+    )
+    return f"""
+WITH ttoks AS (
+  SELECT unnest({w_of}) AS w FROM ({train_sql})
+),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM ttoks GROUP BY w),
+tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_toks,
+               CAST(count(*) AS BIGINT) AS vocab FROM uni),
+tp AS ({pos.format(src=train_sql)}),
+big AS (SELECT prev, w, CAST(count(*) AS BIGINT) AS cb
+        FROM tp WHERE prev IS NOT NULL GROUP BY prev, w),
+sp AS ({pos.format(src=score_sql)}),
+j AS (
+  SELECT sp.id, sp.prev, u.cw, up.cw AS cprev, b.cb, tot.n_toks, tot.vocab
+  FROM sp
+  LEFT JOIN uni u ON sp.w = u.w
+  LEFT JOIN uni up ON sp.prev = up.w
+  LEFT JOIN big b ON sp.prev = b.prev AND sp.w = b.w
+  CROSS JOIN tot
+)
+SELECT id AS {id_out}, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND cb IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_backoff,
+       round(avg(-ln(
+         CASE WHEN prev IS NULL
+              THEN (coalesce(cw, 0) + 1) / CAST(n_toks + vocab AS DOUBLE)
+              WHEN cb IS NOT NULL THEN cb / CAST(cprev AS DOUBLE)
+              ELSE CAST({BACKOFF_ALPHA} AS DOUBLE)
+                   * (coalesce(cw, 0) + 1) / CAST(n_toks + vocab AS DOUBLE)
+         END)), 4) AS nll
+FROM j GROUP BY id
+"""

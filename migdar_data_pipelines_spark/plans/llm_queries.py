@@ -4689,3 +4689,56 @@ def dsir_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = d.select("doc_id", "text")
     target = d.filter(F.col("lang") == "en").select("doc_id", "text")
     return dsir_sample(raw, target, n_buckets=512, top_k=100)
+
+
+from ..llm.clustering import kmeans_fit, kmeans_sql  # noqa: E402
+
+_KMEANS_SRC_SQL = "SELECT vec_id AS id, embedding FROM embeddings"
+
+
+@register(
+    "kmeans_clusters_embeddings",
+    sql=kmeans_sql(_KMEANS_SRC_SQL, k=8, n_iters=4),
+)
+def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed Lloyd k-means (llm/clustering.py): 8
+    clusters, 4 update rounds, md5-seeded deterministic init, all
+    arithmetic in integer micro-units so the UNROLLED-CTE oracle
+    (kmeans_sql — generated from the same literals) matches bit-for-bit:
+    (vec_id, cluster, dist_q) with dist_q the exact integer squared
+    distance. Shape at scale: one persisted quantization pass; per round
+    a scan-local pandas_udf assignment (k x d ints in the closure) plus a
+    map-side-combinable (cluster, dim) update whose exchange carries k*d
+    groups; the driver holds k*d longs per round, never rows. This is the
+    whole-corpus clustering primitive (domain discovery, SemDeDup
+    buckets) next to train_ivf_centroids' bounded-sample coarse
+    quantizer."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out, _ = kmeans_fit(e, "vec_id", "embedding", k=8, n_iters=4)
+    return out.select(F.col("id").alias("vec_id"), "cluster", "dist_q")
+
+
+from ..llm.textanalysis import bigram_lm_scores, bigram_lm_sql  # noqa: E402
+
+_BLM_TRAIN_SQL = "SELECT doc_id AS id, text FROM documents WHERE lang = 'en'"
+_BLM_SCORE_SQL = "SELECT doc_id AS id, text FROM documents"
+
+
+@register(
+    "bigram_lm_nll_documents",
+    sql=bigram_lm_sql(_BLM_TRAIN_SQL, _BLM_SCORE_SQL),
+)
+def bigram_lm_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff bigram LM scoring (llm/textanalysis.py::
+    bigram_lm_scores — Brants et al. 2007): train bigram/unigram tables on
+    the English subset, score EVERY document; non-English text shows up as
+    a high exact-integer backoff count plus high nll — the rung of the
+    CCNet quality ladder above unigram_lm_nll_documents. Oracle is
+    GENERATED from the same counts and literals (bigram_lm_sql; its lag()
+    window is the SQL spelling of the engine's pre-explode position zip).
+    Shape at scale: two broadcast count models over the train corpus
+    joined onto the score token stream, one per-doc avg — no windows, no
+    sorts."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("lang") == "en").select("doc_id", "text")
+    return bigram_lm_scores(train, d.select("doc_id", "text"), "text", "doc_id")

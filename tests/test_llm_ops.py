@@ -1301,3 +1301,145 @@ def test_dsir_weights_match_python_reference(spark):
         assert got[i]["log_weight"] == pytest.approx(lw, abs=1e-4), i
         assert got[i]["sample_key"] == pytest.approx(sk, abs=1e-6), i
         assert got[i]["keep"] == (i in keep), i
+
+
+def test_kmeans_matches_python_reference(spark):
+    """llm/clustering.py vs an independent pure-Python Lloyd reference:
+    same md5-seeded init, same integer micro-unit arithmetic, same
+    floor-div centroid update, same lowest-cluster tie-break — exact
+    equality on (cluster, dist_q) for every row."""
+    import hashlib
+
+    from migdar_data_pipelines_spark.llm.clustering import (
+        KMEANS_SCALE,
+        kmeans_fit,
+    )
+
+    vecs = {
+        1: [0.1, 0.2, -0.3],
+        2: [0.11, 0.19, -0.31],
+        3: [-0.4, 0.0, 0.25],
+        4: [-0.38, 0.02, 0.24],
+        5: [0.0, -0.5, 0.1],
+        6: [0.01, -0.49, 0.12],
+        7: [0.3, 0.3, 0.3],
+    }
+    K, R = 3, 3
+
+    def fold(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+
+    q = {i: [round(x * KMEANS_SCALE) for x in v] for i, v in vecs.items()}
+    seeds = sorted(q, key=lambda i: (fold(i), i))[:K]
+    C = [list(q[i]) for i in seeds]
+
+    def assign(C):
+        out = {}
+        for i, v in q.items():
+            dists = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in C]
+            best = min(range(len(C)), key=lambda j: (dists[j], j))
+            out[i] = (best, dists[best])
+        return out
+
+    for _ in range(R):
+        a = assign(C)
+        for c in range(K):
+            members = [q[i] for i, (cl, _) in a.items() if cl == c]
+            if members:
+                C[c] = [
+                    (s - (s % n + n) % n) // n
+                    for s, n in ((sum(col), len(members)) for col in zip(*members))
+                ]
+    want = assign(C)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out, cents = kmeans_fit(df, "vec_id", "embedding", k=K, n_iters=R)
+    got = {r["id"]: (r["cluster"], r["dist_q"]) for r in out.collect()}
+    assert got == want
+    assert cents == C
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """A seed centroid that attracts no members must survive the update
+    unchanged (the documented no-resampling rule): two far seed points and
+    one isolated seed whose closest points all prefer the others."""
+    from migdar_data_pipelines_spark.llm.clustering import kmeans_fit
+
+    # all mass at two sites; k=3 guarantees at least one empty cluster
+    rows = [(i, [0.0, 0.0]) for i in range(1, 5)] + [
+        (i, [0.4, 0.4]) for i in range(5, 9)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out, cents = kmeans_fit(df, "vec_id", "embedding", k=3, n_iters=2)
+    got = out.collect()
+    assert len(got) == 8
+    # duplicate-site seeds collapse: every row sits exactly on its centroid
+    assert all(r["dist_q"] == 0 for r in got)
+    # the centroid set still has k entries and each is one of the two sites
+    # (an empty cluster kept its seed value rather than degenerating)
+    sites = {(0, 0), (400000, 400000)}
+    assert len(cents) == 3 and all(tuple(c) in sites for c in cents)
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """llm/textanalysis.py::bigram_lm_scores vs an independent pure-Python
+    Stupid-Backoff reference: exact n_tokens/n_backoff and 4dp nll,
+    covering all three scoring branches (first token, seen bigram,
+    backoff) plus OOV words."""
+    import math
+
+    from migdar_data_pipelines_spark.llm.textanalysis import (
+        BACKOFF_ALPHA,
+        bigram_lm_scores,
+    )
+
+    train_rows = [(1, "the cat sat on the mat"), (2, "the cat ran")]
+    score_rows = [
+        (10, "the cat sat"),        # all bigrams seen
+        (11, "cat the ran"),        # seen words, unseen bigrams -> backoff
+        (12, "zebra the cat"),      # OOV first token + seen tail
+        (13, "one"),                # single token: unigram branch only
+    ]
+
+    toks = [w for _, t in train_rows for w in t.split()]
+    uni = {}
+    for w in toks:
+        uni[w] = uni.get(w, 0) + 1
+    N, V = len(toks), len(uni)
+    big = {}
+    for _, t in train_rows:
+        ws = t.split()
+        for p, w in zip(ws, ws[1:]):
+            big[(p, w)] = big.get((p, w), 0) + 1
+
+    def score(doc):
+        ws = doc.split()
+        tot, backoff = 0.0, 0
+        for i, w in enumerate(ws):
+            base = (uni.get(w, 0) + 1) / (N + V)
+            if i == 0:
+                s = base
+            elif (ws[i - 1], w) in big:
+                s = big[(ws[i - 1], w)] / uni[ws[i - 1]]
+            else:
+                s = BACKOFF_ALPHA * base
+                backoff += 1
+            tot += -math.log(s)
+        return len(ws), backoff, round(tot / len(ws), 4)
+
+    want = {i: score(t) for i, t in score_rows}
+    # sanity on the fixture: every branch actually exercised
+    assert want[11][1] == 2 and want[12][1] == 1 and want[13][1] == 0
+
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    sc = spark.createDataFrame(score_rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_tokens"], r["n_backoff"], r["nll"])
+        for r in bigram_lm_scores(train, sc).collect()
+    }
+    assert set(got) == set(want)
+    for i, (nt, nb, nll) in want.items():
+        assert got[i][0] == nt and got[i][1] == nb, i
+        assert got[i][2] == pytest.approx(nll, abs=1e-4), i

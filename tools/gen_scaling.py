@@ -47,6 +47,7 @@ PICK = [
     ("winnow_fingerprints_documents", "documents", "scan-local Arrow window minima"),
     ("winnow_shared_pairs_documents", "doc + variant corpus", "culled fingerprint index self-join"),
     ("curate_corpus_stats", "documents", "filter + exact dedup + LSH/CC + split chain"),
+    ("kmeans_clusters_embeddings", "embedding corpus", "per-round scan-local assign + (cluster, dim) agg"),
     ("gopher_repetition_documents", "doc + repeat-variant corpus", "segment/gram aggs + per-doc interval union"),
     ("knn_graph_embeddings", "embedding corpus", "block-pair matmul (quadratic gate path)"),
 ]
