@@ -323,3 +323,210 @@ FROM (
 )
 GROUP BY 1, 2
 """
+
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum values) — the distinct sketch with SET ALGEBRA
+# ---------------------------------------------------------------------------
+
+#: sketch size (k smallest hashes kept); relative error ~ 1/sqrt(k-2)
+KMV_K = 64
+#: md5 hex digits of hash space: 16^15 = 2^60 values, fits a signed long
+#: (the same positional fold as llm/curation.md5_bucket, so the generated
+#: SQL computes the identical integer)
+KMV_HEX_DIGITS = 15
+#: the hash space size as an EXACT double (2^60 is a power of two, so the
+#: literal is representable; both engines inline the same value)
+KMV_SPACE = float(16**KMV_HEX_DIGITS)
+
+
+def kmv_sketch(
+    df: DataFrame, col: str | Column, k: int = KMV_K
+) -> DataFrame:
+    """The k smallest distinct portable hashes of ``col`` as (h, rk) rows.
+
+    Why another distinct sketch next to HLL: KMV values are real hash
+    SAMPLES, so two sketches support set algebra — union (merge + re-trim)
+    and intersection/Jaccard (fraction of the union sketch present in
+    both) — which register-max HLL structurally cannot do. Beyer et al.
+    2007 ("On synopses for distinct-value estimation under multiset
+    operations") is the published recipe.
+
+    Shape at scale — ZERO corpus-sized shuffle: a scan-local mapInPandas
+    keeps the k smallest distinct hashes per input partition (bounded
+    k-row state), and only those <= P*k candidates reach the final
+    dropDuplicates + k-trim. The sketch stays union-able across shards and
+    engines by re-merging row sets (kmv_union does exactly that).
+    """
+    from pyspark.sql import Window
+
+    from ..llm.curation import md5_bucket
+
+    hashed = df.select(md5_bucket(col, KMV_HEX_DIGITS).alias("h"))
+
+    def _partial(it):
+        for pdf in it:
+            yield (
+                pdf.drop_duplicates(subset=["h"])
+                .sort_values("h")
+                .head(k)
+            )
+
+    partial = hashed.mapInPandas(_partial, schema="h long")
+    w = Window.orderBy("h")
+    return (
+        partial.dropDuplicates(["h"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def kmv_estimate_expr(n_sketch: Column, kth_hash: Column, k: int) -> Column:
+    """Distinct estimate from a sketch's row count and kth hash: exact when
+    the sketch is under-full (it IS the distinct set), else the standard
+    (k-1) * M / h_k. Written once so engine and SQL share the formula via
+    ``kmv_estimate_sql_expr``."""
+    return F.round(
+        F.when(n_sketch < k, n_sketch.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(KMV_SPACE) / kth_hash.cast("double")
+        ),
+        4,
+    )
+
+
+def kmv_estimate_sql_expr(n_sketch: str, kth_hash: str, k: int) -> str:
+    """DuckDB spelling of ``kmv_estimate_expr`` — identical literals."""
+    return (
+        f"round(CASE WHEN {n_sketch} < {k} THEN CAST({n_sketch} AS DOUBLE) "
+        f"ELSE CAST({float(k - 1)!r} AS DOUBLE) * CAST({KMV_SPACE!r} AS DOUBLE) "
+        f"/ CAST({kth_hash} AS DOUBLE) END, 4)"
+    )
+
+
+def kmv_set_ops(
+    a: DataFrame, b: DataFrame, k: int = KMV_K
+) -> DataFrame:
+    """Set-algebra estimates from two KMV sketches (rows of (h, rk)):
+
+    one row per set_name in {a, b, union, intersection} with
+    (n_sketch, kth_hash, est): the union sketch is the k smallest of the
+    merged hash sets; the intersection estimate is rho * est(union) where
+    rho = |union-sketch hashes present in BOTH input sketches| / |union
+    sketch| (Beyer et al. 2007) — every count and kth hash is an exact
+    integer, only the two estimator divisions are float, rounded for the
+    contract. All frames here are <= 2k rows: the whole computation is
+    sketch-sized, never data-sized.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.caching import scoped_persist
+
+    a = scoped_persist(a.select("h"))
+    b = scoped_persist(b.select("h"))
+    w = Window.orderBy("h")
+    u = scoped_persist(
+        a.union(b)
+        .dropDuplicates(["h"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+    both = u.join(a, "h", "left_semi").join(b, "h", "left_semi")
+
+    def stats(df, name):
+        return df.agg(
+            F.lit(name).alias("set_name"),
+            F.count(F.lit(1)).cast("long").alias("n_sketch"),
+            F.max("h").alias("kth_hash"),
+        )
+
+    rows = (
+        stats(a, "a")
+        .unionByName(stats(b, "b"))
+        .unionByName(stats(u, "union"))
+        .withColumn(
+            "est", kmv_estimate_expr(F.col("n_sketch"), F.col("kth_hash"), k)
+        )
+    )
+    inter = (
+        both.agg(
+            F.lit("intersection").alias("set_name"),
+            F.count(F.lit(1)).cast("long").alias("n_sketch"),
+            # the intersection is a subset sample, not a k-min sketch of its
+            # own — it has no kth-hash contract surface
+            F.lit(None).cast("long").alias("kth_hash"),
+        )
+        .crossJoin(
+            u.agg(
+                F.count(F.lit(1)).cast("long").alias("__nu"),
+                F.max("h").alias("__ku"),
+            )
+        )
+        .withColumn(
+            "est",
+            F.round(
+                F.col("n_sketch").cast("double")
+                / F.col("__nu")
+                * kmv_estimate_expr(F.col("__nu"), F.col("__ku"), k),
+                4,
+            ),
+        )
+        .drop("__nu", "__ku")
+    )
+    return rows.unionByName(inter)
+
+
+def kmv_sql(expr: str, from_sql: str, k: int = KMV_K) -> str:
+    """DuckDB mirror of ``kmv_sketch`` (same md5 fold, same trim)."""
+    from ..llm.curation import md5_bucket_sql
+
+    fold = md5_bucket_sql(expr, KMV_HEX_DIGITS)
+    return f"""
+SELECT h, rk FROM (
+  SELECT h, row_number() OVER (ORDER BY h) AS rk
+  FROM (SELECT DISTINCT {fold} AS h FROM {from_sql})
+) WHERE rk <= {k}
+"""
+
+
+def kmv_set_ops_sql(
+    expr_a: str, from_a: str, expr_b: str, from_b: str, k: int = KMV_K
+) -> str:
+    """DuckDB mirror of sketch-build + ``kmv_set_ops`` end to end,
+    generated from the same fold and estimator literals."""
+    est = kmv_estimate_sql_expr("n_sketch", "kth_hash", k)
+    est_u = kmv_estimate_sql_expr("nu", "ku", k)
+    return f"""
+WITH a AS ({kmv_sql(expr_a, from_a, k)}),
+b AS ({kmv_sql(expr_b, from_b, k)}),
+u AS (
+  SELECT h, rk FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rk
+    FROM (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b))
+  ) WHERE rk <= {k}
+),
+ib AS (
+  SELECT u.h FROM u
+  WHERE u.h IN (SELECT h FROM a) AND u.h IN (SELECT h FROM b)
+),
+base AS (
+  SELECT 'a' AS set_name, CAST(count(*) AS BIGINT) AS n_sketch,
+         max(h) AS kth_hash FROM a
+  UNION ALL
+  SELECT 'b', CAST(count(*) AS BIGINT), max(h) FROM b
+  UNION ALL
+  SELECT 'union', CAST(count(*) AS BIGINT), max(h) FROM u
+),
+ustats AS (
+  SELECT CAST(count(*) AS BIGINT) AS nu, max(h) AS ku FROM u
+),
+istats AS (
+  SELECT CAST(count(*) AS BIGINT) AS ni FROM ib
+)
+SELECT set_name, n_sketch, kth_hash, {est} AS est FROM base
+UNION ALL
+SELECT 'intersection', ni AS n_sketch,
+       CAST(NULL AS BIGINT) AS kth_hash,
+       round(CAST(ni AS DOUBLE) / nu * {est_u}, 4) AS est
+FROM istats CROSS JOIN ustats
+"""

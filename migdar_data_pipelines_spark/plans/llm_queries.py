@@ -4742,3 +4742,35 @@ def bigram_lm_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     train = d.filter(F.col("lang") == "en").select("doc_id", "text")
     return bigram_lm_scores(train, d.select("doc_id", "text"), "text", "doc_id")
+
+
+def _install_kmv_sql() -> None:
+    from ..operators.sketches import kmv_set_ops_sql
+
+    QUERIES["kmv_setops_users_events"]["sql"] = kmv_set_ops_sql(
+        "user_id", "(SELECT user_id FROM events WHERE event_type = 'click')",
+        "user_id", "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+    )
+
+
+@register("kmv_setops_users_events", sql=None)  # SQL installed below (generated)
+def kmv_setops_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches with SET ALGEBRA (operators/sketches.py::
+    kmv_sketch/kmv_set_ops — Beyer et al. 2007): clicking users vs
+    purchasing users, estimating |A|, |B|, |A∪B| and |A∩B| — the
+    intersection estimate register-max HLL structurally cannot produce.
+    Sketch build is a scan-local mapInPandas k-min per partition (bounded
+    k-row state, ZERO corpus-sized shuffle — only <= partitions*k
+    candidate hashes reach the merge); every count and kth hash in the
+    output is an exact integer, the two estimator divisions are identical
+    IEEE expressions both engines round at 4dp. Oracle is GENERATED from
+    the same md5 fold and estimator literals (kmv_set_ops_sql)."""
+    from ..operators.sketches import kmv_set_ops, kmv_sketch
+
+    e = _t(spark, sf_dir, "events")
+    a = kmv_sketch(e.filter(F.col("event_type") == "click"), "user_id")
+    b = kmv_sketch(e.filter(F.col("event_type") == "purchase"), "user_id")
+    return kmv_set_ops(a, b)
+
+
+_install_kmv_sql()

@@ -507,3 +507,76 @@ def test_srp_lsh_rejects_indivisible_bands(spark):
     df = spark.createDataFrame([(1, [1.0] * 8)], "id long, v array<double>")
     with _pytest.raises(ValueError, match="divisible"):
         srp_lsh_near_dup(df, "v", "id", nbits=100, bands=8, dim=8)
+
+
+def test_kmv_matches_python_reference_and_is_accurate(spark):
+    """operators/sketches.py KMV vs a pure-Python reference (same md5 fold,
+    same k-min trim, same estimator literals), plus accuracy: the union /
+    intersection estimates must land within the ~1/sqrt(k-2) band of the
+    exact answer on overlapping integer sets."""
+    import hashlib
+
+    from migdar_data_pipelines_spark.operators.sketches import (
+        KMV_HEX_DIGITS,
+        KMV_K,
+        KMV_SPACE,
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    A = list(range(0, 3000))           # |A| = 3000
+    B = list(range(2000, 6000))        # |B| = 4000, |A∩B| = 1000, |A∪B| = 6000
+
+    def fold(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:KMV_HEX_DIGITS], 16)
+
+    def ref_sketch(vals):
+        return sorted({fold(v) for v in vals})[:KMV_K]
+
+    ra, rb = ref_sketch(A), ref_sketch(B)
+    ru = sorted(set(ra) | set(rb))[:KMV_K]
+    ni = len([h for h in ru if h in set(ra) and h in set(rb)])
+
+    def est(sk):
+        return len(sk) if len(sk) < KMV_K else round((KMV_K - 1) * KMV_SPACE / sk[-1], 4)
+
+    da = spark.createDataFrame([(v,) for v in A], "user_id long")
+    db = spark.createDataFrame([(v,) for v in B], "user_id long")
+    sa, sb = kmv_sketch(da, "user_id"), kmv_sketch(db, "user_id")
+    got_a = [r["h"] for r in sa.orderBy("rk").collect()]
+    assert got_a == ra
+
+    rows = {r["set_name"]: r for r in kmv_set_ops(sa, sb).collect()}
+    assert rows["a"]["n_sketch"] == len(ra) and rows["a"]["kth_hash"] == ra[-1]
+    assert rows["a"]["est"] == est(ra)
+    assert rows["union"]["est"] == est(ru)
+    assert rows["intersection"]["n_sketch"] == ni
+    assert rows["intersection"]["kth_hash"] is None
+    assert rows["intersection"]["est"] == round(ni / len(ru) * est(ru), 4)
+
+    # accuracy: 3-sigma of the k-min estimator (sigma ~ n/sqrt(k-2))
+    for name, true in (("a", 3000), ("b", 4000), ("union", 6000)):
+        sigma = true / (KMV_K - 2) ** 0.5
+        assert abs(rows[name]["est"] - true) < 3 * sigma, (name, rows[name]["est"])
+    # intersection: looser (ratio estimator compounds)
+    assert abs(rows["intersection"]["est"] - 1000) < 1000
+
+
+def test_kmv_underfull_and_empty_intersection(spark):
+    """Under-full sketches estimate EXACTLY (the sketch is the distinct
+    set), and disjoint sets still yield an intersection row with est 0."""
+    from migdar_data_pipelines_spark.operators.sketches import (
+        kmv_set_ops,
+        kmv_sketch,
+    )
+
+    da = spark.createDataFrame([(v,) for v in range(10)], "u long")
+    db = spark.createDataFrame([(v,) for v in range(100, 120)], "u long")
+    rows = {
+        r["set_name"]: r
+        for r in kmv_set_ops(kmv_sketch(da, "u"), kmv_sketch(db, "u")).collect()
+    }
+    assert rows["a"]["est"] == 10.0 and rows["b"]["est"] == 20.0
+    assert rows["union"]["est"] == 30.0
+    assert rows["intersection"]["n_sketch"] == 0
+    assert rows["intersection"]["est"] == 0.0
