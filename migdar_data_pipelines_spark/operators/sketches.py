@@ -530,3 +530,87 @@ SELECT 'intersection', ni AS n_sketch,
        round(CAST(ni AS DOUBLE) / nu * {est_u}, 4) AS est
 FROM istats CROSS JOIN ustats
 """
+
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    val_col: str | Column,
+    id_col: str | Column,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    k: int = 1024,
+) -> DataFrame:
+    """Order statistics WITHOUT a global sort: quantiles of ``val_col``
+    from a deterministic k-row uniform sample (the rows whose md5-fold id
+    hash is smallest — the KMV trick pointed at row selection, so the
+    sample is stable across runs, partitionings, and engines).
+
+    The estimate of quantile p is the sample's nearest-rank-lower order
+    statistic (index floor((n-1)*p), value taken VERBATIM from the data —
+    no interpolation, so the output surface is exact data values).
+    Sampling error ~ O(1/sqrt(k)) in rank space (Manku et al. 1998-style
+    single-pass sampling); the exact-histogram route
+    (exact_percentiles_lineitem) is the exactness gate, this is the
+    one-scan bounded-memory path a 100 TB profile job uses.
+
+    Shape at scale: orderBy(hash).limit(k) compiles to
+    TakeOrderedAndProject — per-partition k-row heaps merged once, no
+    range Exchange, driver holds k (hash, value) pairs at most. Quantile
+    extraction then runs on the k-row frame (sketch-sized window).
+    """
+    from pyspark.sql import Window
+
+    from ..llm.curation import md5_bucket
+
+    v = F.col(val_col) if isinstance(val_col, str) else val_col
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    samp = (
+        df.select(v.alias("v"), md5_bucket(i, KMV_HEX_DIGITS).alias("h"))
+        .orderBy("h", "v")
+        .limit(k)
+    )
+    from ..operators.caching import scoped_persist
+
+    samp = scoped_persist(samp)
+    ranked = samp.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v", "h"))
+    )
+    n = samp.agg(F.count(F.lit(1)).cast("long").alias("sample_n"))
+    pr = df.sparkSession.createDataFrame([(float(p),) for p in probs], "p double")
+    tgt = pr.crossJoin(F.broadcast(n)).withColumn(
+        "idx", F.floor((F.col("sample_n") - 1) * F.col("p")) + 1
+    )
+    return (
+        tgt.join(F.broadcast(ranked), tgt["idx"] == ranked["rk"])
+        .select("p", "sample_n", F.col("v").alias("q_value"))
+    )
+
+
+def sampled_quantiles_sql(
+    val_expr: str,
+    id_expr: str,
+    from_sql: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    k: int = 1024,
+) -> str:
+    """DuckDB mirror of ``sampled_quantiles`` — identical fold, trim,
+    rank rule, and index arithmetic (probs inlined as DOUBLE casts: bare
+    decimal literals parse as DECIMAL in DuckDB and must not)."""
+    from ..llm.curation import md5_bucket_sql
+
+    fold = md5_bucket_sql(id_expr, KMV_HEX_DIGITS)
+    plist = ", ".join(f"CAST({float(p)!r} AS DOUBLE)" for p in probs)
+    return f"""
+WITH s AS (
+  SELECT v, h FROM (
+    SELECT {val_expr} AS v, {fold} AS h FROM {from_sql}
+    ORDER BY h, v LIMIT {k}
+  )
+),
+r AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rk FROM s),
+n AS (SELECT CAST(count(*) AS BIGINT) AS sample_n FROM s),
+p AS (SELECT unnest([{plist}]) AS p)
+SELECT p, sample_n, v AS q_value
+FROM p CROSS JOIN n
+JOIN r ON r.rk = CAST(floor((sample_n - 1) * p) AS BIGINT) + 1
+"""

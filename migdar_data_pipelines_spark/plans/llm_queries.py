@@ -4774,3 +4774,35 @@ def kmv_setops_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_kmv_sql()
+
+
+def _install_sampled_quantiles_sql() -> None:
+    from ..operators.sketches import sampled_quantiles_sql
+
+    QUERIES["sampled_quantiles_lineitem"]["sql"] = sampled_quantiles_sql(
+        "l_extendedprice",
+        "(l_orderkey || ':' || l_linenumber)",
+        "lineitem",
+    )
+
+
+@register("sampled_quantiles_lineitem", sql=None)  # SQL installed below (generated)
+def sampled_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order statistics without a global sort (operators/sketches.py::
+    sampled_quantiles): price quantiles from a deterministic 1024-row
+    md5-k-min sample — TakeOrderedAndProject (per-partition heaps, no
+    range Exchange), then nearest-rank-lower picks VERBATIM data values,
+    so the surface is exact. The one-scan bounded-memory complement to
+    exact_percentiles_lineitem's full histogram route; oracle GENERATED
+    from the same fold/trim/index literals (sampled_quantiles_sql)."""
+    from ..operators.sketches import sampled_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sampled_quantiles(
+        li,
+        "l_extendedprice",
+        F.concat_ws(":", "l_orderkey", "l_linenumber"),
+    )
+
+
+_install_sampled_quantiles_sql()

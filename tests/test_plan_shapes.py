@@ -124,3 +124,42 @@ def test_knn_graph_ivf_joins_on_cell_not_cross(spark, sf_dir):
         "CartesianProduct" in exact_plan
         or "BroadcastNestedLoopJoin" in exact_plan
     )
+
+
+def test_kmv_sketch_partial_is_below_any_exchange(spark, sf_dir):
+    """The KMV build's per-partition k-min (MapInPandas) must run INSIDE the
+    scan stage — the zero-corpus-shuffle property: in the linear sketch
+    plan nothing below the MapInPandas shuffles, and only the two
+    sketch-sized merges (dropDuplicates + the global k-trim window) sit
+    above it."""
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.operators.sketches import kmv_sketch
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    plan = _formatted_plan(kmv_sketch(e, "user_id"))
+    assert "MapInPandas" in plan
+    # the tree art only (the per-node detail sections repeat the names)
+    tree = plan.split("== Physical Plan ==")[1].split("\n\n")[0]
+    below = tree.split("MapInPandas")[-1]
+    assert "Exchange" not in below, below
+    assert tree.count("Exchange") <= 2, tree
+
+
+def test_bigram_lm_models_broadcast(spark, sf_dir):
+    """Both count models (unigram x2 joins + bigram) must reach the score
+    token stream by broadcast — no shuffle of the corpus-sized token side."""
+    plan = _formatted_plan(query_fns()["bigram_lm_nll_documents"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan.count("BroadcastHashJoin")
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_assignment_stays_scan_local(spark, sf_dir):
+    """The k-means output plan: assignment is an ArrowEvalPython over the
+    persisted quantized frame with no join anywhere — the centroid matrix
+    rides in the UDF closure, never as a DataFrame."""
+    plan = _formatted_plan(query_fns()["kmeans_clusters_embeddings"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "Join" not in plan, "centroids must not arrive via a join"

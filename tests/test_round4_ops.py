@@ -580,3 +580,52 @@ def test_kmv_underfull_and_empty_intersection(spark):
     assert rows["union"]["est"] == 30.0
     assert rows["intersection"]["n_sketch"] == 0
     assert rows["intersection"]["est"] == 0.0
+
+
+def test_sampled_quantiles_reference_and_accuracy(spark):
+    """sampled_quantiles vs a pure-Python mirror (same fold, same
+    nearest-rank-lower rule) and vs the TRUE quantiles of a known
+    distribution (rank error within ~3/sqrt(k) of uniform)."""
+    import hashlib
+
+    from migdar_data_pipelines_spark.operators.sketches import (
+        KMV_HEX_DIGITS,
+        sampled_quantiles,
+    )
+
+    N, K = 20000, 1024
+    rows = [(i, float(i % 10007)) for i in range(N)]  # near-uniform values
+
+    def fold(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:KMV_HEX_DIGITS], 16)
+
+    samp = sorted(((fold(i), v) for i, v in rows))[:K]
+    vals = sorted((v, h) for h, v in samp)
+    probs = (0.25, 0.5, 0.9, 0.99)
+    want = {p: vals[int((len(vals) - 1) * p)][0] for p in probs}
+
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {
+        r["p"]: (r["sample_n"], r["q_value"])
+        for r in sampled_quantiles(df, "v", "id", probs=probs, k=K).collect()
+    }
+    assert set(got) == set(probs)
+    for p in probs:
+        assert got[p][0] == K
+        assert got[p][1] == want[p], p
+        # accuracy vs the true distribution quantile (values ~ U[0, 10007))
+        assert abs(got[p][1] - p * 10007) < 3 / K**0.5 * 10007 + 1, (p, got[p])
+
+
+def test_sampled_quantiles_underfull_input(spark):
+    """Fewer rows than k: the sample IS the data and quantiles are exact."""
+    from migdar_data_pipelines_spark.operators.sketches import sampled_quantiles
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(11)], "id long, v double"
+    )
+    got = {
+        r["p"]: r["q_value"]
+        for r in sampled_quantiles(df, "v", "id", probs=(0.0, 0.5, 1.0)).collect()
+    }
+    assert got == {0.0: 0.0, 0.5: 5.0, 1.0: 10.0}
