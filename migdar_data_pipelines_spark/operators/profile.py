@@ -124,3 +124,127 @@ def profile_hll(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
 
 __all__ = ["profile", "profile_hll"]
+
+
+
+def psi_drift(
+    a: DataFrame,
+    b: DataFrame,
+    key_cols: list[str],
+    min_count: int = 0,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a categorical
+    distribution — the standard drift monitor for a corpus/feature mix
+    (did the lang x source composition of this week's crawl shift against
+    the reference snapshot?):
+
+        PSI = sum over buckets of (p_a - p_b) * ln(p_a / p_b)
+
+    with add-one smoothing over the UNION of observed buckets (so a
+    bucket present in only one side contributes a finite, positive term
+    instead of an infinity). Rule of thumb: < 0.1 stable, 0.1-0.25
+    drifting, > 0.25 shifted.
+
+    Returns one row per bucket (key..., count_a, count_b, psi_term[6dp])
+    plus the rolled-up total under ``__total__`` keys — per-bucket terms
+    are the actionable part (WHICH slice drifted), the total is the alarm
+    threshold. All counts are exact integers; p_a/p_b are exact rationals
+    of two 1-row totals; only the final ln is float, rounded for the
+    contract surface.
+
+    Shape at scale: two map-side-combinable count aggregates (bucket-
+    cardinality sized), an outer join on the bucket key, two broadcast
+    1-row totals — one scan per snapshot, no sorts. ``min_count`` drops
+    buckets below a support floor on BOTH sides (noise control for
+    long-tail keys).
+    """
+    from ..operators.caching import scoped_persist
+
+    def counts(df, name):
+        return df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).cast("long").alias(name)
+        )
+
+    ca = counts(a, "count_a")
+    cb = counts(b, "count_b")
+    j = scoped_persist(
+        ca.join(cb, key_cols, "full_outer")
+        .select(
+            *key_cols,
+            F.coalesce("count_a", F.lit(0)).alias("count_a"),
+            F.coalesce("count_b", F.lit(0)).alias("count_b"),
+        )
+        .where(
+            (F.col("count_a") >= min_count) | (F.col("count_b") >= min_count)
+        )
+    )
+    tot = j.agg(
+        F.sum("count_a").alias("ta"),
+        F.sum("count_b").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    w = j.crossJoin(F.broadcast(tot))
+    pa = (F.col("count_a") + 1) / (F.col("ta") + F.col("nb"))
+    pb = (F.col("count_b") + 1) / (F.col("tb") + F.col("nb"))
+    terms = w.select(
+        *key_cols,
+        "count_a",
+        "count_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
+    total = (
+        w.agg(
+            F.sum("count_a").alias("count_a"),
+            F.sum("count_b").alias("count_b"),
+            F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi_term"),
+        )
+        .select(
+            *[F.lit("__total__").alias(c) for c in key_cols],
+            "count_a",
+            "count_b",
+            "psi_term",
+        )
+    )
+    return terms.unionByName(total)
+
+
+def psi_drift_sql(
+    from_a: str, from_b: str, keys: list[str], min_count: int = 0
+) -> str:
+    """DuckDB mirror of ``psi_drift`` — same smoothing, same union-of-
+    buckets outer join, same rounded term surface. ``keys`` are bucket
+    column names present in both sources (the engine's key_cols)."""
+    ks = ", ".join(keys)
+    coal = " AND ".join(f"a.{k} IS NOT DISTINCT FROM b.{k}" for k in keys)
+    pick = ", ".join(f"coalesce(a.{k}, b.{k}) AS {k}" for k in keys)
+    totkeys = ", ".join(f"'__total__' AS {k}" for k in keys)
+    return f"""
+WITH ca AS (SELECT {ks}, CAST(count(*) AS BIGINT) AS count_a
+            FROM {from_a} GROUP BY {ks}),
+cb AS (SELECT {ks}, CAST(count(*) AS BIGINT) AS count_b
+       FROM {from_b} GROUP BY {ks}),
+j AS (
+  SELECT {pick},
+         coalesce(a.count_a, 0) AS count_a,
+         coalesce(b.count_b, 0) AS count_b
+  FROM ca a FULL OUTER JOIN cb b ON {coal}
+  WHERE coalesce(a.count_a, 0) >= {min_count}
+     OR coalesce(b.count_b, 0) >= {min_count}
+),
+tot AS (SELECT CAST(sum(count_a) AS BIGINT) AS ta,
+               CAST(sum(count_b) AS BIGINT) AS tb,
+               CAST(count(*) AS BIGINT) AS nb FROM j),
+t AS (
+  SELECT {ks}, count_a, count_b,
+         ((count_a + 1) / CAST(ta + nb AS DOUBLE)
+          - (count_b + 1) / CAST(tb + nb AS DOUBLE))
+         * ln(((count_a + 1) / CAST(ta + nb AS DOUBLE))
+              / ((count_b + 1) / CAST(tb + nb AS DOUBLE))) AS term
+  FROM j CROSS JOIN tot
+)
+SELECT {ks}, count_a, count_b, round(term, 6) AS psi_term FROM t
+UNION ALL
+SELECT {totkeys}, CAST(sum(count_a) AS BIGINT), CAST(sum(count_b) AS BIGINT),
+       round(sum(term), 6)
+FROM t
+"""

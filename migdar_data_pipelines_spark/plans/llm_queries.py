@@ -4806,3 +4806,38 @@ def sampled_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_sampled_quantiles_sql()
+
+
+def _install_psi_sql() -> None:
+    from ..operators.profile import psi_drift_sql
+
+    half = f"{md5_bucket_sql('doc_id')} % 2"
+    QUERIES["psi_drift_documents"]["sql"] = psi_drift_sql(
+        f"(SELECT lang, source FROM documents WHERE {half} = 0)",
+        f"(SELECT lang, source FROM documents WHERE {half} = 1)",
+        ["lang", "source"],
+    )
+
+
+@register("psi_drift_documents", sql=None)  # SQL installed below (generated)
+def psi_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index drift monitor (operators/profile.py::
+    psi_drift): the corpus' (lang, source) mix compared across two
+    deterministic md5 halves — per-bucket add-one-smoothed PSI terms
+    (WHICH slice drifted) plus the rolled-up __total__ alarm row. Counts
+    exact integers, probabilities exact rationals of two totals, only
+    the final ln is float (6dp contract). Shape at scale: two map-side
+    combinable bucket counts, one outer join on the bucket key, two
+    broadcast 1-row totals — one scan per snapshot, no sorts. Oracle
+    GENERATED from the same literals (psi_drift_sql)."""
+    from ..llm.curation import md5_bucket
+    from ..operators.profile import psi_drift
+
+    d = _t(spark, sf_dir, "documents")
+    half = F.pmod(md5_bucket("doc_id"), F.lit(2))
+    a = d.where(half == 0).select("lang", "source")
+    b = d.where(half == 1).select("lang", "source")
+    return psi_drift(a, b, ["lang", "source"])
+
+
+_install_psi_sql()

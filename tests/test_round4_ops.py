@@ -629,3 +629,47 @@ def test_sampled_quantiles_underfull_input(spark):
         for r in sampled_quantiles(df, "v", "id", probs=(0.0, 0.5, 1.0)).collect()
     }
     assert got == {0.0: 0.0, 0.5: 5.0, 1.0: 10.0}
+
+
+def test_psi_drift_matches_python_reference(spark):
+    """operators/profile.py::psi_drift vs a pure-Python PSI: add-one
+    smoothing over the union of buckets, one-sided buckets finite, and
+    identical distributions scoring ~0."""
+    import math
+
+    from migdar_data_pipelines_spark.operators.profile import psi_drift
+
+    a_rows = [("en",)] * 50 + [("fr",)] * 30 + [("de",)] * 20
+    b_rows = [("en",)] * 30 + [("fr",)] * 50 + [("he",)] * 20  # de lost, he new
+
+    ca = {"en": 50, "fr": 30, "de": 20}
+    cb = {"en": 30, "fr": 50, "he": 20}
+    buckets = sorted(set(ca) | set(cb))
+    ta, tb, nb = sum(ca.values()), sum(cb.values()), len(buckets)
+
+    def term(k):
+        pa = (ca.get(k, 0) + 1) / (ta + nb)
+        pb = (cb.get(k, 0) + 1) / (tb + nb)
+        return (pa - pb) * math.log(pa / pb)
+
+    want = {k: round(term(k), 6) for k in buckets}
+    want_total = round(sum(term(k) for k in buckets), 6)
+
+    da = spark.createDataFrame(a_rows, "lang string")
+    db = spark.createDataFrame(b_rows, "lang string")
+    rows = {r["lang"]: r for r in psi_drift(da, db, ["lang"]).collect()}
+    for k in buckets:
+        assert rows[k]["psi_term"] == pytest.approx(want[k], abs=1e-6), k
+        assert rows[k]["count_a"] == ca.get(k, 0)
+        assert rows[k]["count_b"] == cb.get(k, 0)
+    assert rows["__total__"]["psi_term"] == pytest.approx(want_total, abs=1e-6)
+    assert rows["__total__"]["count_a"] == ta and rows["__total__"]["count_b"] == tb
+    # every term of a genuine shift is finite and the total is alarmingly big
+    assert all(math.isfinite(r["psi_term"]) for r in rows.values())
+    assert rows["__total__"]["psi_term"] > 0.25
+
+    # identical snapshots -> total PSI ~ 0
+    same = {
+        r["lang"]: r["psi_term"] for r in psi_drift(da, da, ["lang"]).collect()
+    }
+    assert same["__total__"] == 0.0
