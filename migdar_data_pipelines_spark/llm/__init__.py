@@ -77,3 +77,4 @@ from .multimodal import binary_features, decode_stub  # noqa: F401
 from .pipeline import curate_corpus, curation_stage_frames  # noqa: F401
 from .retrieval import bm25_topk, bm25_topk_df, bm25_sql, hybrid_rrf  # noqa: F401
 from .clustering import kmeans_fit, kmeans_sql, quantize_vectors  # noqa: F401
+from .linalg import pca_project, second_moments_q, second_moments_sql  # noqa: F401

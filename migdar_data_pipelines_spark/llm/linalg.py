@@ -14,6 +14,7 @@ order is unchanged), and block/bucket before ever forming pairs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -36,3 +37,187 @@ def cosine(a: Column, b: Column) -> Column:
     # vector would kill the job with plain division; NULL (which fails every
     # threshold comparison) is the intended "no similarity" semantics.
     return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+
+# ---------------------------------------------------------------------------
+# Distributed second moments + PCA (the linear-algebra pass embedding
+# compression and whitening need before ANN indexing)
+# ---------------------------------------------------------------------------
+
+#: micro-unit scale for the exact second-moment surface (the
+#: label_centroids / kmeans house convention)
+MOMENT_SCALE = 1_000_000
+
+
+def second_moments_q(df, vec_col: str = "embedding"):
+    """Exact integer second moments of an embedding column: one row per
+    (i, j) upper-triangle dim pair with
+
+        n        — corpus row count,
+        sum_i_q  — sum of micro-unit coordinate i            (exact),
+        sum_j_q  — sum of micro-unit coordinate j            (exact),
+        xtx_q    — sum over rows of xq_i * xq_j              (exact),
+        cov      — ((xtx_q/n) - (sum_i_q/n)*(sum_j_q/n)) / SCALE^2,
+                   rounded 6dp (REAL units, magnitude <= max|x|^2: the
+                   de-scale keeps the rounded value small enough that both
+                   engines' round() is exact — rounding a micro-unit^2
+                   value of ~1e10 at 6dp would exceed double precision and
+                   diverge at the ULP).
+
+    Why this shape: covariance/Gram matrices at 100 TB are computed as
+    MAP-SIDE PARTIAL X^T X — here a mapInPandas computes one d x d int64
+    matmul per Arrow batch and emits d*(d+1)/2 partial rows per batch, so
+    the exchange carries (batches x pairs) sketch-sized rows and the
+    groupBy reduce is exact integer addition (order-independent — no float
+    accumulation anywhere). Overflow bound: |xq| <= S*|x|, so xtx partials
+    stay inside int64 up to ~(2^63 / (S^2 * max|x|^2)) rows ~ 3.7e10 at
+    |x| <= 0.5 — past that, shard the corpus and merge the integer rows.
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    q = df.select(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * MOMENT_SCALE).cast("long"),
+        ).alias("vq")
+    )
+
+    def _partials(it):
+        for pdf in it:
+            X = np.asarray(pdf["vq"].tolist(), dtype=np.int64)
+            if not len(X):
+                continue
+            d = X.shape[1]
+            xtx = X.T @ X
+            s = X.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "n": np.int64(len(X)),
+                    "si": s[iu],
+                    "sj": s[ju],
+                    "xtx": xtx[iu, ju],
+                }
+            )
+
+    parts = q.mapInPandas(
+        _partials, schema="i int, j int, n long, si long, sj long, xtx long"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("si").alias("sum_i_q"),
+        F.sum("sj").alias("sum_j_q"),
+        F.sum("xtx").alias("xtx_q"),
+    )
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        "sum_i_q",
+        "sum_j_q",
+        "xtx_q",
+        (
+            F.round(
+                (
+                    F.col("xtx_q") / F.col("n")
+                    - (F.col("sum_i_q") / F.col("n"))
+                    * (F.col("sum_j_q") / F.col("n"))
+                )
+                / F.lit(float(MOMENT_SCALE) ** 2),
+                6,
+            )
+            # + 0.0 folds IEEE negative zero into positive zero (engines
+            # disagree on which side of -0.0 a rounded tiny negative lands)
+            + F.lit(0.0)
+        ).alias("cov"),
+    )
+
+
+def second_moments_sql(src_sql: str, vec_expr: str = "embedding") -> str:
+    """DuckDB mirror of ``second_moments_q`` (same scale, same rounding,
+    same upper-triangle pairing; the long-format self-join is the SQL
+    spelling of the per-batch matmul). ``src_sql`` must yield the vector
+    column named by ``vec_expr``."""
+    return f"""
+WITH vl AS (
+  SELECT rid, pos - 1 AS dim,
+         CAST(round(CAST(x AS DOUBLE) * {MOMENT_SCALE}) AS BIGINT) AS xq
+  FROM (SELECT row_number() OVER () AS rid, unnest({vec_expr}) AS x,
+               generate_subscripts({vec_expr}, 1) AS pos
+        FROM ({src_sql}))
+),
+p AS (
+  SELECT a.dim AS i, b.dim AS j,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.xq) AS BIGINT) AS sum_i_q,
+         CAST(sum(b.xq) AS BIGINT) AS sum_j_q,
+         CAST(sum(a.xq * b.xq) AS BIGINT) AS xtx_q
+  FROM vl a JOIN vl b ON a.rid = b.rid AND a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+)
+SELECT i, j, n, sum_i_q, sum_j_q, xtx_q,
+       round((xtx_q / CAST(n AS DOUBLE)
+              - (sum_i_q / CAST(n AS DOUBLE)) * (sum_j_q / CAST(n AS DOUBLE)))
+             / CAST({float(MOMENT_SCALE) ** 2!r} AS DOUBLE),
+             6) + CAST(0.0 AS DOUBLE) AS cov
+FROM p
+"""
+
+
+def pca_project(
+    df,
+    vec_col: str = "embedding",
+    n_components: int = 8,
+    out_col: str = "pca",
+):
+    """Principal-component projection of an embedding column.
+
+    The covariance matrix comes from ``second_moments_q`` (d^2 integer
+    rows collected to the driver — never the corpus), eigendecomposition
+    is driver-side numpy (d x d — microseconds), and the projection is a
+    scan-local pandas_udf matmul with the component matrix in the closure.
+    Components are sign-normalized (largest-|entry| coordinate made
+    positive) so the output is deterministic up to eigenvalue ties.
+    Returns (df + out_col array<double>, components, eigenvalues) — the
+    standard compression pass before ANN indexing (centered, projected;
+    eigenvalues in descending order, micro-unit^2 scale removed).
+    """
+    import numpy as np
+
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql.functions import pandas_udf
+
+    rows = second_moments_q(df, vec_col).collect()
+    d = max(r["j"] for r in rows) + 1
+    n = rows[0]["n"]
+    S = np.zeros(d)
+    C = np.zeros((d, d))
+    for r in rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["xtx_q"]
+        S[r["i"]] = r["sum_i_q"]
+    mu = S / n
+    cov = C / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T                   # (k, d)
+    for r_i in range(comps.shape[0]):
+        m = np.argmax(np.abs(comps[r_i]))
+        if comps[r_i, m] < 0:
+            comps[r_i] = -comps[r_i]
+    lam = evals[order] / float(MOMENT_SCALE) ** 2
+    W = comps.astype(np.float64)
+    mu_f = mu / MOMENT_SCALE
+
+    @pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        X = np.asarray(vecs.tolist(), dtype=np.float64)
+        Y = (X - mu_f[None, :]) @ W.T
+        return pd.Series(list(Y))
+
+    out = df.withColumn(out_col, _proj(F.col(vec_col)))
+    return out, comps, lam

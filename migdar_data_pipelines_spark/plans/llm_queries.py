@@ -4841,3 +4841,32 @@ def psi_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_psi_sql()
+
+
+def _install_second_moments_sql() -> None:
+    from ..llm.linalg import second_moments_sql
+
+    QUERIES["embedding_covariance"]["sql"] = second_moments_sql(
+        "SELECT embedding FROM embeddings"
+    )
+
+
+@register("embedding_covariance", sql=None)  # SQL installed below (generated)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second moments / covariance of the embedding corpus
+    (llm/linalg.py::second_moments_q) — the map-side partial X^T X pass
+    PCA, whitening, and Mahalanobis outlier scoring start from: one d x d
+    int64 matmul per Arrow batch, d*(d+1)/2 exact-integer partial rows per
+    batch into an integer-addition reduce (no float accumulation — the
+    contract surface is exact up to a documented ~3.7e10-row overflow
+    bound), cov derived by identical IEEE ops both engines round at 6dp.
+    Oracle GENERATED from the same scale/round literals
+    (second_moments_sql — the long-format self-join spelling of the
+    batch matmul)."""
+    from ..llm.linalg import second_moments_q
+
+    e = _t(spark, sf_dir, "embeddings")
+    return second_moments_q(e.select("embedding"))
+
+
+_install_second_moments_sql()

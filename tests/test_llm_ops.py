@@ -1443,3 +1443,62 @@ def test_bigram_lm_matches_python_reference(spark):
     for i, (nt, nb, nll) in want.items():
         assert got[i][0] == nt and got[i][1] == nb, i
         assert got[i][2] == pytest.approx(nll, abs=1e-4), i
+
+
+def test_second_moments_and_pca_reference(spark):
+    """llm/linalg.py second moments vs numpy exactly (integer surface) and
+    pca_project vs a driver-side numpy PCA of the same data: projections
+    match, components orthonormal, variance order descending."""
+    import numpy as np
+
+    from migdar_data_pipelines_spark.llm.linalg import (
+        MOMENT_SCALE,
+        pca_project,
+        second_moments_q,
+    )
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: 40 rows x 5 dims with a dominant direction
+    base = rng.normal(size=(40, 5)) * np.array([0.3, 0.1, 0.05, 0.02, 0.01])
+    X = np.round(base, 6)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+
+    Q = np.round(X * MOMENT_SCALE).astype(np.int64)
+    got = {(r["i"], r["j"]): r for r in second_moments_q(df, "embedding").collect()}
+    for i in range(5):
+        for j in range(i, 5):
+            r = got[(i, j)]
+            assert r["n"] == 40
+            assert r["sum_i_q"] == int(Q[:, i].sum())
+            assert r["xtx_q"] == int((Q[:, i] * Q[:, j]).sum()), (i, j)
+
+    out, comps, lam = pca_project(df, "embedding", n_components=3)
+    # eigenvalues descending, components orthonormal
+    assert lam[0] >= lam[1] >= lam[2] >= 0
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+
+    # numpy reference on the SAME quantized data the engine used
+    Xq = Q / MOMENT_SCALE
+    mu = Xq.mean(axis=0)
+    cov = (Xq - mu).T @ (Xq - mu) / len(Xq)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    ref = evecs[:, order].T
+    for k in range(3):
+        m = np.argmax(np.abs(ref[k]))
+        if ref[k, m] < 0:
+            ref[k] = -ref[k]
+    assert np.allclose(np.abs(comps), np.abs(ref), atol=1e-6)
+    assert np.allclose(lam, evals[order], atol=1e-9)
+
+    rows = {r["vec_id"]: r["pca"] for r in out.collect()}
+    Y = (Xq - mu) @ ref.T
+    for i in range(len(Xq)):
+        assert np.allclose(rows[i], Y[i], atol=1e-6), i
+    # the dominant axis carries the most variance in the projections
+    P = np.asarray([rows[i] for i in range(len(Xq))])
+    v = P.var(axis=0)
+    assert v[0] > v[1] > v[2]
