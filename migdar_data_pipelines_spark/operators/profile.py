@@ -248,3 +248,135 @@ SELECT {totkeys}, CAST(sum(count_a) AS BIGINT), CAST(sum(count_b) AS BIGINT),
        round(sum(term), 6)
 FROM t
 """
+
+
+
+def psi_drift_by(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+) -> DataFrame:
+    """Per-GROUP PSI against one reference distribution — the monitoring
+    form of ``psi_drift``: ``ref_counts`` is (key..., count_a) for the
+    reference mix, ``cur_counts`` is (group..., key..., count_b) with one
+    distribution per group (an hour window, a crawl snapshot, a source
+    shard). Callers aggregate however they like — a batch groupBy or a
+    drained streaming window agg both fit (this is the foreachBatch shape
+    of a production drift monitor).
+
+    Bucket union per group: every reference bucket appears in every group
+    (cross join with the broadcast reference — bounded: groups x ref
+    buckets), plus the group's own extra buckets via the outer join; the
+    same add-one smoothing as ``psi_drift`` keeps one-sided buckets
+    finite. Output: per (group..., key...) rows with (count_a, count_b,
+    psi_term[6dp]) plus one __total__ row per group. The reference total
+    is the same for every group; the smoothing bucket count nb varies
+    with the group's union size — exactly what per-group PSI means.
+    """
+    from ..operators.caching import scoped_persist
+
+    groups = cur_counts.select(*group_cols).distinct()
+    base = groups.crossJoin(F.broadcast(ref_counts))
+    # the outer join's right side derives from the same frame as ``groups``
+    # (a self-join): rename its columns so the join resolves on distinct
+    # names (the join_self convention) instead of conflicting references
+    cols = [*group_cols, *key_cols]
+    cur2 = cur_counts.select(
+        *[F.col(c).alias(f"__c_{c}") for c in cols],
+        F.col("count_b").alias("__count_b"),
+    )
+    cond = None
+    for c in cols:
+        e = base[c].eqNullSafe(cur2[f"__c_{c}"])
+        cond = e if cond is None else (cond & e)
+    j = scoped_persist(
+        base.join(cur2, cond, "full_outer").select(
+            *[
+                F.coalesce(base[c], cur2[f"__c_{c}"]).alias(c)
+                for c in cols
+            ],
+            F.coalesce("count_a", F.lit(0)).alias("count_a"),
+            F.coalesce("__count_b", F.lit(0)).alias("count_b"),
+        )
+    )
+    tot = j.groupBy(*group_cols).agg(
+        F.sum("count_a").alias("ta"),
+        F.sum("count_b").alias("tb"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+    )
+    w = j.join(F.broadcast(tot), group_cols)
+    pa = (F.col("count_a") + 1) / (F.col("ta") + F.col("nb"))
+    pb = (F.col("count_b") + 1) / (F.col("tb") + F.col("nb"))
+    term = (pa - pb) * F.log(pa / pb)
+    rows = w.select(
+        *group_cols, *key_cols, "count_a", "count_b",
+        F.round(term, 6).alias("psi_term"),
+    )
+    totals = (
+        w.groupBy(*group_cols)
+        .agg(
+            F.sum("count_a").alias("count_a"),
+            F.sum("count_b").alias("count_b"),
+            F.round(F.sum(term), 6).alias("psi_term"),
+        )
+        .select(
+            *group_cols,
+            *[F.lit("__total__").alias(k) for k in key_cols],
+            "count_a",
+            "count_b",
+            "psi_term",
+        )
+    )
+    return rows.unionByName(totals)
+
+
+def psi_drift_by_sql(
+    ref_counts_sql: str,
+    cur_counts_sql: str,
+    group_cols: list[str],
+    key_cols: list[str],
+) -> str:
+    """DuckDB mirror of ``psi_drift_by``: ``ref_counts_sql`` must yield
+    (key..., count_a), ``cur_counts_sql`` (group..., key..., count_b)."""
+    g = ", ".join(group_cols)
+    k = ", ".join(key_cols)
+    gk = f"{g}, {k}"
+    coal_keys = ", ".join(
+        f"coalesce(l.{c}, r.{c}) AS {c}" for c in [*group_cols, *key_cols]
+    )
+    on = " AND ".join(
+        f"l.{c} IS NOT DISTINCT FROM r.{c}" for c in [*group_cols, *key_cols]
+    )
+    totkeys = ", ".join(f"'__total__' AS {c}" for c in key_cols)
+    return f"""
+WITH ref AS ({ref_counts_sql}),
+cur AS ({cur_counts_sql}),
+base AS (SELECT gsel.*, ref.* FROM (SELECT DISTINCT {g} FROM cur) gsel
+         CROSS JOIN ref),
+j AS (
+  SELECT {coal_keys},
+         coalesce(l.count_a, 0) AS count_a,
+         coalesce(r.count_b, 0) AS count_b
+  FROM base l FULL OUTER JOIN cur r ON {on}
+),
+tot AS (
+  SELECT {g}, CAST(sum(count_a) AS BIGINT) AS ta,
+         CAST(sum(count_b) AS BIGINT) AS tb,
+         CAST(count(*) AS BIGINT) AS nb
+  FROM j GROUP BY {g}
+),
+t AS (
+  SELECT j.*, tot.ta, tot.tb, tot.nb,
+         ((count_a + 1) / CAST(ta + nb AS DOUBLE)
+          - (count_b + 1) / CAST(tb + nb AS DOUBLE))
+         * ln(((count_a + 1) / CAST(ta + nb AS DOUBLE))
+              / ((count_b + 1) / CAST(tb + nb AS DOUBLE))) AS term
+  FROM j JOIN tot USING ({g})
+)
+SELECT {gk}, count_a, count_b, round(term, 6) AS psi_term FROM t
+UNION ALL
+SELECT {g}, {totkeys}, CAST(sum(count_a) AS BIGINT),
+       CAST(sum(count_b) AS BIGINT), round(sum(term), 6)
+FROM t GROUP BY {g}
+"""

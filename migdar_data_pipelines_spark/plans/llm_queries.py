@@ -4870,3 +4870,48 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_second_moments_sql()
+
+
+def _install_streaming_psi_sql() -> None:
+    from ..operators.profile import psi_drift_by_sql
+
+    ref = """SELECT event_type,
+       CAST(count(*) AS BIGINT) AS count_a FROM events GROUP BY 1"""
+    cur = """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, CAST(count(*) AS BIGINT) AS count_b
+FROM events GROUP BY 1, 2"""
+    QUERIES["streaming_psi_events"]["sql"] = psi_drift_by_sql(
+        ref, cur, ["window_start"], ["event_type"]
+    )
+
+
+@register("streaming_psi_events", sql=None)  # SQL installed below (generated)
+def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window drift monitoring on a TRUE stream: the tumbling 1h
+    event_type counts run as a watermarked Structured Streaming query
+    (drained AvailableNow, complete mode), then each window's mix is
+    PSI-scored against the full-corpus reference distribution with
+    psi_drift_by — the foreachBatch shape of a production drift alarm
+    (the windowed counts are the streaming state; the PSI join is the
+    per-batch enrich). Union-of-buckets smoothing per window; __total__
+    row per window is the alarm value. Oracle GENERATED from the same
+    literals (psi_drift_by_sql over date_trunc'd batch windows)."""
+    from ..operators.profile import psi_drift_by
+    from ..streaming import read_events_stream
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    windowed = tumbling_agg(stream, "1 hour", watermark="1 hour")
+    drained = _drain_stream(spark, windowed, "t_psi", output_mode="complete")
+    cur = drained.select(
+        "window_start", "event_type", F.col("n_events").alias("count_b")
+    )
+    ref = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("count_a"))
+    )
+    return psi_drift_by(ref, cur, ["window_start"], ["event_type"])
+
+
+_install_streaming_psi_sql()

@@ -673,3 +673,55 @@ def test_psi_drift_matches_python_reference(spark):
         r["lang"]: r["psi_term"] for r in psi_drift(da, da, ["lang"]).collect()
     }
     assert same["__total__"] == 0.0
+
+
+def test_psi_drift_by_matches_python_reference(spark):
+    """psi_drift_by: per-group PSI vs one reference — python mirror with
+    per-group bucket unions (a group-only bucket and a ref-only bucket)."""
+    import math
+
+    from migdar_data_pipelines_spark.operators.profile import psi_drift_by
+
+    ref = {"en": 60, "fr": 40}
+    cur = {
+        "w1": {"en": 30, "fr": 20},            # same mix -> small PSI
+        "w2": {"en": 5, "he": 45},             # fr lost, he new -> big PSI
+    }
+
+    def terms(g):
+        buckets = sorted(set(ref) | set(cur[g]))
+        ta, tb, nb = sum(ref.values()), sum(cur[g].values()), len(buckets)
+        out = {}
+        for k in buckets:
+            pa = (ref.get(k, 0) + 1) / (ta + nb)
+            pb = (cur[g].get(k, 0) + 1) / (tb + nb)
+            out[k] = (pa - pb) * math.log(pa / pb)
+        return out
+
+    rdf = spark.createDataFrame(
+        [(k, v) for k, v in ref.items()], "event_type string, count_a long"
+    )
+    cdf = spark.createDataFrame(
+        [(g, k, v) for g, m in cur.items() for k, v in m.items()],
+        "w string, event_type string, count_b long",
+    )
+    rows = {
+        (r["w"], r["event_type"]): r
+        for r in psi_drift_by(rdf, cdf, ["w"], ["event_type"]).collect()
+    }
+    for g in cur:
+        t = terms(g)
+        for k, v in t.items():
+            assert rows[(g, k)]["psi_term"] == pytest.approx(
+                round(v, 6), abs=1e-6
+            ), (g, k)
+            assert rows[(g, k)]["count_a"] == ref.get(k, 0)
+            assert rows[(g, k)]["count_b"] == cur[g].get(k, 0)
+        assert rows[(g, "__total__")]["psi_term"] == pytest.approx(
+            round(sum(t.values()), 6), abs=1e-6
+        )
+    assert rows[("w2", "__total__")]["psi_term"] > rows[("w1", "__total__")]["psi_term"]
+    # ref bucket 'fr' materializes in w2 with count_b 0; group-only 'he'
+    # materializes with count_a 0
+    assert rows[("w2", "fr")]["count_b"] == 0
+    assert rows[("w2", "he")]["count_a"] == 0
