@@ -165,3 +165,119 @@ def pagerank_sql(
 
 
 __all__ = ["pagerank_fixed_point", "pagerank_sql", "SCALE", "DAMP_PCT"]
+
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — community
+    detection one rung above connected components: where CC merges
+    everything reachable, LPA lets DENSE neighborhoods win, so near-dup
+    clusters bridged by a thin edge stay separate.
+
+    Deterministic by construction (the house requirement float/async LPA
+    can't meet): labels start as node ids, every round EVERY node adopts
+    the most frequent label among its neighbors with ties to the SMALLEST
+    label, isolated nodes keep their label, and updates are synchronous —
+    so the trace is a pure function of the graph and ``iterations``, and
+    the oracle can unroll the identical rounds as CTEs. All integers; no
+    floats anywhere.
+
+    Scale shape (the pagerank_fixed_point conventions): the symmetrized
+    edge list is persisted once; each round is one equi-join of edges
+    with the label frame on the neighbor key plus one map-side-combinable
+    (node, label) count and a per-node argmax window — shuffle volume
+    O(edges) per round; ``localCheckpoint`` truncates lineage per round.
+    Returns (id, label, community_size) after ``iterations`` rounds.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.caching import scoped_persist
+
+    sym = scoped_persist(
+        edges.select("u", "v")
+        .unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+    )
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(iterations):
+        msgs = sym.join(
+            labels.select(
+                F.col("id").alias("__nid"), F.col("label").alias("__nlabel")
+            ),
+            sym["v"] == F.col("__nid"),
+        ).select(F.col("u").alias("id"), F.col("__nlabel").alias("label"))
+        cnt = msgs.groupBy("id", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("label"))
+        new = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select(F.col("id").alias("__uid"), F.col("label").alias("__ulabel"))
+        )
+        labels = (
+            labels.join(new, labels["id"] == F.col("__uid"), "left")
+            .select(
+                "id",
+                F.coalesce("__ulabel", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(F.broadcast(sizes), "label").select(
+        "id", "label", "community_size"
+    )
+
+
+def label_propagation_sql(
+    nodes_sql: str, edges_sql: str, iterations: int = 3
+) -> str:
+    """DuckDB mirror of ``label_propagation``: identical symmetrization,
+    tie rules, isolated-node retention, and round count, unrolled as
+    CTEs. ``nodes_sql`` must yield (id), ``edges_sql`` (u, v)."""
+    parts = [
+        f"""sym AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT u, v FROM ({edges_sql})
+    UNION ALL
+    SELECT v AS u, u AS v FROM ({edges_sql})
+  )
+)""",
+        f"l0 AS (SELECT id, id AS label FROM ({nodes_sql}))",
+    ]
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT s.u AS id, l.label, CAST(count(*) AS BIGINT) AS c
+  FROM sym s JOIN {prev} l ON s.v = l.id
+  GROUP BY s.u, l.label
+),
+n{i} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rk
+    FROM c{i}
+  ) WHERE rk = 1
+),
+l{i} AS (
+  SELECT p.id, coalesce(n.label, p.label) AS label
+  FROM {prev} p LEFT JOIN n{i} n USING (id)
+)"""
+        )
+        prev = f"l{i}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT l.id, l.label, s.community_size
+FROM {prev} l JOIN (
+  SELECT label, CAST(count(*) AS BIGINT) AS community_size
+  FROM {prev} GROUP BY label
+) s USING (label)
+"""
+    )

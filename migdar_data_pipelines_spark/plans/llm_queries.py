@@ -4915,3 +4915,58 @@ def streaming_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_streaming_psi_sql()
+
+
+from ..operators.graph import label_propagation, label_propagation_sql  # noqa: E402
+
+_LPA_NODES_SQL = "SELECT doc_id AS id FROM documents"
+# blocks of 8 docs: a star onto the block head plus the block-internal
+# chain — real community structure (dense blocks, no bridges) so the
+# propagation outcome is meaningful, not just deterministic
+_LPA_EDGES_SQL = """
+SELECT u, v FROM (
+  SELECT doc_id AS u, (doc_id // 8) * 8 AS v FROM documents
+  UNION
+  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+  WHERE (doc_id + 1) // 8 = doc_id // 8
+    AND doc_id + 1 IN (SELECT doc_id FROM documents)
+) WHERE u <> v
+"""
+
+
+@register(
+    "label_propagation_documents",
+    sql=label_propagation_sql(_LPA_NODES_SQL, _LPA_EDGES_SQL, iterations=3)
+    .replace("SELECT l.id, l.label", "SELECT l.id AS doc_id, l.label"),
+)
+def label_propagation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (operators/graph.py — Raghavan et al.
+    2007) over a block-community graph on documents (8-doc blocks: star
+    onto the block head + internal chain): community detection one rung
+    above connected components — dense neighborhoods win, thin bridges
+    don't merge. Fully deterministic (synchronous rounds, majority label
+    with smallest-label ties, isolated nodes keep theirs — all integers,
+    no floats), so the oracle UNROLLS the identical 3 rounds as CTEs.
+    Per round: one O(edges) join + map-side-combinable (node, label)
+    count + per-node argmax window; localCheckpoint truncates lineage."""
+    d = _t(spark, sf_dir, "documents")
+    nodes = d.select(F.col("doc_id").alias("id"))
+    ids = d.select(F.col("doc_id").alias("__t"))
+    # integer-exact block arithmetic (floor(x/8) via double drifts past
+    # 2^53): head = doc_id - doc_id%8; same-block successor iff (u+1)%8 != 0
+    star = d.select(
+        F.col("doc_id").alias("u"),
+        (F.col("doc_id") - F.pmod("doc_id", F.lit(8))).cast("long").alias("v"),
+    )
+    chain = (
+        d.select(
+            F.col("doc_id").alias("u"),
+            (F.col("doc_id") + 1).cast("long").alias("v"),
+        )
+        .where(F.pmod(F.col("u") + 1, F.lit(8)) != 0)
+        .join(F.broadcast(ids), F.col("v") == F.col("__t"), "left_semi")
+    )
+    edges = star.unionByName(chain).distinct().where(F.col("u") != F.col("v"))
+    return label_propagation(nodes, edges, iterations=3).select(
+        F.col("id").alias("doc_id"), "label", "community_size"
+    )

@@ -146,3 +146,50 @@ def test_pagerank_early_stop_and_guards(spark):
     empty = spark.createDataFrame([], "id long")
     with pytest.raises(ValueError, match="empty node frame"):
         pagerank_fixed_point(empty, edges, iterations=1)
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """operators/graph.py::label_propagation vs a pure-Python synchronous
+    LPA (majority label, smallest-label ties, isolated nodes keep theirs):
+    two dense triangles joined by one thin bridge must NOT merge, an
+    isolated node keeps its own label, and the trace matches round-exact."""
+    from migdar_data_pipelines_spark.operators.graph import label_propagation
+
+    # triangles {0,1,2} and {10,11,12}, bridge 2-10, isolated 99
+    E = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    N = [0, 1, 2, 10, 11, 12, 99]
+    R = 3
+
+    sym = set()
+    for u, v in E:
+        sym.add((u, v))
+        sym.add((v, u))
+    labels = {n: n for n in N}
+    for _ in range(R):
+        new = {}
+        for n in N:
+            neigh = [labels[v] for (u, v) in sym if u == n]
+            if not neigh:
+                new[n] = labels[n]
+                continue
+            counts = {}
+            for l in neigh:
+                counts[l] = counts.get(l, 0) + 1
+            new[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = new
+
+    nodes = spark.createDataFrame([(n,) for n in N], "id long")
+    edges = spark.createDataFrame(E, "u long, v long")
+    got = {
+        r["id"]: (r["label"], r["community_size"])
+        for r in label_propagation(nodes, edges, iterations=R).collect()
+    }
+    sizes = {}
+    for l in labels.values():
+        sizes[l] = sizes.get(l, 0) + 1
+    assert got == {n: (labels[n], sizes[labels[n]]) for n in N}
+    # structure: the triangles resolved to distinct communities, 99 alone
+    assert got[99] == (99, 1)
+    assert got[0][0] == got[1][0] == got[2][0]
+    assert got[10][0] == got[11][0] == got[12][0]
+    assert got[0][0] != got[10][0]

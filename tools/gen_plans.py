@@ -49,6 +49,18 @@ PICK = {
         "Containment: probe-prefix candidates, full-gram exact verify"
     ),
     "market_share_snowflake": "7-table snowflake: one fact shuffle, dims broadcast",
+    "kmv_setops_users_events": (
+        "KMV set algebra: per-partition k-min inside the scan stage, "
+        "only sketch-sized exchanges above the MapInPandas"
+    ),
+    "embedding_covariance": (
+        "Covariance: per-Arrow-batch int64 X^T X partials, "
+        "(i, j)-keyed integer reduce — no float accumulation"
+    ),
+    "kmeans_clusters_embeddings": (
+        "k-means final assignment: ArrowEvalPython over the persisted "
+        "quantized frame, centroids in the closure, no join"
+    ),
 }
 
 

@@ -48,6 +48,10 @@ PICK = [
     ("winnow_shared_pairs_documents", "doc + variant corpus", "culled fingerprint index self-join"),
     ("curate_corpus_stats", "documents", "filter + exact dedup + LSH/CC + split chain"),
     ("kmeans_clusters_embeddings", "embedding corpus", "per-round scan-local assign + (cluster, dim) agg"),
+    ("kmv_setops_users_events", "events rows", "scan-local k-min partials + sketch-sized merge"),
+    ("sampled_quantiles_lineitem", "lineitem rows", "TakeOrdered k-min sample + sketch-sized rank"),
+    ("embedding_covariance", "embedding corpus", "per-batch int64 matmul partials + (i,j) reduce"),
+    ("bigram_lm_nll_documents", "documents", "two broadcast count models over the token stream"),
     ("gopher_repetition_documents", "doc + repeat-variant corpus", "segment/gram aggs + per-doc interval union"),
     ("knn_graph_embeddings", "embedding corpus", "block-pair matmul (quadratic gate path)"),
 ]
