@@ -614,3 +614,219 @@ SELECT p, sample_n, v AS q_value
 FROM p CROSS JOIN n
 JOIN r ON r.rk = CAST(floor((sample_n - 1) * p) AS BIGINT) + 1
 """
+
+
+
+def kmv_sketch_by(
+    df: DataFrame, group_cols: list[str], col: str | Column, k: int = KMV_K
+) -> DataFrame:
+    """Grouped KMV: the k smallest distinct hashes of ``col`` PER GROUP as
+    (group..., h, rk) rows — the sketch-as-aggregate form (per-day
+    distinct users, per-source distinct documents) whose rows still
+    support set algebra BETWEEN groups (see ``kmv_adjacent_overlap``).
+
+    Same zero-corpus-shuffle shape as ``kmv_sketch``: the scan-local
+    mapInPandas keeps k smallest distinct hashes per (partition, group) —
+    bounded G*k state — and only those candidates reach the per-group
+    dropDuplicates + k-trim window (which shuffles by GROUP, not by the
+    corpus)."""
+    from pyspark.sql import Window
+
+    from ..llm.curation import md5_bucket
+
+    c = F.col(col) if isinstance(col, str) else col
+    hashed = df.select(*group_cols, md5_bucket(c, KMV_HEX_DIGITS).alias("h"))
+    gc = list(group_cols)
+
+    def _partial(it):
+        for pdf in it:
+            yield (
+                pdf.drop_duplicates(subset=[*gc, "h"])
+                .sort_values("h")
+                .groupby(gc, sort=False)
+                .head(k)
+            )
+
+    schema = hashed.schema
+    partial = hashed.mapInPandas(_partial, schema=schema)
+    w = Window.partitionBy(*gc).orderBy("h")
+    return (
+        partial.dropDuplicates([*gc, "h"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )
+
+
+def kmv_by_sql(
+    expr: str, group_exprs: list[str], from_sql: str, k: int = KMV_K
+) -> str:
+    """DuckDB mirror of ``kmv_sketch_by`` (group_exprs are the output
+    column names, present in ``from_sql``)."""
+    from ..llm.curation import md5_bucket_sql
+
+    g = ", ".join(group_exprs)
+    fold = md5_bucket_sql(expr, KMV_HEX_DIGITS)
+    return f"""
+SELECT {g}, h, rk FROM (
+  SELECT {g}, h, row_number() OVER (PARTITION BY {g} ORDER BY h) AS rk
+  FROM (SELECT DISTINCT {g}, {fold} AS h FROM {from_sql})
+) WHERE rk <= {k}
+"""
+
+
+def kmv_adjacent_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    next_of: Column,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Distinct-set overlap between CONSECUTIVE groups from their KMV
+    sketches — the bounded-memory form of day-over-day returning-user /
+    recurring-document metrics (exact distinct-intersections at 1e10
+    users/day need the full sets; the sketches are k rows each):
+
+    for each group g with successor g' = ``next_of``(g) present, estimate
+    |A_g|, |A_g'|, |A_g u A_g'| (union re-trim) and |A_g n A_g'|
+    (rho-ratio on the union sketch). Output one row per adjacent pair:
+    (group, next_group, est_a, est_b, est_union, est_inter[4dp]) — every
+    intermediate count and hash an exact integer.
+
+    Everything here is sketch-sized: pairs x 2k rows at most, broadcast
+    joins throughout.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.caching import scoped_persist
+
+    s = scoped_persist(
+        sketches.select(F.col(group_col).alias("g"), "h")
+    )
+    groups = s.select("g").distinct().withColumn("g2", next_of)
+    pairs = (
+        groups.join(
+            s.select(F.col("g").alias("__gx")).distinct(),
+            F.col("g2") == F.col("__gx"),
+            "left_semi",
+        )
+    )
+    a = s.select(F.col("g").alias("__ga"), F.col("h").alias("__ha"))
+    b = s.select(F.col("g").alias("__gb"), F.col("h").alias("__hb"))
+    merged = (
+        pairs.join(F.broadcast(a), F.col("g") == F.col("__ga"))
+        .select("g", "g2", F.col("__ha").alias("h"))
+        .unionByName(
+            pairs.join(F.broadcast(b), F.col("g2") == F.col("__gb"))
+            .select("g", "g2", F.col("__hb").alias("h"))
+        )
+        .dropDuplicates(["g", "g2", "h"])
+    )
+    w = Window.partitionBy("g", "g2").orderBy("h")
+    u = scoped_persist(
+        merged.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)
+    )
+    inter = (
+        u.join(
+            F.broadcast(a),
+            (F.col("g") == F.col("__ga")) & (F.col("h") == F.col("__ha")),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(b),
+            (F.col("g2") == F.col("__gb")) & (F.col("h") == F.col("__hb")),
+            "left_semi",
+        )
+        .groupBy("g", "g2")
+        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+    )
+    def stats(df, gcol, n_name, k_name):
+        return df.groupBy(F.col(gcol).alias("__g")).agg(
+            F.count(F.lit(1)).cast("long").alias(n_name),
+            F.max("h").alias(k_name),
+        )
+
+    sa = stats(s, "g", "na", "ka")
+    ustats = u.groupBy("g", "g2").agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.max("h").alias("ku"),
+    )
+    out = (
+        pairs.select("g", "g2")
+        .join(F.broadcast(sa.select(F.col("__g").alias("g"), "na", "ka")), "g")
+        .join(
+            F.broadcast(
+                sa.select(
+                    F.col("__g").alias("g2"),
+                    F.col("na").alias("nb"),
+                    F.col("ka").alias("kb"),
+                )
+            ),
+            "g2",
+        )
+        .join(F.broadcast(ustats), ["g", "g2"])
+        .join(F.broadcast(inter), ["g", "g2"], "left")
+        .select(
+            F.col("g").alias("grp"),
+            F.col("g2").alias("next_grp"),
+            kmv_estimate_expr(F.col("na"), F.col("ka"), k).alias("est_a"),
+            kmv_estimate_expr(F.col("nb"), F.col("kb"), k).alias("est_b"),
+            kmv_estimate_expr(F.col("nu"), F.col("ku"), k).alias("est_union"),
+            F.round(
+                F.coalesce("ni", F.lit(0)).cast("double")
+                / F.col("nu")
+                * kmv_estimate_expr(F.col("nu"), F.col("ku"), k),
+                4,
+            ).alias("est_inter"),
+        )
+    )
+    return out
+
+
+def kmv_adjacent_overlap_sql(
+    sketch_sql: str, group_col: str, next_expr: str, k: int = KMV_K
+) -> str:
+    """DuckDB mirror of ``kmv_adjacent_overlap``: ``sketch_sql`` yields
+    (group, h, rk) rows (use ``kmv_by_sql``); ``next_expr`` maps the
+    group column to its successor (e.g. ``g + INTERVAL 1 DAY`` spelled
+    over the group expression)."""
+    est_a = kmv_estimate_sql_expr("na", "ka", k)
+    est_b = kmv_estimate_sql_expr("nb", "kb", k)
+    est_u = kmv_estimate_sql_expr("nu", "ku", k)
+    return f"""
+WITH s AS (SELECT {group_col} AS g, h FROM ({sketch_sql})),
+pairs AS (
+  SELECT g, g2 FROM (SELECT DISTINCT g, {next_expr} AS g2 FROM s)
+  WHERE g2 IN (SELECT DISTINCT g FROM s)
+),
+merged AS (
+  SELECT DISTINCT p.g, p.g2, x.h
+  FROM pairs p JOIN s x ON x.g = p.g OR x.g = p.g2
+),
+u AS (
+  SELECT g, g2, h FROM (
+    SELECT g, g2, h, row_number() OVER (PARTITION BY g, g2 ORDER BY h) AS rk
+    FROM merged
+  ) WHERE rk <= {k}
+),
+istat AS (
+  SELECT u.g, u.g2, CAST(count(*) AS BIGINT) AS ni
+  FROM u
+  WHERE EXISTS (SELECT 1 FROM s a WHERE a.g = u.g AND a.h = u.h)
+    AND EXISTS (SELECT 1 FROM s b WHERE b.g = u.g2 AND b.h = u.h)
+  GROUP BY u.g, u.g2
+),
+gstat AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n, max(h) AS kh FROM s GROUP BY g
+),
+ustat AS (
+  SELECT g, g2, CAST(count(*) AS BIGINT) AS nu, max(h) AS ku
+  FROM u GROUP BY g, g2
+)
+SELECT p.g AS grp, p.g2 AS next_grp,
+       {est_a} AS est_a, {est_b} AS est_b, {est_u} AS est_union,
+       round(coalesce(i.ni, 0) / CAST(nu AS DOUBLE) * {est_u}, 4) AS est_inter
+FROM pairs p
+JOIN (SELECT g, n AS na, kh AS ka FROM gstat) ga ON ga.g = p.g
+JOIN (SELECT g AS gg2, n AS nb, kh AS kb FROM gstat) gb ON gb.gg2 = p.g2
+JOIN ustat us ON us.g = p.g AND us.g2 = p.g2
+LEFT JOIN istat i ON i.g = p.g AND i.g2 = p.g2
+"""

@@ -4970,3 +4970,40 @@ def label_propagation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(nodes, edges, iterations=3).select(
         F.col("id").alias("doc_id"), "label", "community_size"
     )
+
+
+def _install_kmv_overlap_sql() -> None:
+    from ..operators.sketches import kmv_adjacent_overlap_sql, kmv_by_sql
+
+    sketch = kmv_by_sql(
+        "user_id",
+        ["day"],
+        "(SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id FROM events)",
+    )
+    QUERIES["kmv_day_overlap_events"]["sql"] = kmv_adjacent_overlap_sql(
+        sketch, "day", "strftime(CAST(g AS DATE) + INTERVAL 1 DAY, '%Y-%m-%d')"
+    )
+
+
+@register("kmv_day_overlap_events", sql=None)  # SQL installed below (generated)
+def kmv_day_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning-user estimation from GROUPED KMV sketches
+    (operators/sketches.py::kmv_sketch_by/kmv_adjacent_overlap): per-day
+    distinct-user sketches (scan-local per-partition k-min, group-keyed
+    sketch-sized merge), then for each consecutive day pair the union
+    re-trim + rho-ratio intersection estimate — the bounded-memory form
+    of retention overlap (exact distinct-intersections at 1e10 users/day
+    need the full sets; these are k rows per day). Everything after the
+    one corpus scan is sketch-sized with broadcast joins. Oracle
+    GENERATED from the same fold and estimator literals."""
+    from ..operators.sketches import kmv_adjacent_overlap, kmv_sketch_by
+
+    e = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    s = kmv_sketch_by(e, ["day"], "user_id")
+    nxt = F.date_format(F.date_add(F.to_date(F.col("g")), 1), "yyyy-MM-dd")
+    return kmv_adjacent_overlap(s, "day", nxt)
+
+
+_install_kmv_overlap_sql()

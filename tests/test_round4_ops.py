@@ -725,3 +725,85 @@ def test_psi_drift_by_matches_python_reference(spark):
     # materializes with count_a 0
     assert rows[("w2", "fr")]["count_b"] == 0
     assert rows[("w2", "he")]["count_a"] == 0
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """Shard-merge property: re-trimming the union of two shard sketches
+    equals the sketch of the union — what lets 100 TB shards sketch
+    independently and combine at the driver/coordinator."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.operators.sketches import KMV_K, kmv_sketch
+
+    da = spark.createDataFrame([(v,) for v in range(0, 4000)], "u long")
+    db = spark.createDataFrame([(v,) for v in range(3000, 7000)], "u long")
+    whole = spark.createDataFrame([(v,) for v in range(0, 7000)], "u long")
+
+    sa, sb = kmv_sketch(da, "u"), kmv_sketch(db, "u")
+    merged = (
+        sa.select("h")
+        .union(sb.select("h"))
+        .dropDuplicates(["h"])
+        .withColumn("rk", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("rk") <= KMV_K)
+    )
+    direct = kmv_sketch(whole, "u")
+    assert [r["h"] for r in merged.orderBy("rk").collect()] == [
+        r["h"] for r in direct.orderBy("rk").collect()
+    ]
+
+
+def test_kmv_adjacent_overlap_matches_python_reference(spark):
+    """kmv_sketch_by + kmv_adjacent_overlap vs a pure-Python mirror on
+    three consecutive 'days' with controlled overlap (plus a gap day that
+    must produce no pair)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.operators.sketches import (
+        KMV_HEX_DIGITS,
+        KMV_K,
+        KMV_SPACE,
+        kmv_adjacent_overlap,
+        kmv_sketch_by,
+    )
+
+    days = {
+        "2024-01-01": set(range(0, 3000)),
+        "2024-01-02": set(range(2000, 5000)),     # 1000 shared with day 1
+        "2024-01-04": set(range(0, 500)),         # gap: no 01-03 pair
+    }
+
+    def fold(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:KMV_HEX_DIGITS], 16)
+
+    def sk(vals):
+        return sorted({fold(v) for v in vals})[:KMV_K]
+
+    def est(s):
+        return len(s) if len(s) < KMV_K else round((KMV_K - 1) * KMV_SPACE / s[-1], 4)
+
+    a, b = sk(days["2024-01-01"]), sk(days["2024-01-02"])
+    u = sorted(set(a) | set(b))[:KMV_K]
+    ni = len([h for h in u if h in set(a) and h in set(b)])
+    want = {
+        "est_a": est(a),
+        "est_b": est(b),
+        "est_union": est(u),
+        "est_inter": round(ni / len(u) * est(u), 4),
+    }
+
+    rows = [(d, v) for d, vs in days.items() for v in vs]
+    df = spark.createDataFrame(rows, "day string, user_id long")
+    s = kmv_sketch_by(df, ["day"], "user_id")
+    nxt = F.date_format(F.date_add(F.to_date(F.col("g")), 1), "yyyy-MM-dd")
+    got = kmv_adjacent_overlap(s, "day", nxt).collect()
+    assert len(got) == 1  # only the 01->02 pair exists
+    r = got[0]
+    assert (r["grp"], r["next_grp"]) == ("2024-01-01", "2024-01-02")
+    for k_, v in want.items():
+        assert r[k_] == v, (k_, r[k_], v)
+    # sanity: the intersection estimate is in the right ballpark (true 1000)
+    assert 400 < r["est_inter"] < 1800
