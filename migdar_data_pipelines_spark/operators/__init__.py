@@ -25,6 +25,13 @@ from .asof import asof_join  # noqa: F401
 from .rangejoin import range_join_bucketed  # noqa: F401
 from .sketches import hll_distinct, hll_registers  # noqa: F401
 from .sketches import cms_sketch, cms_estimate  # noqa: F401
+from .sketches import (  # noqa: F401
+    kmv_adjacent_overlap,
+    kmv_set_ops,
+    kmv_sketch,
+    kmv_sketch_by,
+    sampled_quantiles,
+)
 from .linkage import blocked_linkage, block_histogram, phonetic_block_key  # noqa: F401
 from .windows import (  # noqa: F401
     forward_fill,
