@@ -380,3 +380,97 @@ SELECT {g}, {totkeys}, CAST(sum(count_a) AS BIGINT),
        CAST(sum(count_b) AS BIGINT), round(sum(term), 6)
 FROM t GROUP BY {g}
 """
+
+
+
+def mutual_information(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Mutual information (and entropies / NMI) between two categorical
+    columns — the dependency profile a curation pipeline reads before
+    trusting a column as a stratification key (MI(lang, source) ~ 0 means
+    the source mix is language-balanced; high NMI flags confounded
+    splits).
+
+        MI   = sum_xy p(x,y) ln( p(x,y) / (p(x) p(y)) )
+        H(c) = -sum p ln p ;  NMI = MI / sqrt(H(x) H(y))
+
+    Every probability is an exact rational of the joint-count table; the
+    ln/sqrt are the float surface, rounded 6dp. One row out:
+    (n, mi, h_x, h_y, nmi).
+
+    Shape at scale: ONE (x, y) groupBy over the corpus (map-side
+    combinable, joint-cardinality rows); both marginals and the total
+    derive from the joint table, so the corpus is scanned once; the term
+    sum is a broadcast-joined aggregate over the joint rows.
+    """
+    from ..operators.caching import scoped_persist
+
+    j = scoped_persist(
+        df.groupBy(F.col(x).alias("xv"), F.col(y).alias("yv")).agg(
+            F.count(F.lit(1)).cast("long").alias("cxy")
+        )
+    )
+    mx = j.groupBy("xv").agg(F.sum("cxy").alias("cx"))
+    my = j.groupBy("yv").agg(F.sum("cxy").alias("cy"))
+    tot = j.agg(F.sum("cxy").alias("n"))
+    w = (
+        j.join(F.broadcast(mx), "xv")
+        .join(F.broadcast(my), "yv")
+        .crossJoin(F.broadcast(tot))
+    )
+    # one canonical evaluation order, mirrored verbatim in SQL
+    ratio = (F.col("cxy") / F.col("cx")) * (F.col("n") / F.col("cy"))
+    mi = F.sum((F.col("cxy") / F.col("n")) * F.log(ratio))
+    hx = mx.crossJoin(F.broadcast(tot)).agg(
+        F.sum(-(F.col("cx") / F.col("n")) * F.log(F.col("cx") / F.col("n"))).alias(
+            "h"
+        )
+    )
+    hy = my.crossJoin(F.broadcast(tot)).agg(
+        F.sum(-(F.col("cy") / F.col("n")) * F.log(F.col("cy") / F.col("n"))).alias(
+            "h"
+        )
+    )
+    base = w.agg(
+        F.max("n").alias("n"), mi.alias("__mi")
+    )
+    return (
+        base.crossJoin(F.broadcast(hx.select(F.col("h").alias("__hx"))))
+        .crossJoin(F.broadcast(hy.select(F.col("h").alias("__hy"))))
+        .select(
+            F.col("n"),
+            F.round("__mi", 6).alias("mi"),
+            F.round("__hx", 6).alias("h_x"),
+            F.round("__hy", 6).alias("h_y"),
+            F.round(
+                F.col("__mi") / F.sqrt(F.col("__hx") * F.col("__hy")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+def mutual_information_sql(from_sql: str, x: str, y: str) -> str:
+    """DuckDB mirror of ``mutual_information`` — identical joint/marginal
+    derivation and evaluation order."""
+    return f"""
+WITH j AS (
+  SELECT {x} AS xv, {y} AS yv, CAST(count(*) AS BIGINT) AS cxy
+  FROM {from_sql} GROUP BY 1, 2
+),
+mx AS (SELECT xv, CAST(sum(cxy) AS BIGINT) AS cx FROM j GROUP BY xv),
+my AS (SELECT yv, CAST(sum(cxy) AS BIGINT) AS cy FROM j GROUP BY yv),
+tot AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM j),
+mi AS (
+  SELECT sum((cxy / CAST(n AS DOUBLE))
+             * ln((cxy / CAST(cx AS DOUBLE)) * (n / CAST(cy AS DOUBLE))))
+           AS v
+  FROM j JOIN mx USING (xv) JOIN my USING (yv) CROSS JOIN tot
+),
+hx AS (SELECT sum(-(cx / CAST(n AS DOUBLE)) * ln(cx / CAST(n AS DOUBLE))) AS v
+       FROM mx CROSS JOIN tot),
+hy AS (SELECT sum(-(cy / CAST(n AS DOUBLE)) * ln(cy / CAST(n AS DOUBLE))) AS v
+       FROM my CROSS JOIN tot)
+SELECT tot.n, round(mi.v, 6) AS mi, round(hx.v, 6) AS h_x,
+       round(hy.v, 6) AS h_y,
+       round(mi.v / sqrt(hx.v * hy.v), 6) AS nmi
+FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
+"""

@@ -5007,3 +5007,30 @@ def kmv_day_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_kmv_overlap_sql()
+
+
+def _install_mi_sql() -> None:
+    from ..operators.profile import mutual_information_sql
+
+    QUERIES["mutual_information_documents"]["sql"] = mutual_information_sql(
+        "documents", "lang", "source"
+    )
+
+
+@register("mutual_information_documents", sql=None)  # SQL installed below (generated)
+def mutual_information_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-dependency profile (operators/profile.py::mutual_information):
+    MI, entropies, and NMI of (lang, source) — the check a curation
+    pipeline runs before trusting a column as a stratification key (high
+    NMI = confounded splits). One (x, y) groupBy over the corpus; the
+    marginals and total derive from the joint table, so everything after
+    the scan is joint-cardinality-sized with broadcast joins. Exact
+    rationals into ln/sqrt, rounded 6dp; oracle GENERATED with the same
+    evaluation order (mutual_information_sql)."""
+    from ..operators.profile import mutual_information
+
+    d = _t(spark, sf_dir, "documents")
+    return mutual_information(d, "lang", "source")
+
+
+_install_mi_sql()

@@ -320,3 +320,66 @@ def test_levenshtein_matches_duckdb(spark, pairs):
         for a, b in pairs
     ]
     assert got == want
+
+
+# ------------------------------------------------------------------ KMV
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**6), min_size=1, max_size=400),
+    st.integers(2, 11),
+)
+def test_kmv_sketch_partition_invariant_and_python_equal(spark, vals, nparts):
+    """The KMV sketch is a pure function of the VALUE SET: any partitioning
+    of any multiset with the same distinct values yields the identical
+    sketch, equal to the plain-Python k-min of the folds."""
+    import hashlib
+
+    from migdar_data_pipelines_spark.operators.sketches import (
+        KMV_HEX_DIGITS,
+        KMV_K,
+        kmv_sketch,
+    )
+
+    want = sorted(
+        {
+            int(hashlib.md5(str(v).encode()).hexdigest()[:KMV_HEX_DIGITS], 16)
+            for v in vals
+        }
+    )[:KMV_K]
+    df = spark.createDataFrame(
+        [(v,) for v in vals + vals], "u long"  # duplicated multiset
+    ).repartition(nparts)
+    got = [r["h"] for r in kmv_sketch(df, "u").orderBy("rk").collect()]
+    assert got == want
+
+
+# ---------------------------------------------------------------- kmeans
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-0.5, 0.5, allow_nan=False, width=32), min_size=3, max_size=3
+        ),
+        min_size=4,
+        max_size=40,
+    ),
+    st.integers(2, 17),
+)
+def test_kmeans_partition_invariant(spark, vecs, nparts):
+    """Lloyd k-means on integer micro-units is a pure function of the
+    (id, vector) set — repartitioning must not change a single assignment,
+    centroid, or distance (the float-free-trace property the oracle gate
+    relies on)."""
+    from migdar_data_pipelines_spark.llm.clustering import kmeans_fit
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    a = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(
+        nparts
+    )
+    out_a, cent_a = kmeans_fit(a, "vec_id", "embedding", k=3, n_iters=2)
+    out_b, cent_b = kmeans_fit(b, "vec_id", "embedding", k=3, n_iters=2)
+    assert cent_a == cent_b
+    ra = {r["id"]: (r["cluster"], r["dist_q"]) for r in out_a.collect()}
+    rb = {r["id"]: (r["cluster"], r["dist_q"]) for r in out_b.collect()}
+    assert ra == rb

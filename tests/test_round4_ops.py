@@ -807,3 +807,54 @@ def test_kmv_adjacent_overlap_matches_python_reference(spark):
         assert r[k_] == v, (k_, r[k_], v)
     # sanity: the intersection estimate is in the right ballpark (true 1000)
     assert 400 < r["est_inter"] < 1800
+
+
+def test_mutual_information_matches_python_reference(spark):
+    """profile.py::mutual_information vs pure-Python MI/entropy/NMI:
+    independent columns score ~0, a deterministic dependency scores
+    NMI ~1, and the generic case matches to 6dp."""
+    import math
+
+    from migdar_data_pipelines_spark.operators.profile import mutual_information
+
+    rows = [
+        ("en", "web"), ("en", "web"), ("en", "book"),
+        ("fr", "web"), ("fr", "book"), ("fr", "book"),
+        ("de", "code"), ("de", "code"),
+    ]
+
+    def ref(pairs):
+        n = len(pairs)
+        cxy, cx, cy = {}, {}, {}
+        for p in pairs:
+            cxy[p] = cxy.get(p, 0) + 1
+            cx[p[0]] = cx.get(p[0], 0) + 1
+            cy[p[1]] = cy.get(p[1], 0) + 1
+        mi = sum(
+            (c / n) * math.log((c / cx[x]) * (n / cy[y]))
+            for (x, y), c in cxy.items()
+        )
+        hx = sum(-(c / n) * math.log(c / n) for c in cx.values())
+        hy = sum(-(c / n) * math.log(c / n) for c in cy.values())
+        return n, mi, hx, hy, mi / math.sqrt(hx * hy)
+
+    df = spark.createDataFrame(rows, "lang string, source string")
+    r = mutual_information(df, "lang", "source").collect()[0]
+    n, mi, hx, hy, nmi = ref(rows)
+    assert r["n"] == n
+    assert r["mi"] == pytest.approx(mi, abs=1e-6)
+    assert r["h_x"] == pytest.approx(hx, abs=1e-6)
+    assert r["h_y"] == pytest.approx(hy, abs=1e-6)
+    assert r["nmi"] == pytest.approx(nmi, abs=1e-6)
+
+    # x == y (deterministic dependency): NMI == 1
+    same = spark.createDataFrame(
+        [(a, a) for a, _ in rows], "lang string, source string"
+    )
+    assert mutual_information(same, "lang", "source").collect()[0]["nmi"] == 1.0
+
+    # independent uniform columns: MI == 0 exactly (every ratio is 1)
+    ind = spark.createDataFrame(
+        [(a, b) for a in "ab" for b in "xy"] * 3, "lang string, source string"
+    )
+    assert mutual_information(ind, "lang", "source").collect()[0]["mi"] == 0.0
