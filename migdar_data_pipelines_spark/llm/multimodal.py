@@ -286,3 +286,55 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(480)).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+
+def audio_segments(
+    media: "DataFrame",
+    seg_ms: int = 30_000,
+    hop_ms: int = 20_000,
+    sample_rate: int = 16_000,
+    duration_col: str = "duration_ms",
+    id_col: str = "media_id",
+):
+    """Audio segmentation PLAN: fixed-length overlapping windows over each
+    clip's duration metadata — the row-expansion step an ASR/audio-LM
+    ingest runs before decode (the decode itself stays behind the stub
+    seam like the image/video ops; planning needs only the typed
+    metadata, never the bytes).
+
+    Pure integer column expressions — no UDF at all: n_segs = 1 +
+    ceil((dur - seg)/hop) when dur > seg else 1, exploded via
+    ``sequence`` — ceil, not floor, so the LAST window always reaches the
+    clip end and no tail audio is dropped (the window itself clips short);
+    n_samples = (end - start) * sample_rate div 1000. Runs entirely
+    inside whole-stage codegen in the scan stage — at 100 TB this is a
+    zero-shuffle flatMap the optimizer can pipeline into the decode
+    mapInPandas that follows it.
+
+    Returns (id, seg_idx, start_ms, end_ms, n_samples).
+    """
+    from pyspark.sql import DataFrame, functions as F  # noqa: F811
+
+    dur = F.col(duration_col)
+    n_segs = F.when(
+        dur > seg_ms,
+        (
+            F.lit(1)
+            + F.expr(f"({duration_col} - {seg_ms} + {hop_ms} - 1) div {hop_ms}")
+        ).cast("int"),
+    ).otherwise(F.lit(1))
+    segs = media.select(
+        F.col(id_col),
+        dur.alias("__dur"),
+        F.explode(F.sequence(F.lit(0), n_segs - 1)).alias("seg_idx"),
+    )
+    start = (F.col("seg_idx").cast("long") * hop_ms).alias("start_ms")
+    end = F.least(
+        F.col("seg_idx").cast("long") * hop_ms + seg_ms, F.col("__dur")
+    ).alias("end_ms")
+    out = segs.select(id_col, F.col("seg_idx").cast("int").alias("seg_idx"), start, end)
+    return out.withColumn(
+        "n_samples",
+        F.expr(f"((end_ms - start_ms) * {sample_rate}) div 1000").cast("long"),
+    )

@@ -5034,3 +5034,46 @@ def mutual_information_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_mi_sql()
+
+
+@register(
+    "audio_segments_media",
+    sql="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 90000 + 2000 AS BIGINT) AS dur
+  FROM documents
+), s AS (
+  SELECT media_id, dur,
+         unnest(generate_series(0,
+           CASE WHEN dur > 30000
+                THEN CAST(1 + (dur - 30000 + 20000 - 1) // 20000 AS INT)
+                ELSE 1 END - 1)) AS seg_idx
+  FROM m
+)
+SELECT media_id, CAST(seg_idx AS INT) AS seg_idx,
+       CAST(seg_idx * 20000 AS BIGINT) AS start_ms,
+       CAST(least(seg_idx * 20000 + 30000, dur) AS BIGINT) AS end_ms,
+       CAST((least(seg_idx * 20000 + 30000, dur) - seg_idx * 20000) * 16000 // 1000
+            AS BIGINT) AS n_samples
+FROM s
+""",
+)
+def audio_segments_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio ingest segmentation plumbing (llm/multimodal.py::
+    audio_segments): 30s windows with 20s hop over deterministic
+    duration metadata (documents standing in as clips, the
+    frame_sample_media convention) — all integer column expressions, NO
+    UDF, zero shuffle: the plan pipelines into the decode mapInPandas
+    that would follow it. The one op where the whole multimodal step is
+    oracle-exact end to end (planning needs metadata, never bytes)."""
+    from ..llm.multimodal import audio_segments
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 90000 + 2000).cast("long").alias("duration_ms"),
+    )
+    return audio_segments(media)
+
+

@@ -1502,3 +1502,38 @@ def test_second_moments_and_pca_reference(spark):
     P = np.asarray([rows[i] for i in range(len(Xq))])
     v = P.var(axis=0)
     assert v[0] > v[1] > v[2]
+
+
+def test_audio_segments_matches_python_reference(spark):
+    """llm/multimodal.py::audio_segments vs a python window planner: exact
+    segment grid, last-window clipping, short-clip single segment, sample
+    counts."""
+    from migdar_data_pipelines_spark.llm.multimodal import audio_segments
+
+    clips = {1: 75_000, 2: 30_000, 3: 5_000, 4: 50_001}
+    SEG, HOP, SR = 30_000, 20_000, 16_000
+
+    def ref(dur):
+        n = 1 + -((dur - SEG) // -HOP) if dur > SEG else 1  # ceil coverage
+        out = []
+        for i in range(n):
+            s, e = i * HOP, min(i * HOP + SEG, dur)
+            out.append((i, s, e, (e - s) * SR // 1000))
+        return out
+
+    df = spark.createDataFrame(
+        [(k, v) for k, v in clips.items()], "media_id long, duration_ms long"
+    )
+    got = {}
+    for r in audio_segments(df).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["seg_idx"], r["start_ms"], r["end_ms"], r["n_samples"])
+        )
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: ref(v) for k, v in clips.items()
+    }
+    # clip 3 (5s) -> one clipped segment; every clip's last window reaches
+    # its end exactly (ceil coverage: no tail audio dropped)
+    assert got[3] == [(0, 0, 5000, 80000)]
+    for k, dur in clips.items():
+        assert sorted(got[k])[-1][2] == dur, k
