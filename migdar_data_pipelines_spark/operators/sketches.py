@@ -830,3 +830,100 @@ JOIN (SELECT g AS gg2, n AS nb, kh AS kb FROM gstat) gb ON gb.gg2 = p.g2
 JOIN ustat us ON us.g = p.g AND us.g2 = p.g2
 LEFT JOIN istat i ON i.g = p.g AND i.g2 = p.g2
 """
+
+
+
+def sampled_quantiles_by(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str | Column,
+    id_col: str | Column,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    k: int = 1024,
+) -> DataFrame:
+    """Per-GROUP quantiles from deterministic k-row samples — the grouped
+    form of ``sampled_quantiles`` (per-source price spreads, per-day
+    latency percentiles) with the ``kmv_sketch_by`` build: a scan-local
+    mapInPandas keeps each (partition, group)'s k rows with the smallest
+    id-hash (bounded G*k state, value rides as payload), the merge ranks
+    only candidate rows per group (shuffled by GROUP, never the corpus),
+    and nearest-rank-lower picks verbatim data values per group.
+
+    Returns (group..., p, sample_n, q_value). Ties rank by (h, v) in the
+    sample trim and (v, h) in the quantile rank — both total orders, so
+    the result is a pure function of the data.
+    """
+    from pyspark.sql import Window
+
+    from ..llm.curation import md5_bucket
+    from ..operators.caching import scoped_persist
+
+    v = F.col(val_col) if isinstance(val_col, str) else val_col
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    gc = list(group_cols)
+    hashed = df.select(
+        *gc, v.alias("v"), md5_bucket(i, KMV_HEX_DIGITS).alias("h")
+    )
+
+    def _partial(it):
+        for pdf in it:
+            yield pdf.sort_values(["h", "v"]).groupby(gc, sort=False).head(k)
+
+    partial = hashed.mapInPandas(_partial, schema=hashed.schema)
+    wtrim = Window.partitionBy(*gc).orderBy("h", "v")
+    samp = scoped_persist(
+        partial.withColumn("__rk", F.row_number().over(wtrim))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+    wrank = Window.partitionBy(*gc).orderBy("v", "h")
+    ranked = samp.withColumn("rk", F.row_number().over(wrank))
+    n = samp.groupBy(*gc).agg(F.count(F.lit(1)).cast("long").alias("sample_n"))
+    pr = df.sparkSession.createDataFrame([(float(p),) for p in probs], "p double")
+    tgt = n.crossJoin(F.broadcast(pr)).withColumn(
+        "idx", F.floor((F.col("sample_n") - 1) * F.col("p")) + 1
+    )
+    cond = [tgt[c] == ranked[c] for c in gc] + [tgt["idx"] == ranked["rk"]]
+    return tgt.join(F.broadcast(ranked), cond).select(
+        *[tgt[c] for c in gc], "p", "sample_n", F.col("v").alias("q_value")
+    )
+
+
+def sampled_quantiles_by_sql(
+    val_expr: str,
+    id_expr: str,
+    group_exprs: list[str],
+    from_sql: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+    k: int = 1024,
+) -> str:
+    """DuckDB mirror of ``sampled_quantiles_by`` — identical fold, trim
+    order (h, v), rank order (v, h), and index arithmetic."""
+    from ..llm.curation import md5_bucket_sql
+
+    g = ", ".join(group_exprs)
+    gn = ", ".join(f"n.{c}" for c in group_exprs)
+    gjoin = " AND ".join(f"r.{c} = n.{c}" for c in group_exprs)
+    fold = md5_bucket_sql(id_expr, KMV_HEX_DIGITS)
+    plist = ", ".join(f"CAST({float(p)!r} AS DOUBLE)" for p in probs)
+    return f"""
+WITH s AS (
+  SELECT {g}, v, h FROM (
+    SELECT {g}, {val_expr} AS v, {fold} AS h,
+           row_number() OVER (PARTITION BY {g} ORDER BY {fold}, {val_expr})
+             AS trk
+    FROM {from_sql}
+  ) WHERE trk <= {k}
+),
+r AS (
+  SELECT {g}, v,
+         row_number() OVER (PARTITION BY {g} ORDER BY v, h) AS rk
+  FROM s
+),
+n AS (SELECT {g}, CAST(count(*) AS BIGINT) AS sample_n FROM s GROUP BY {g}),
+p AS (SELECT unnest([{plist}]) AS p)
+SELECT {gn}, p.p, n.sample_n, r.v AS q_value
+FROM n CROSS JOIN p
+JOIN r ON {gjoin}
+      AND r.rk = CAST(floor((n.sample_n - 1) * p.p) AS BIGINT) + 1
+"""

@@ -5077,3 +5077,37 @@ def audio_segments_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_segments(media)
 
 
+
+
+def _install_grouped_quantiles_sql() -> None:
+    from ..operators.sketches import sampled_quantiles_by_sql
+
+    QUERIES["sampled_quantiles_by_returnflag"]["sql"] = sampled_quantiles_by_sql(
+        "l_extendedprice",
+        "(l_orderkey || ':' || l_linenumber)",
+        ["l_returnflag"],
+        "lineitem",
+    )
+
+
+@register("sampled_quantiles_by_returnflag", sql=None)  # SQL installed below
+def sampled_quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group order statistics without sorts (operators/sketches.py::
+    sampled_quantiles_by): price quantiles per l_returnflag from
+    deterministic 1024-row per-group md5-k-min samples — scan-local
+    per-(partition, group) partials with the value as payload, a
+    group-keyed candidate-only merge (the corpus never shuffles), and
+    nearest-rank-lower verbatim data values. Oracle GENERATED from the
+    same fold/trim/rank/index literals."""
+    from ..operators.sketches import sampled_quantiles_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    return sampled_quantiles_by(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        F.concat_ws(":", "l_orderkey", "l_linenumber"),
+    )
+
+
+_install_grouped_quantiles_sql()

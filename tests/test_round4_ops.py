@@ -858,3 +858,45 @@ def test_mutual_information_matches_python_reference(spark):
         [(a, b) for a in "ab" for b in "xy"] * 3, "lang string, source string"
     )
     assert mutual_information(ind, "lang", "source").collect()[0]["mi"] == 0.0
+
+
+def test_sampled_quantiles_by_matches_python_reference(spark):
+    """Grouped sampled quantiles vs the python mirror: per-group k-min
+    sample by (h, v), rank by (v, h), nearest-rank-lower — including an
+    under-full group whose quantiles are exact."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.operators.sketches import (
+        KMV_HEX_DIGITS,
+        sampled_quantiles_by,
+    )
+
+    K = 64
+    rows = [("a", i, float((i * 37) % 1009)) for i in range(3000)] + [
+        ("b", 10_000 + i, float(i)) for i in range(10)
+    ]
+
+    def fold(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:KMV_HEX_DIGITS], 16)
+
+    probs = (0.5, 0.9)
+    want = {}
+    for g in ("a", "b"):
+        cand = sorted(
+            ((fold(i), v) for gg, i, v in rows if gg == g)
+        )[:K]
+        vals = sorted((v, h) for h, v in cand)
+        for p in probs:
+            want[(g, p)] = (len(vals), vals[int((len(vals) - 1) * p)][0])
+
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        (r["g"], r["p"]): (r["sample_n"], r["q_value"])
+        for r in sampled_quantiles_by(
+            df, ["g"], "v", "id", probs=probs, k=K
+        ).collect()
+    }
+    assert got == want
+    assert got[("b", 0.5)] == (10, 4.0)  # under-full group: exact median
