@@ -523,3 +523,93 @@ def bounded_running(
     return a.join(b, cond, "inner").groupBy(
         *[F.col(f"__a.{c}").alias(c) for c in df.columns]
     ).agg(*aggs)
+
+
+
+def ewma_by(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    alpha: float = 0.25,
+    window: int = 8,
+) -> DataFrame:
+    """Bounded-window exponentially-weighted moving average per key — the
+    smoothing pass metric/anomaly monitors run over a value stream:
+
+        ewma_t = sum_{j=0..m-1} (1-a)^j x_{t-j} / sum_{j=0..m-1} (1-a)^j
+
+    with m = min(window, rows so far). The window bound is what makes
+    this a WINDOW FUNCTION instead of a prefix scan: the full recurrence
+    needs running state (the streaming side owns that shape); the bounded
+    form is one frame aggregate, embarrassingly parallel per key, and the
+    tail weights it drops are (1-a)^window — under 1e-1 of the mass at
+    the defaults and documented rather than hidden.
+
+    Engine shape: collect_list over rowsBetween(-(window-1), 0) — frame
+    order IS the ORDER BY order, so the list runs oldest->newest — then
+    one higher-order fold per row (m <= window terms); the denominator is
+    the closed form (1 - q^m)/(1 - q). No shuffle beyond the one
+    partitionBy(key) exchange every keyed window pays. Adds ``ewma``
+    (6dp; the weights are float — identical IEEE pow/mul both engines
+    round well inside 6dp at these magnitudes).
+    """
+    from pyspark.sql import Window
+
+    q = 1.0 - alpha
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.collect_list(F.col(val_col).cast("double")).over(w)
+    m = F.size("__arr")
+    num = F.aggregate(
+        F.zip_with(
+            F.col("__arr"),
+            F.sequence(F.lit(1), m),
+            lambda x, i: x * F.pow(F.lit(q), (m - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    den = (F.lit(1.0) - F.pow(F.lit(q), m.cast("double"))) / F.lit(1.0 - q)
+    return (
+        df.withColumn("__arr", arr)
+        .withColumn("ewma", F.round(num / den, 6))
+        .drop("__arr")
+    )
+
+
+def ewma_by_sql(
+    from_sql: str,
+    group_cols: list[str],
+    order_cols: list[str],
+    val_expr: str,
+    alpha: float = 0.25,
+    window: int = 8,
+) -> str:
+    """DuckDB mirror of ``ewma_by`` — same frame, same left-to-right
+    weighted fold (list_sum of the transformed frame list is sequential),
+    same closed-form denominator."""
+    q = repr(1.0 - alpha)
+    g = ", ".join(group_cols)
+    o = ", ".join(order_cols)
+    return f"""
+WITH a AS (
+  SELECT *, array_agg(CAST({val_expr} AS DOUBLE)) OVER (
+              PARTITION BY {g} ORDER BY {o}
+              ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
+            ) AS arr
+  FROM {from_sql}
+)
+SELECT * EXCLUDE (arr),
+       round(
+         list_sum(list_transform(list_zip(arr, generate_series(1, len(arr))),
+           t -> t[1] * power(CAST({q} AS DOUBLE),
+                             CAST(len(arr) - t[2] AS DOUBLE))))
+         / ((1 - power(CAST({q} AS DOUBLE), CAST(len(arr) AS DOUBLE)))
+            / CAST({repr(1.0 - (1.0 - alpha))} AS DOUBLE)),
+         6) AS ewma
+FROM a
+"""

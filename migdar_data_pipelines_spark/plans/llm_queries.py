@@ -5111,3 +5111,52 @@ def sampled_quantiles_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 _install_grouped_quantiles_sql()
+
+
+def _install_ewma_sql() -> None:
+    from ..operators.windows import ewma_by_sql
+
+    inner = ewma_by_sql(
+        "(SELECT user_id, CAST(event_id AS BIGINT) AS event_id, ts,"
+        " round(value, 2) AS v FROM events)",
+        ["user_id"],
+        ["ts", "event_id"],
+        "v",
+    )
+    QUERIES["ewma_user_value_events"]["sql"] = (
+        "SELECT user_id, event_id,"
+        " strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, v, ewma"
+        f" FROM ({inner})"
+    )
+
+
+@register("ewma_user_value_events", sql=None)  # SQL installed below (generated)
+def ewma_user_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA smoothing per user (operators/windows.py::
+    ewma_by, alpha=0.25 over the trailing 8 events): the anomaly-monitor
+    smoothing pass as ONE keyed frame aggregate — collect_list over the
+    row frame (frame order is the ORDER BY order) plus a higher-order
+    fold; no shuffle beyond the keyed-window exchange; the closed-form
+    denominator handles the warm-up rows. The unbounded recurrence is the
+    streaming side's shape; the bounded form drops (1-a)^8 of the weight
+    mass, documented not hidden. Oracle GENERATED (ewma_by_sql — same
+    frame, same sequential weighted fold)."""
+    from ..operators.windows import ewma_by
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        "ts",
+        F.round("value", 2).alias("v"),
+    )
+    out = ewma_by(e, ["user_id"], ["ts", "event_id"], "v")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "v",
+        "ewma",
+    )
+
+
+_install_ewma_sql()

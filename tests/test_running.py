@@ -177,3 +177,37 @@ def test_running_totals_summary_bound_fail_fast(spark, monkeypatch):
             df, "v", order_by=[("id", "asc")], partition_by=["g"],
             num_partitions=4, strategy="two_phase",
         )
+
+
+def test_ewma_by_matches_python_reference(spark):
+    """operators/windows.py::ewma_by vs the textbook bounded-window EWMA:
+    warm-up rows use the truncated normalizer; steady state matches the
+    recurrence-free weighted mean; per-key independence."""
+    from migdar_data_pipelines_spark.operators.windows import ewma_by
+
+    ALPHA, W = 0.25, 4
+    q = 1 - ALPHA
+    series = {"u1": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0], "u2": [5.0, 5.0, 5.0]}
+
+    def ref(xs, t):
+        m = min(W, t + 1)
+        vals = xs[t - m + 1 : t + 1]
+        num = sum(x * q ** (m - 1 - j) for j, x in enumerate(vals))
+        den = sum(q**j for j in range(m))
+        return round(num / den, 6)
+
+    rows = [
+        (u, i, x) for u, xs in series.items() for i, x in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "u string, i long, v double")
+    got = {
+        (r["u"], r["i"]): r["ewma"]
+        for r in ewma_by(df, ["u"], ["i"], "v", alpha=ALPHA, window=W).collect()
+    }
+    import pytest as _pt
+
+    for u, xs in series.items():
+        for t in range(len(xs)):
+            assert got[(u, t)] == _pt.approx(ref(xs, t), abs=1e-6), (u, t)
+    # constant series smooths to itself everywhere
+    assert all(got[("u2", t)] == 5.0 for t in range(3))
