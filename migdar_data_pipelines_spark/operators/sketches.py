@@ -927,3 +927,92 @@ FROM n CROSS JOIN p
 JOIN r ON {gjoin}
       AND r.rk = CAST(floor((n.sample_n - 1) * p.p) AS BIGINT) + 1
 """
+
+
+
+def winsorize_stats_by(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    id_col: str | Column,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    k: int = 1024,
+) -> DataFrame:
+    """Per-group winsorization audit: clip ``val_col`` to the group's
+    sampled [lo, hi] quantile bounds (``sampled_quantiles_by`` — the
+    deterministic k-min sample, so the bounds are verbatim data values)
+    and report per group
+
+        (group..., n, n_clipped_low, n_clipped_high, lo_v, hi_v, sum_w)
+
+    — the outlier-handling pass a feature/reward pipeline runs before
+    normalizing heavy-tailed columns, shipped as its AUDIT aggregate so
+    the contract surface stays exact: counts are integers, bounds are
+    data values, and the winsorized sum is a DECIMAL(18,2) (exact,
+    order-independent — a double sum at 1e8 magnitude could not be
+    rounded into cross-engine agreement).
+
+    Shape at scale: the quantile pass (one scan, corpus never shuffles) +
+    one broadcast join of the per-group bounds onto the second scan +
+    a map-side-combinable aggregate. Two scans total, no sorts.
+    """
+    from ..operators.caching import scoped_persist
+
+    gc = list(group_cols)
+    qs = scoped_persist(
+        sampled_quantiles_by(df, gc, val_col, id_col, probs=(lo, hi), k=k)
+    )
+    b = qs.groupBy(*gc).agg(
+        F.max(F.when(F.col("p") == lo, F.col("q_value"))).alias("lo_v"),
+        F.max(F.when(F.col("p") == hi, F.col("q_value"))).alias("hi_v"),
+    )
+    v = F.col(val_col)
+    j = df.join(F.broadcast(b), gc)
+    clipped = F.least(F.greatest(v, F.col("lo_v")), F.col("hi_v"))
+    return j.groupBy(*gc).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((v < F.col("lo_v")).cast("long")).alias("n_clipped_low"),
+        F.sum((v > F.col("hi_v")).cast("long")).alias("n_clipped_high"),
+        F.max("lo_v").alias("lo_v"),
+        F.max("hi_v").alias("hi_v"),
+        F.sum(clipped.cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_w"),
+    )
+
+
+def winsorize_stats_by_sql(
+    val_expr: str,
+    id_expr: str,
+    group_exprs: list[str],
+    from_sql: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    k: int = 1024,
+) -> str:
+    """DuckDB mirror of ``winsorize_stats_by`` — bounds from the same
+    generated quantile SQL, identical clip and decimal-exact sum."""
+    g = ", ".join(group_exprs)
+    q = sampled_quantiles_by_sql(
+        val_expr, id_expr, group_exprs, from_sql, probs=(lo, hi), k=k
+    )
+    return f"""
+WITH q AS ({q}),
+b AS (
+  SELECT {g},
+         max(CASE WHEN p = CAST({float(lo)!r} AS DOUBLE) THEN q_value END)
+           AS lo_v,
+         max(CASE WHEN p = CAST({float(hi)!r} AS DOUBLE) THEN q_value END)
+           AS hi_v
+  FROM q GROUP BY {g}
+)
+SELECT {g}, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {val_expr} < lo_v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN {val_expr} > hi_v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       max(lo_v) AS lo_v, max(hi_v) AS hi_v,
+       CAST(sum(CAST(least(greatest({val_expr}, lo_v), hi_v)
+                     AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_w
+FROM {from_sql} JOIN b USING ({g})
+GROUP BY {g}
+"""

@@ -5160,3 +5160,39 @@ def ewma_user_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_ewma_sql()
+
+
+def _install_winsorize_sql() -> None:
+    from ..operators.sketches import winsorize_stats_by_sql
+
+    QUERIES["winsorize_prices_returnflag"]["sql"] = winsorize_stats_by_sql(
+        "l_extendedprice",
+        "(l_orderkey || ':' || l_linenumber)",
+        ["l_returnflag"],
+        "lineitem",
+    )
+
+
+@register("winsorize_prices_returnflag", sql=None)  # SQL installed below
+def winsorize_prices_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization audit (operators/sketches.py::
+    winsorize_stats_by): prices clipped to each return flag's sampled
+    [p5, p95] bounds — the heavy-tail handling pass before feature
+    normalization, shipped as its audit aggregate so the surface is
+    exact (integer clip counts, verbatim data-value bounds, and a
+    DECIMAL(18,2) winsorized sum — a double sum at this magnitude could
+    not be rounded into cross-engine agreement). Two scans, one
+    broadcast bounds join, no sorts. Oracle GENERATED on the same
+    quantile SQL."""
+    from ..operators.sketches import winsorize_stats_by
+
+    li = _t(spark, sf_dir, "lineitem")
+    return winsorize_stats_by(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        F.concat_ws(":", "l_orderkey", "l_linenumber"),
+    )
+
+
+_install_winsorize_sql()

@@ -900,3 +900,29 @@ def test_sampled_quantiles_by_matches_python_reference(spark):
     }
     assert got == want
     assert got[("b", 0.5)] == (10, 4.0)  # under-full group: exact median
+
+
+def test_winsorize_stats_matches_python_reference(spark):
+    """winsorize_stats_by vs a python mirror on an under-full group (the
+    sample IS the data, so bounds are the true quantiles): clip counts,
+    bounds, and the exact decimal sum."""
+    from decimal import Decimal
+
+    from migdar_data_pipelines_spark.operators.sketches import winsorize_stats_by
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100 in one group
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    r = winsorize_stats_by(
+        df, ["grp"], "v", "id", lo=0.05, hi=0.95, k=1024
+    ).collect()[0]
+
+    s = sorted(vals)
+    lo_v = s[int((len(s) - 1) * 0.05)]   # nearest-rank-lower on the full set
+    hi_v = s[int((len(s) - 1) * 0.95)]
+    clipped = [min(max(v, lo_v), hi_v) for v in vals]
+    assert (r["lo_v"], r["hi_v"]) == (lo_v, hi_v)
+    assert r["n"] == 100
+    assert r["n_clipped_low"] == sum(v < lo_v for v in vals)
+    assert r["n_clipped_high"] == sum(v > hi_v for v in vals)
+    assert r["sum_w"] == Decimal(f"{sum(clipped):.2f}")
