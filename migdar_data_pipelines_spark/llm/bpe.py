@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .._serde import register_self_contained
-from .textanalysis import words as _words
+from .textanalysis import WORDS_SQL, words as _words
 
 register_self_contained(__name__)
 
@@ -212,9 +212,7 @@ def bpe_segment_sql(docs_sql: str, merges: list[tuple[str, str]]) -> str:
 WITH d AS ({docs_sql}),
 dw AS (
   SELECT id,
-         list_transform(
-           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
-           x -> lower(x)) AS ws
+         list_transform({WORDS_SQL.format(col="text")}, x -> lower(x)) AS ws
   FROM d
 ),
 w AS (SELECT id, unnest(ws) AS word FROM dw),

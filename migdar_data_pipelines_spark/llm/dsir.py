@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from .._serde import register_self_contained
 from .curation import md5_bucket, md5_bucket_sql
-from .textanalysis import words
+from .textanalysis import WORDS_SQL, words
 
 register_self_contained(__name__)
 
@@ -136,8 +136,21 @@ def dsir_sample(
     deterministic md5 uniform. Returns every raw doc as
     (id, n_feats, log_weight, sample_key[6dp], keep) — ``keep`` marks the
     top_k by (sample_key desc, id asc), chosen via TakeOrdered + a
-    broadcast semi-join, never a global sort."""
-    w = dsir_log_weights(raw, target, text_col, id_col, n_buckets)
+    broadcast semi-join, never a global sort. EVERY raw doc really means
+    every: a doc with zero whitespace words has no feature rows, so the
+    weight aggregate would drop it — it re-enters via a left join with
+    (n_feats=0, log_weight=0.0): an importance weight of exactly 1,
+    eligible for sampling on its Gumbel noise alone."""
+    w0 = dsir_log_weights(raw, target, text_col, id_col, n_buckets)
+    w = (
+        raw.select(F.col(id_col).alias("id"))
+        .join(w0, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        )
+    )
     u = (md5_bucket("id", GUMBEL_HEX_DIGITS) + F.lit(0.5)) / F.lit(
         float(16**GUMBEL_HEX_DIGITS)
     )
@@ -178,12 +191,9 @@ def dsir_sql(
                      i -> ws[i] || ' ' || ws[i + 1])
                 ELSE [] END)) AS gram
   FROM (SELECT id,
-               list_transform(
-                 list_filter(string_split_regex(trim(text), '\\s+'),
-                             x -> x <> ''),
-                 x -> lower(x)) AS ws
+               list_transform({words_sql}, x -> lower(x)) AS ws
         FROM ({src}))
-"""
+""".replace("{words_sql}", WORDS_SQL.format(col="text"))
     return f"""
 WITH rawfeats AS (
   SELECT id, {fold} % {n_buckets} AS b FROM ({feats.format(src=raw_sql)})
@@ -210,12 +220,17 @@ w AS (
          round(sum(llr), 4) AS log_weight
   FROM scored GROUP BY id
 ),
+wfull AS (
+  SELECT r.id, coalesce(w.n_feats, 0) AS n_feats,
+         coalesce(w.log_weight, CAST(0 AS DOUBLE)) AS log_weight
+  FROM (SELECT id FROM ({raw_sql})) r LEFT JOIN w USING (id)
+),
 keyed AS (
   SELECT id, n_feats, log_weight,
          round(log_weight
                - ln(-ln(({gfold} + 0.5) / {float(16**GUMBEL_HEX_DIGITS)})), 6)
            AS sample_key
-  FROM w
+  FROM wfull
 ),
 ranked AS (
   SELECT keyed.*,

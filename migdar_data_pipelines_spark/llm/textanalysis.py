@@ -525,7 +525,7 @@ def gopher_repetition_sql(docs_sql: str) -> str:
     return f"""
 WITH base AS (
   SELECT id, text,
-         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words
+         {WORDS_SQL.format(col="text")} AS words
   FROM ({docs_sql})
 ),
 ids AS (
@@ -618,6 +618,12 @@ FROM agg
 #: relative frequencies, a fixed 0.4 backoff weight).
 BACKOFF_ALPHA = 0.4
 
+#: broadcast ceiling for the bigram-LM count models: at or under this many
+#: rows a model table ships as a broadcast; above it the hint is dropped and
+#: the join shuffles on the word key (the LSH candidate-gate convention —
+#: an unconditional broadcast of an unbounded model is a driver OOM).
+LM_BROADCAST_MAX_ENTRIES = 2_000_000
+
 #: DuckDB mirror of ``words()`` (split-on-whitespace, drop empties) — kept
 #: next to the Spark form so they can only drift together.
 WORDS_SQL = r"list_filter(string_split_regex(trim({col}), '\s+'), x -> x <> '')"
@@ -679,21 +685,31 @@ def bigram_lm_scores(train, score, text_col: str = "text", id_col: str = "doc_id
     tot = uni.agg(
         F.sum("cw").alias("n_toks"), F.count(F.lit(1)).alias("vocab")
     )
-    big = (
+    big = scoped_persist(
         _pair_rows(train, text_col, id_col)
         .where(F.col("prev").isNotNull())
         .groupBy("prev", "w")
         .agg(F.count(F.lit(1)).alias("cb"))
     )
+    # NOTE — eager construction: the broadcast decision is made at plan
+    # time from the EXACT persisted model sizes (two count jobs before the
+    # caller's first action — the LSH candidate-gate convention); past the
+    # ceiling the hint is dropped and the join shuffles on the word key.
+    hint_uni = (
+        F.broadcast if uni.count() <= LM_BROADCAST_MAX_ENTRIES else (lambda d: d)
+    )
+    hint_big = (
+        F.broadcast if big.count() <= LM_BROADCAST_MAX_ENTRIES else (lambda d: d)
+    )
     sp = _pair_rows(score, text_col, id_col)
     j = (
-        sp.join(F.broadcast(uni), "w", "left")
+        sp.join(hint_uni(uni), "w", "left")
         .join(
-            F.broadcast(uni.select(F.col("w").alias("prev"), F.col("cw").alias("cprev"))),
+            hint_uni(uni.select(F.col("w").alias("prev"), F.col("cw").alias("cprev"))),
             "prev",
             "left",
         )
-        .join(F.broadcast(big), ["prev", "w"], "left")
+        .join(hint_big(big), ["prev", "w"], "left")
         .crossJoin(F.broadcast(tot))
     )
     base = (F.coalesce("cw", F.lit(0)) + 1) / (F.col("n_toks") + F.col("vocab"))
@@ -748,7 +764,7 @@ SELECT id AS {id_out}, CAST(count(*) AS BIGINT) AS n_tokens,
               THEN (coalesce(cw, 0) + 1) / CAST(n_toks + vocab AS DOUBLE)
               WHEN cb IS NOT NULL THEN cb / CAST(cprev AS DOUBLE)
               ELSE CAST({BACKOFF_ALPHA} AS DOUBLE)
-                   * (coalesce(cw, 0) + 1) / CAST(n_toks + vocab AS DOUBLE)
+                   * ((coalesce(cw, 0) + 1) / CAST(n_toks + vocab AS DOUBLE))
          END)), 4) AS nll
 FROM j GROUP BY id
 """

@@ -566,6 +566,11 @@ def sampled_quantiles(
     i = F.col(id_col) if isinstance(id_col, str) else id_col
     samp = (
         df.select(v.alias("v"), md5_bucket(i, KMV_HEX_DIGITS).alias("h"))
+        # NULL values (or NULL ids -> NULL hash) are excluded outright:
+        # Spark sorts NULLS FIRST, DuckDB NULLS LAST, so any NULL in the
+        # orderings would silently diverge engine vs oracle — and a
+        # quantile of NULL is meaningless anyway
+        .where(F.col("v").isNotNull() & F.col("h").isNotNull())
         .orderBy("h", "v")
         .limit(k)
     )
@@ -604,6 +609,7 @@ def sampled_quantiles_sql(
 WITH s AS (
   SELECT v, h FROM (
     SELECT {val_expr} AS v, {fold} AS h FROM {from_sql}
+    WHERE {val_expr} IS NOT NULL AND {fold} IS NOT NULL
     ORDER BY h, v LIMIT {k}
   )
 ),
@@ -643,7 +649,9 @@ def kmv_sketch_by(
             yield (
                 pdf.drop_duplicates(subset=[*gc, "h"])
                 .sort_values("h")
-                .groupby(gc, sort=False)
+                # dropna=False: a NULL group key is a real group (pandas
+                # silently discards it by default — the oracle keeps it)
+                .groupby(gc, sort=False, dropna=False)
                 .head(k)
             )
 
@@ -863,11 +871,15 @@ def sampled_quantiles_by(
     gc = list(group_cols)
     hashed = df.select(
         *gc, v.alias("v"), md5_bucket(i, KMV_HEX_DIGITS).alias("h")
-    )
+    ).where(F.col("v").isNotNull() & F.col("h").isNotNull())
 
     def _partial(it):
         for pdf in it:
-            yield pdf.sort_values(["h", "v"]).groupby(gc, sort=False).head(k)
+            yield (
+                pdf.sort_values(["h", "v"])
+                .groupby(gc, sort=False, dropna=False)
+                .head(k)
+            )
 
     partial = hashed.mapInPandas(_partial, schema=hashed.schema)
     wtrim = Window.partitionBy(*gc).orderBy("h", "v")
@@ -913,6 +925,7 @@ WITH s AS (
            row_number() OVER (PARTITION BY {g} ORDER BY {fold}, {val_expr})
              AS trk
     FROM {from_sql}
+    WHERE {val_expr} IS NOT NULL AND {fold} IS NOT NULL
   ) WHERE trk <= {k}
 ),
 r AS (

@@ -3938,8 +3938,12 @@ def mutual_knn_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     (cosine_topk_blocked) and connected_components; the oracle recomputes
     the exact kNN graph, the mutual filter, and the transitive closure by
     recursive CTE. The EXACT strategy gates the operator; production runs
-    mutual_knn_clusters(strategy="ivf") — sub-quadratic, and the mutual
-    filter only ever UNDER-merges on a missed ANN edge."""
+    mutual_knn_clusters(strategy="ivf") — sub-quadratic; a missed ANN
+    edge usually under-merges but can also promote a next-nearest
+    candidate into a spurious mutual edge (see similarity.py's recall
+    analysis — the filter bounds, not eliminates, the effect; on
+    separable data the clusterings coincide and the recall test pins
+    both)."""
     from ..llm.similarity import mutual_knn_clusters
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -1537,3 +1537,21 @@ def test_audio_segments_matches_python_reference(spark):
     assert got[3] == [(0, 0, 5000, 80000)]
     for k, dur in clips.items():
         assert sorted(got[k])[-1][2] == dur, k
+
+
+def test_dsir_keeps_zero_word_docs(spark):
+    """A raw doc with no whitespace words must still appear in the DSIR
+    output (n_feats=0, log_weight=0.0 — importance weight 1), not vanish
+    from the sample frame."""
+    from migdar_data_pipelines_spark.llm.dsir import dsir_sample
+
+    raw = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame([(9, "the cat")], "doc_id long, text string")
+    rows = {r["id"]: r for r in dsir_sample(raw, tgt, n_buckets=64, top_k=2).collect()}
+    assert set(rows) == {1, 2, 3}
+    for i in (2, 3):
+        assert rows[i]["n_feats"] == 0 and rows[i]["log_weight"] == 0.0
+        assert rows[i]["sample_key"] is not None
+    assert sum(r["keep"] for r in rows.values()) == 2

@@ -64,17 +64,7 @@ PICK = {
 }
 
 
-def _knn_graph_ivf(spark, sf_dir):
-    from migdar_data_pipelines_spark.llm.similarity import knn_graph
-
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    return knn_graph(
-        e, "vec_id", "embedding", k=3, strategy="ivf",
-        n_cells="auto", nprobe=2, seed=7,
-    )
-
+from common import knn_graph_ivf as _knn_graph_ivf  # noqa: E402
 
 # non-registry plans: (title, callable, note)
 EXTRA = [

@@ -57,24 +57,7 @@ PICK = [
 ]
 
 
-def _knn_graph_ivf(spark, sf_dir):
-    """The ANN production route for the clustering/mining operators: the
-    IVF-candidate kNN graph (knn_graph strategy='ivf', n_cells='auto' ~
-    sqrt(n)) — measured here against its exact quadratic gate
-    (knn_graph_embeddings registered above) so the table shows the
-    sub-quadratic growth the route exists for."""
-    from pyspark.sql import functions as F
-
-    from migdar_data_pipelines_spark.llm.similarity import knn_graph
-
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    return knn_graph(
-        e, "vec_id", "embedding", k=3, strategy="ivf",
-        n_cells="auto", nprobe=2, seed=7,
-    )
-
+from common import knn_graph_ivf as _knn_graph_ivf  # noqa: E402
 
 # non-registry measurements: (name, callable, what scales, dominant cost)
 EXTRA = [
