@@ -5200,3 +5200,61 @@ def winsorize_prices_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_winsorize_sql()
+
+
+@register(
+    "streaming_ewma_events",
+    sql="""
+WITH o AS (
+  SELECT user_id, CAST(event_id AS BIGINT) AS event_id, ts,
+         round(value, 2) AS v,
+         array_agg(round(value, 2)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS pre
+  FROM events
+)
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, v,
+       round(list_reduce(pre,
+         (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc),
+         6) AS ewma
+FROM o
+""",
+)
+def streaming_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNBOUNDED EWMA recurrence as a TRUE stateful stream
+    (streaming/stateful.py::streaming_ewma — the shape ewma_by's bounded
+    window defers to streaming): per-user exponential smoothing whose
+    whole history folds into ONE checkpointed double per key, drained
+    AvailableNow and hash-checked against DuckDB's list_reduce left fold
+    over each row's full ordered prefix — the same association order as
+    the per-row state update, so the trace matches to 6dp. The third
+    applyInPandasWithState operator family (first-seen, CDC, now
+    numeric-fold state)."""
+    from ..streaming import read_events_stream, streaming_ewma
+    from ..streaming.windows import _ensure_event_time
+
+    stream = _ensure_event_time(
+        read_events_stream(spark, f"{sf_dir}/events.parquet")
+    ).select(
+        "user_id",
+        F.col("event_id").cast("long").alias("event_id"),
+        "ts",
+        F.round("value", 2).alias("v"),
+    )
+    # alpha=0.3, NOT the 0.25 default: dyadic weights (2^-2) keep the fold
+    # in exact binary arithmetic over cent inputs, which lands on exact
+    # decimal .5 boundaries where Spark's BigDecimal half-up and DuckDB's
+    # multiply-based round disagree; a non-dyadic alpha makes exact halves
+    # measure-zero
+    out = streaming_ewma(
+        stream, ["user_id"], "v", order_cols=["ts", "event_id"], alpha=0.3
+    )
+    drained = _drain_stream(spark, out, "t_ewma")
+    return drained.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "v",
+        "ewma",
+    )

@@ -1,5 +1,6 @@
 from .stateful import (  # noqa: F401
     streaming_cdc,
+    streaming_ewma,
     streaming_first_seen,
 )
 from .windows import (  # noqa: F401

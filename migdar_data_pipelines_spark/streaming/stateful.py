@@ -139,3 +139,80 @@ def streaming_cdc(
 
 
 __all__ = ["streaming_first_seen", "streaming_cdc"]
+
+
+
+def streaming_ewma(
+    events: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    order_cols: list[str] | None = None,
+    alpha: float = 0.25,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """The UNBOUNDED EWMA recurrence as a stateful stream — the shape the
+    batch ``operators/windows.py::ewma_by`` docstring defers here:
+
+        s_first = x ;  s_t = alpha * x_t + (1 - alpha) * s_{t-1}
+
+    (pandas ``adjust=False`` semantics). The whole history folds into ONE
+    double per key — the state store holds (s,), nothing grows with the
+    stream; ``state_ttl_ms`` expires idle keys. Rows are processed in
+    ``order_cols`` order within each micro-batch and the fold value
+    carries across batches/restarts via the checkpointed state.
+
+    Emits every input row as (key..., order..., value, ewma[6dp]); the
+    batch-equivalent semantics (a left fold over the key's full prefix in
+    order) are what the gate's DuckDB ``list_reduce`` oracle recomputes.
+    """
+    order_cols = order_cols or ["ts"]
+    out_fields = [
+        f
+        for f in events.schema.fields
+        if f.name in set(key_cols) | set(order_cols) | {val_col}
+    ]
+    out_schema = T.StructType(
+        out_fields + [T.StructField("ewma", T.DoubleType())]
+    )
+    state_schema = T.StructType([T.StructField("s", T.DoubleType())])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    cols = [f.name for f in out_fields]
+    q = 1.0 - alpha
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        s = state.get[0] if state.exists else None
+        parts = [pdf for pdf in pdfs if not pdf.empty]
+        if not parts:
+            if state_ttl_ms and state.exists:
+                state.setTimeoutDuration(state_ttl_ms)
+            return
+        batch = pd.concat(parts).sort_values(order_cols, kind="mergesort")
+        out = []
+        for x in batch[val_col].astype(float):
+            # same association order as the oracle's list_reduce lambda;
+            # emitted UNROUNDED — python round() is half-even, the engine
+            # contract rounding is F.round (half-up, matching DuckDB)
+            s = x if s is None else alpha * x + q * s
+            out.append(s)
+        batch = batch[cols].copy()
+        batch["ewma"] = out
+        state.update((s,))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield batch
+
+    out = events.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )
+    # stateless projection after the stateful op: contract rounding happens
+    # JVM-side (F.round is half-up like DuckDB's round; python's is half-even)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return out.withColumn("ewma", F.round("ewma", 6))

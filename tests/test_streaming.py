@@ -156,3 +156,50 @@ def test_stream_merge_into_lakehouse_incremental_and_update(spark, tmp_path):
 
     # re-drain with no new source files: no batch, version unchanged
     assert drain() == 1
+
+
+def test_streaming_ewma_matches_pandas_recurrence(spark, tmp_path):
+    """streaming_ewma drained == pandas ewm(adjust=False) per key — the
+    unbounded recurrence with state carried across micro-batches (two
+    files -> two batches exercises the state handoff)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.streaming import streaming_ewma
+
+    rows = [
+        ("u1", i, float(v))
+        for i, v in enumerate([10, 20, 15, 40, 5, 30, 30, 12])
+    ] + [("u2", i, float(100 - 7 * i)) for i in range(5)]
+    pdf = pd.DataFrame(rows, columns=["k", "i", "v"])
+    src = str(tmp_path / "ewma_src")
+    # two parquet files so AvailableNow processes >= 2 micro-batches
+    spark.createDataFrame(pdf[: len(rows) // 2]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(pdf[len(rows) // 2 :]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, i long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_ewma(stream, ["k"], "v", order_cols=["i"], alpha=0.3)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        run_available_now(out, ckpt, query_name="t_ewma_ut", output_mode="append")
+        got = {
+            (r["k"], r["i"]): r["ewma"]
+            for r in spark.table("t_ewma_ut").collect()
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    for k in ("u1", "u2"):
+        series = pdf[pdf["k"] == k].sort_values("i")["v"]
+        want = series.ewm(alpha=0.3, adjust=False).mean()
+        for (i, w) in zip(pdf[pdf["k"] == k].sort_values("i")["i"], want):
+            assert got[(k, i)] == round(w, 6), (k, i, got[(k, i)], w)
+    assert len(got) == len(rows)
