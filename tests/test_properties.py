@@ -383,3 +383,24 @@ def test_kmeans_partition_invariant(spark, vecs, nparts):
     ra = {r["id"]: (r["cluster"], r["dist_q"]) for r in out_a.collect()}
     rb = {r["id"]: (r["cluster"], r["dist_q"]) for r in out_b.collect()}
     assert ra == rb
+
+
+# ------------------------------------------------------------------- PSI
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.sampled_from("abcdef"), min_size=1, max_size=60),
+    st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=60),
+)
+def test_psi_terms_are_nonnegative(spark, a_keys, b_keys):
+    """Every PSI term is (p_a - p_b) * ln(p_a / p_b): the factors always
+    share a sign, so each per-bucket term — and the __total__ — must be
+    >= 0 for ANY pair of distributions (a property the add-one smoothing
+    must not break)."""
+    from migdar_data_pipelines_spark.operators.profile import psi_drift
+
+    da = spark.createDataFrame([(k,) for k in a_keys], "lang string")
+    db = spark.createDataFrame([(k,) for k in b_keys], "lang string")
+    rows = psi_drift(da, db, ["lang"]).collect()
+    assert rows, "one row per union bucket plus the total"
+    for r in rows:
+        assert r["psi_term"] >= 0.0, (r["lang"], r["psi_term"])
