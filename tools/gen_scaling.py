@@ -54,6 +54,11 @@ PICK = [
     ("bigram_lm_nll_documents", "documents", "two broadcast count models over the token stream"),
     ("gopher_repetition_documents", "doc + repeat-variant corpus", "segment/gram aggs + per-doc interval union"),
     ("knn_graph_embeddings", "embedding corpus", "block-pair matmul (quadratic gate path)"),
+    ("label_propagation_documents", "doc community graph", "per-round O(edges) join + argmax window"),
+    ("kmv_day_overlap_events", "events rows", "scan-local grouped k-min + sketch-sized pair algebra"),
+    ("sampled_quantiles_by_returnflag", "lineitem rows", "grouped k-min partials + candidate-only rank"),
+    ("winsorize_prices_returnflag", "lineitem rows", "quantile pass + broadcast bounds join"),
+    ("mutual_information_documents", "documents", "one joint groupBy + broadcast term sum"),
 ]
 
 
