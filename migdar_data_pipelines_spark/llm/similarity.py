@@ -25,6 +25,18 @@ from .._serde import register_self_contained
 
 register_self_contained(__name__)
 
+# strategy="auto" routing ceiling for the corpus-wide embedding entry
+# points (knn_graph / mutual_knn_clusters / margin_mining): at/below this
+# many vectors the exact blocked kernel is the better plan (its block
+# cross-join is ~ (n/block_rows)^2 block pairs — bounded work that stays
+# below the IVF route's quantizer-training + dual-assignment overhead);
+# above it, the plan MUST be sub-quadratic, so auto routes to the IVF
+# cell equi-join with sqrt(n) cells. 100k vectors = ~9.5k block pairs at
+# the default block_rows=1024 — well inside a cluster's comfort zone,
+# while 10x that would already be ~1M block pairs. Same auto-route shape
+# as operators/windows.py::running_totals (AUTO_ROWS_THRESHOLD).
+ANN_AUTO_EXACT_MAX_ROWS = 100_000
+
 
 def cosine_topk(
     queries: DataFrame,
@@ -412,12 +424,13 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    strategy: str = "exact",
-    n_cells: int | str = 16,
+    strategy: str = "auto",
+    n_cells: int | str = "auto",
     nprobe: int = 2,
     seed: int = 42,
     block_rows: int = 1024,
     exclude_self: bool = True,
+    auto_rows_threshold: int | None = None,
 ) -> DataFrame:
     """Corpus-wide kNN graph: top-``k`` cosine neighbours of EVERY vector,
     as (query_id, neighbour_id, cosine, rank) — the input graph for
@@ -425,6 +438,15 @@ def knn_graph(
     mining.
 
     ``strategy``:
+      * ``"auto"`` (default) — persist the (id, vec) projection, count it
+        (one bounded scalar at plan-construction time — the same accepted
+        eager gate as the LSH candidate broadcast, llm/dedup.py:259; the
+        persisted frame feeds whichever kernel wins, so nothing upstream
+        recomputes), and route: at/below ``auto_rows_threshold`` rows
+        (default ``ANN_AUTO_EXACT_MAX_ROWS``) the exact kernel — bounded
+        quadratic work that beats the IVF route's quantizer overhead —
+        above it the sub-quadratic IVF cell equi-join, so the public
+        entry point NEVER defaults to an O(n^2) plan at corpus scale.
       * ``"exact"`` — the blocked-matmul brute force
         (:func:`cosine_topk_blocked`): every block pair scored, output
         bit-identical to ``cosine_topk``. Quadratic in corpus size — this
@@ -447,6 +469,18 @@ def knn_graph(
         (``tests/test_llm_ops.py::test_knn_graph_ivf_recall`` pins
         >= 0.95 edge recall on the benchmark corpus).
     """
+    n = None
+    if strategy == "auto":
+        from ..operators.caching import scoped_persist
+
+        df = scoped_persist(df.select(id_col, vec_col))
+        n = df.count()
+        ceiling = (
+            ANN_AUTO_EXACT_MAX_ROWS
+            if auto_rows_threshold is None
+            else auto_rows_threshold
+        )
+        strategy = "exact" if n <= ceiling else "ivf"
     if strategy == "exact":
         return cosine_topk_blocked(
             df, df, id_col, id_col, query_vec=vec_col, corpus_vec=vec_col,
@@ -455,7 +489,7 @@ def knn_graph(
     if strategy != "ivf":
         raise ValueError(f"knn_graph: unknown strategy {strategy!r}")
     if n_cells == "auto":
-        n_cells = max(4, int(df.count() ** 0.5))
+        n_cells = max(4, int((df.count() if n is None else n) ** 0.5))
     cents = train_ivf_centroids(df, vec_col, n_cells, seed=seed, id_col=id_col)
     corpus = assign_cells(df, cents, vec_col, out_col="__cell")
     q = top_cells(df, cents, vec_col, nprobe, out_col="__cells").select(
@@ -473,10 +507,11 @@ def mutual_knn_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    strategy: str = "exact",
-    n_cells: int = 16,
+    strategy: str = "auto",
+    n_cells: int | str = "auto",
     nprobe: int = 2,
     seed: int = 42,
+    auto_rows_threshold: int | None = None,
 ) -> DataFrame:
     """Semantic clustering by mutual-kNN + connected components (the
     SemDeDup-family pipeline shape): an edge exists only where BOTH
@@ -485,9 +520,11 @@ def mutual_knn_clusters(
     every vector (singletons stay their own cluster). Returns
     (id_col, cluster_id, cluster_size).
 
-    ``strategy`` routes the kNN pass (see :func:`knn_graph`): ``"exact"``
-    is the oracle-gated quadratic kernel; ``"ivf"`` is the sub-quadratic
-    production path. Note the ANN pass's sub-1 recall cuts both ways at
+    ``strategy`` routes the kNN pass (see :func:`knn_graph`): ``"auto"``
+    (default) counts the corpus once and picks exact at/below
+    ``auto_rows_threshold`` (default ``ANN_AUTO_EXACT_MAX_ROWS``), IVF
+    above; ``"exact"`` is the oracle-gated quadratic kernel; ``"ivf"`` is
+    the sub-quadratic production path. Note the ANN pass's sub-1 recall cuts both ways at
     the edge level: a missed true neighbour usually drops a mutual edge
     (under-merge), but it also promotes the next-nearest candidate into
     the top-k, which can occasionally mint a spurious mutual edge — the
@@ -507,6 +544,7 @@ def mutual_knn_clusters(
         knn_graph(
             e, id_col, vec_col, k=k, strategy=strategy,
             n_cells=n_cells, nprobe=nprobe, seed=seed,
+            auto_rows_threshold=auto_rows_threshold,
         ).select(
             F.col("query_id").alias("qid"), F.col("neighbour_id").alias("cid")
         )
@@ -536,10 +574,11 @@ def margin_mining(
     vec_col: str = "embedding",
     k: int = 4,
     margin_threshold: float = 1.05,
-    strategy: str = "exact",
-    n_cells: int = 16,
+    strategy: str = "auto",
+    n_cells: int | str = "auto",
     nprobe: int = 2,
     seed: int = 42,
+    auto_rows_threshold: int | None = None,
 ) -> DataFrame:
     """Margin-based candidate mining between two embedding spaces (Artetxe &
     Schwenk 2019, the LASER/CCMatrix bitext-mining scorer): for a candidate
@@ -557,7 +596,12 @@ def margin_mining(
     is on rounded cosines with id tie-breaks, so the mined set is
     engine-exact.
 
-    ``strategy="exact"`` (the oracle-gated default) runs both passes on
+    ``strategy="auto"`` (default) persists both sides (each feeds two
+    passes anyway), counts them once, and routes on the LARGER side:
+    exact at/below ``auto_rows_threshold`` (default
+    ``ANN_AUTO_EXACT_MAX_ROWS``), IVF above — the quadratic term is
+    |left| x |right|, so the bigger side decides.
+    ``strategy="exact"`` (the oracle-gate path) runs both passes on
     the blocked matmul kernel: margin mining's query side is corpus-sized,
     which is exactly when the interpreted expression fold collapses
     (42s -> ~3s at sf0.1); cosine_topk_blocked is rank-identical by
@@ -570,6 +614,19 @@ def margin_mining(
     neighbours)."""
     from ..operators.caching import scoped_persist
 
+    counts: dict[int, int] = {}
+    if strategy == "auto":
+        left = scoped_persist(left.select(id_col, vec_col))
+        right = scoped_persist(right.select(id_col, vec_col))
+        counts[id(left)] = left.count()
+        counts[id(right)] = right.count()
+        ceiling = (
+            ANN_AUTO_EXACT_MAX_ROWS
+            if auto_rows_threshold is None
+            else auto_rows_threshold
+        )
+        strategy = "exact" if max(counts.values()) <= ceiling else "ivf"
+
     def _topk(qs: DataFrame, cs: DataFrame) -> DataFrame:
         if strategy == "exact":
             return cosine_topk_blocked(
@@ -578,8 +635,11 @@ def margin_mining(
             )
         if strategy != "ivf":
             raise ValueError(f"margin_mining: unknown strategy {strategy!r}")
+        cells = n_cells
+        if cells == "auto":
+            cells = max(4, int((counts.get(id(cs)) or cs.count()) ** 0.5))
         cents = train_ivf_centroids(
-            cs, vec_col, n_cells, seed=seed, id_col=id_col
+            cs, vec_col, cells, seed=seed, id_col=id_col
         )
         corpus = assign_cells(cs, cents, vec_col, out_col="__cell")
         q = top_cells(qs, cents, vec_col, nprobe, out_col="__cells").select(
