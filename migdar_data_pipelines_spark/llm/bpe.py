@@ -129,10 +129,24 @@ def bpe_segment(
     """Append ``out_col``: the BPE token array of ``text_col``. Merges ship
     to executors inside the serialized closure (vocabulary-sized); per-batch
     word memo collapses repeated words; Arrow-batched mapInPandas keeps the
-    corpus pass vectorized at the transport layer."""
+    corpus pass vectorized at the transport layer.
+
+    Tokenization contract (ADVICE r7): words split on ASCII whitespace
+    (``[ \\t\\n\\x0b\\f\\r]+`` — the same set Java/RE2 ``\\s`` matches, so
+    ``n_bpe_tokens`` stays consistent with ``words()``/``n_words`` on any
+    text), and case folding is ASCII A-Z only (Python ``str.lower()``'s
+    full Unicode mapping has no portable engine mirror; non-ASCII letters
+    pass through unchanged in BOTH engines via ``translate``)."""
+    import re
+
     import pandas as pd
 
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    ascii_lower = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
 
     ranks = {pair: i for i, pair in enumerate(merges)}
     in_cols = df.columns
@@ -149,8 +163,10 @@ def bpe_segment(
 
             def seg_text(text):
                 toks: list[str] = []
-                for w in (text or "").split():
-                    lw = w.lower()
+                for w in ws_re.split(text or ""):
+                    if not w:
+                        continue
+                    lw = w.translate(ascii_lower)
                     got = memo.get(lw)
                     if got is None:
                         got = memo[lw] = segment_word(lw, ranks)
@@ -180,7 +196,8 @@ PINNED_BPE_MERGES: list[tuple[str, str]] = learn_bpe(PINNED_BPE_FREQS, 60)
 
 def bpe_segment_sql(docs_sql: str, merges: list[tuple[str, str]]) -> str:
     """Generated DuckDB mirror of ``bpe_segment`` + token counting for a
-    FIXED merge list: per-document whitespace words (lowercased), each
+    FIXED merge list: per-document whitespace words (ASCII-case-folded —
+    the bpe_segment contract), each
     distinct word segmented by applying the merges IN RANK ORDER, each
     exhaustively left-to-right.
 
@@ -212,7 +229,10 @@ def bpe_segment_sql(docs_sql: str, merges: list[tuple[str, str]]) -> str:
 WITH d AS ({docs_sql}),
 dw AS (
   SELECT id,
-         list_transform({WORDS_SQL.format(col="text")}, x -> lower(x)) AS ws
+         list_transform(
+           {WORDS_SQL.format(col="text")},
+           x -> translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                             'abcdefghijklmnopqrstuvwxyz')) AS ws
   FROM d
 ),
 w AS (SELECT id, unnest(ws) AS word FROM dw),

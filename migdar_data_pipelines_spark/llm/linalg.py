@@ -174,6 +174,7 @@ def pca_project(
     vec_col: str = "embedding",
     n_components: int = 8,
     out_col: str = "pca",
+    components=None,
 ):
     """Principal-component projection of an embedding column.
 
@@ -186,11 +187,65 @@ def pca_project(
     Returns (df + out_col array<double>, components, eigenvalues) — the
     standard compression pass before ANN indexing (centered, projected;
     eigenvalues in descending order, micro-unit^2 scale removed).
+
+    ``components`` (optional) pins an INTEGER component matrix (k x d,
+    list of lists) instead of the eigenvectors — the oracle-gate route:
+    the projection then runs entirely in exact integer arithmetic
+    (micro-unit quantized coordinates x int weights, the
+    ``second_moments_q`` conventions), the centering term ``mu . W_j``
+    is an exact int64 ``S . W_j`` divided by ``n`` once, and the final
+    de-scale + 6dp round is the same fixed two-operand IEEE expression
+    in both engines (``pca_project_pinned_sql`` is the generated
+    mirror), so a DuckDB oracle can value-hash the projection — closing
+    the one operator that was previously verified only against a
+    driver-side numpy recomputation. Eigenvalues return ``None`` in
+    this mode; the projection machinery (scan-local Arrow-batched
+    matmul, weights in the closure) is the SAME code shape as the
+    eigen route.
     """
     import numpy as np
 
     from pyspark.sql import functions as F  # noqa: F811
     from pyspark.sql.functions import pandas_udf
+
+    if components is not None:
+        Wq = np.asarray(components, dtype=np.int64)  # (k, d)
+        d = Wq.shape[1]
+        vq = F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * MOMENT_SCALE).cast("long"),
+        )
+        base = df.withColumn("__vq", vq)
+        # exact per-dim sums + count: d map-side-combinable integer SUM
+        # aggregates over the quantized coordinates — one scan, one
+        # d-int row to the driver, no explode/shuffle of the corpus
+        tot = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col("__vq")[i]).alias(f"s{i}")
+                for i in range(d)
+            ],
+        ).collect()[0]
+        n = tot["n"]
+        S = np.asarray([tot[f"s{i}"] for i in range(d)], dtype=object)
+        # centering term per component: exact integer S . W_j, divided
+        # by n ONCE (python bigint -> correctly-rounded double, matching
+        # CAST(m AS DOUBLE)/CAST(n AS DOUBLE) for |m| < 2^53)
+        M_over_n = np.asarray(
+            [float(int((S * Wq[j]).sum()) / n) for j in range(Wq.shape[0])]
+        )
+
+        @pandas_udf("array<double>")
+        def _proj_q(vqs: pd.Series) -> pd.Series:
+            X = np.asarray(vqs.tolist(), dtype=np.int64)
+            Yq = X @ Wq.T  # exact int64
+            Y = np.round(
+                (Yq.astype(np.float64) - M_over_n[None, :]) / MOMENT_SCALE, 6
+            ) + 0.0
+            return pd.Series(list(Y))
+
+        out = base.withColumn(out_col, _proj_q(F.col("__vq"))).drop("__vq")
+        return out, Wq.astype(np.float64), None
 
     rows = second_moments_q(df, vec_col).collect()
     d = max(r["j"] for r in rows) + 1
@@ -221,3 +276,44 @@ def pca_project(
 
     out = df.withColumn(out_col, _proj(F.col(vec_col)))
     return out, comps, lam
+
+
+def pca_project_pinned_sql(
+    src_sql: str,
+    components,
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB mirror of ``pca_project(components=...)`` in LONG format —
+    one row (id, component, y) per projected coordinate: identical
+    micro-unit quantization (round half away from zero, the
+    ``second_moments_sql`` contract), exact integer xq*w sums per
+    (row, component), exact integer centering numerators, and the same
+    fixed ``(yq - m/n)/SCALE`` double expression rounded at 6dp."""
+    Wq = [list(map(int, row)) for row in components]
+    vals = ",".join(
+        f"({j},{dim},{w})"
+        for j, row in enumerate(Wq)
+        for dim, w in enumerate(row)
+    )
+    return f"""
+WITH vl AS (
+  SELECT {id_expr} AS rid, pos - 1 AS dim,
+         CAST(round(CAST(x AS DOUBLE) * {MOMENT_SCALE}) AS BIGINT) AS xq
+  FROM (SELECT {id_expr}, unnest({vec_expr}) AS x,
+               generate_subscripts({vec_expr}, 1) AS pos
+        FROM ({src_sql}))
+),
+w(comp, dim, wt) AS (VALUES {vals}),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ({src_sql})),
+s AS (SELECT dim, CAST(sum(xq) AS BIGINT) AS s FROM vl GROUP BY dim),
+m AS (SELECT w.comp, CAST(sum(s.s * w.wt) AS BIGINT) AS m
+      FROM s JOIN w ON s.dim = w.dim GROUP BY w.comp),
+yq AS (SELECT vl.rid, w.comp, CAST(sum(vl.xq * w.wt) AS BIGINT) AS yq
+       FROM vl JOIN w ON vl.dim = w.dim GROUP BY vl.rid, w.comp)
+SELECT yq.rid AS {id_expr}, CAST(yq.comp AS INTEGER) AS component,
+       round((CAST(yq.yq AS DOUBLE) - CAST(m.m AS DOUBLE) / CAST(tot.n AS DOUBLE))
+             / CAST({float(MOMENT_SCALE)!r} AS DOUBLE), 6)
+       + CAST(0.0 AS DOUBLE) AS y
+FROM yq JOIN m ON yq.comp = m.comp CROSS JOIN tot
+"""

@@ -969,6 +969,12 @@ def winsorize_stats_by(
     Shape at scale: the quantile pass (one scan, corpus never shuffles) +
     one broadcast join of the per-group bounds onto the second scan +
     a map-side-combinable aggregate. Two scans total, no sorts.
+
+    NULL ``val_col`` rows are EXCLUDED everywhere — the quantile sample
+    already skips them, and the clip aggregate filters them before
+    counting (ADVICE r7: previously they inflated ``n`` and, because
+    least/greatest skip NULLs, silently entered ``sum_w`` as ``lo_v`` —
+    an engine-version-sensitive accident, not a contract).
     """
     from ..operators.caching import scoped_persist
 
@@ -981,7 +987,7 @@ def winsorize_stats_by(
         F.max(F.when(F.col("p") == hi, F.col("q_value"))).alias("hi_v"),
     )
     v = F.col(val_col)
-    j = df.join(F.broadcast(b), gc)
+    j = df.filter(v.isNotNull()).join(F.broadcast(b), gc)
     clipped = F.least(F.greatest(v, F.col("lo_v")), F.col("hi_v"))
     return j.groupBy(*gc).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -1027,5 +1033,6 @@ SELECT {g}, CAST(count(*) AS BIGINT) AS n,
        CAST(sum(CAST(least(greatest({val_expr}, lo_v), hi_v)
                      AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_w
 FROM {from_sql} JOIN b USING ({g})
+WHERE {val_expr} IS NOT NULL
 GROUP BY {g}
 """

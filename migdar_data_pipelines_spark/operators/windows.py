@@ -553,6 +553,13 @@ def ewma_by(
     partitionBy(key) exchange every keyed window pays. Adds ``ewma``
     (6dp; the weights are float — identical IEEE pow/mul both engines
     round well inside 6dp at these magnitudes).
+
+    NULL ``val_col`` semantics (ADVICE r7): NULL observations are
+    EXCLUDED from the frame — the average runs over the non-null values
+    of the last ``window`` rows, m counts only those, and a frame with
+    no non-null values yields ewma NULL (try_divide) rather than a
+    division error. The generated mirror applies the same list_filter,
+    so both engines agree on nullable streams.
     """
     from pyspark.sql import Window
 
@@ -576,7 +583,9 @@ def ewma_by(
     den = (F.lit(1.0) - F.pow(F.lit(q), m.cast("double"))) / F.lit(1.0 - q)
     return (
         df.withColumn("__arr", arr)
-        .withColumn("ewma", F.round(num / den, 6))
+        # try_divide: an all-NULL frame gives m=0 -> den=0; ANSI division
+        # would throw, NULL is the contract (see docstring)
+        .withColumn("ewma", F.round(F.try_divide(num, den), 6))
         .drop("__arr")
     )
 
@@ -591,7 +600,10 @@ def ewma_by_sql(
 ) -> str:
     """DuckDB mirror of ``ewma_by`` — same frame, same left-to-right
     weighted fold (list_sum of the transformed frame list is sequential),
-    same closed-form denominator."""
+    same closed-form denominator. NULL observations are list_filtered
+    out of the frame before weighting (Spark's collect_list drops them
+    implicitly — ADVICE r7), and an all-NULL frame yields NULL via
+    nullif on the denominator."""
     q = repr(1.0 - alpha)
     g = ", ".join(group_cols)
     o = ", ".join(order_cols)
@@ -602,14 +614,19 @@ WITH a AS (
               ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW
             ) AS arr
   FROM {from_sql}
+),
+fa AS (
+  SELECT * EXCLUDE (arr),
+         list_filter(arr, x -> x IS NOT NULL) AS fl
+  FROM a
 )
-SELECT * EXCLUDE (arr),
+SELECT * EXCLUDE (fl),
        round(
-         list_sum(list_transform(list_zip(arr, generate_series(1, len(arr))),
+         list_sum(list_transform(list_zip(fl, generate_series(1, len(fl))),
            t -> t[1] * power(CAST({q} AS DOUBLE),
-                             CAST(len(arr) - t[2] AS DOUBLE))))
-         / ((1 - power(CAST({q} AS DOUBLE), CAST(len(arr) AS DOUBLE)))
-            / CAST({repr(1.0 - (1.0 - alpha))} AS DOUBLE)),
+                             CAST(len(fl) - t[2] AS DOUBLE))))
+         / nullif((1 - power(CAST({q} AS DOUBLE), CAST(len(fl) AS DOUBLE)))
+                  / CAST({repr(1.0 - (1.0 - alpha))} AS DOUBLE), 0),
          6) AS ewma
-FROM a
+FROM fa
 """

@@ -4876,6 +4876,49 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _install_second_moments_sql()
 
 
+#: pinned integer component matrix (k=2, d=64) for the pca_project oracle
+#: gate — deterministic small weights so every reduction stays exact int64
+PCA_PINNED_COMPONENTS = [
+    [((i * 7 + 3) % 5) - 2 for i in range(64)],
+    [((i * 13 + 1) % 7) - 3 for i in range(64)],
+]
+
+
+def _install_pca_project_sql() -> None:
+    from ..llm.linalg import pca_project_pinned_sql
+
+    QUERIES["pca_project_embeddings"]["sql"] = pca_project_pinned_sql(
+        "SELECT vec_id, embedding FROM embeddings", PCA_PINNED_COMPONENTS
+    )
+
+
+@register("pca_project_embeddings", sql=None)  # SQL installed below (generated)
+def pca_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection pass (llm/linalg.py::pca_project) on PINNED integer
+    components — the oracle gate for the projection machinery (scan-local
+    Arrow-batched matmul with the component matrix in the closure, exact
+    integer centering sums, one d-int driver row — never the corpus).
+    Pinning the components sidesteps the eigendecomposition's float
+    non-portability (the eigen route is separately verified against
+    numpy in tests/test_llm_ops.py) while value-hashing the projection
+    itself: micro-unit quantization, the X @ W^T reduce, the mu . W
+    centering, and the 6dp de-scale all run under the DuckDB mirror
+    (pca_project_pinned_sql, GENERATED from the same literals). Output
+    LONG format (vec_id, component, y) so the hash covers scalars."""
+    from ..llm.linalg import pca_project
+
+    e = _t(spark, sf_dir, "embeddings")
+    out, _, _ = pca_project(
+        e.select("vec_id", "embedding"), components=PCA_PINNED_COMPONENTS
+    )
+    return out.select(
+        "vec_id", F.posexplode("pca").alias("component", "y")
+    )
+
+
+_install_pca_project_sql()
+
+
 def _install_streaming_psi_sql() -> None:
     from ..operators.profile import psi_drift_by_sql
 

@@ -1504,6 +1504,36 @@ def test_second_moments_and_pca_reference(spark):
     assert v[0] > v[1] > v[2]
 
 
+def test_pca_project_pinned_components_exact(spark):
+    """pca_project(components=...) — the oracle-gate route — vs an exact
+    integer reference: quantize, integer matmul, exact centering
+    numerator divided once, 6dp de-scale. Must match to the last digit
+    (the whole point of the pinned mode is exactness both engines can
+    reproduce)."""
+    import numpy as np
+
+    from migdar_data_pipelines_spark.llm.linalg import MOMENT_SCALE, pca_project
+
+    rng = np.random.default_rng(5)
+    X = np.round(rng.normal(size=(30, 6)) * 0.4, 6)
+    W = [[1, -2, 0, 2, -1, 1], [0, 3, -3, 1, 0, -2]]
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    out, comps, lam = pca_project(df, "embedding", components=W)
+    assert lam is None and comps.shape == (2, 6)
+
+    Q = np.round(X * MOMENT_SCALE).astype(np.int64)
+    Wq = np.asarray(W, dtype=np.int64)
+    S = Q.sum(axis=0)
+    M_over_n = (S @ Wq.T) / len(Q)
+    ref = np.round(((Q @ Wq.T) - M_over_n[None, :]) / MOMENT_SCALE, 6) + 0.0
+    rows = {r["vec_id"]: r["pca"] for r in out.collect()}
+    for i in range(len(Q)):
+        assert list(rows[i]) == list(ref[i]), i
+
+
 def test_audio_segments_matches_python_reference(spark):
     """llm/multimodal.py::audio_segments vs a python window planner: exact
     segment grid, last-window clipping, short-clip single segment, sample

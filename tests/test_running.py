@@ -211,3 +211,34 @@ def test_ewma_by_matches_python_reference(spark):
             assert got[(u, t)] == _pt.approx(ref(xs, t), abs=1e-6), (u, t)
     # constant series smooths to itself everywhere
     assert all(got[("u2", t)] == 5.0 for t in range(3))
+
+
+def test_ewma_by_null_values_cross_engine(spark):
+    """ADVICE r7: ewma_by on a NULL-bearing value stream must agree with
+    the generated DuckDB mirror — NULL observations drop out of the
+    frame in BOTH engines (Spark collect_list drops implicitly; the
+    mirror list_filters), and an all-NULL frame yields NULL ewma instead
+    of a division error."""
+    import duckdb
+
+    from migdar_data_pipelines_spark.operators.windows import ewma_by, ewma_by_sql
+    from tests import parity
+
+    rows = [
+        ("u1", 0, 10.0), ("u1", 1, None), ("u1", 2, 30.0), ("u1", 3, None),
+        ("u1", 4, 50.0),
+        # u2: leading all-NULL frame -> ewma NULL on the first rows
+        ("u2", 0, None), ("u2", 1, None), ("u2", 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "u string, i long, v double")
+    got = ewma_by(df, ["u"], ["i"], "v", alpha=0.3, window=3)
+    assert got.where((F.col("u") == "u2") & (F.col("i") < 2))\
+              .where(F.col("ewma").isNull()).count() == 2
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t (u VARCHAR, i BIGINT, v DOUBLE)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    sql = ewma_by_sql("t", ["u"], ["i"], "v", alpha=0.3, window=3)
+    parity.compare(got, con, sql, name="ewma_by_nulls")
