@@ -131,19 +131,22 @@ def bpe_segment(
     word memo collapses repeated words; Arrow-batched mapInPandas keeps the
     corpus pass vectorized at the transport layer.
 
-    Tokenization contract (ADVICE r7): words split on ASCII whitespace
-    (``[ \\t\\n\\x0b\\f\\r]+`` — the same set Java/RE2 ``\\s`` matches, so
-    ``n_bpe_tokens`` stays consistent with ``words()``/``n_words`` on any
-    text), and case folding is ASCII A-Z only (Python ``str.lower()``'s
-    full Unicode mapping has no portable engine mirror; non-ASCII letters
-    pass through unchanged in BOTH engines via ``translate``)."""
+    Tokenization contract (ADVICE r7/r8): words split on
+    ``[ \\t\\n\\f\\r]+`` — RE2's ``\\s`` set, which DuckDB's
+    ``string_split_regex`` uses in the oracle mirrors; note RE2 excludes
+    vertical tab ``\\x0b`` (Java/Python ``\\s`` include it), so the
+    explicit class keeps ``n_bpe_tokens`` consistent with
+    ``words()``/``n_words`` in BOTH engines on any text. Case folding is
+    ASCII A-Z only (Python ``str.lower()``'s full Unicode mapping has no
+    portable engine mirror; non-ASCII letters pass through unchanged in
+    BOTH engines via ``translate``)."""
     import re
 
     import pandas as pd
 
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
-    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+    ws_re = re.compile(r"[ \t\n\f\r]+")
     ascii_lower = str.maketrans(
         "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
     )

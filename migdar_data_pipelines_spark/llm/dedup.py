@@ -1704,9 +1704,10 @@ def winnow_fingerprints(
         f"id {id_type}, n_grams bigint, n_fingerprints bigint, "
         "fingerprints array<bigint>"
     )
-    # Java regex \s is ASCII-only; mirror it exactly (Python re's \s would
-    # also match unicode whitespace and diverge from words()/the oracle)
-    split_re = re.compile("[ \t\n\x0b\f\r]+")
+    # Shared whitespace contract is RE2's \s set [\t\n\f\r ] (no vertical
+    # tab — DuckDB's string_split_regex excludes \x0b, Java/Python \s
+    # include it); mirror it exactly so spans agree with words()/the oracle
+    split_re = re.compile("[ \t\n\f\r]+")
 
     def winnow(batches):
         import numpy as np

@@ -468,6 +468,21 @@ def knn_graph(
         exact graph; recall < 1 by design and rises with ``nprobe``
         (``tests/test_llm_ops.py::test_knn_graph_ivf_recall`` pins
         >= 0.95 edge recall on the benchmark corpus).
+
+    Cache lifetime (ADVICE r8): ``strategy="auto"`` is EAGER at call time
+    — it runs one count job — and the (id, vec) projection stays persisted
+    via :func:`~..operators.caching.scoped_persist` until the next
+    :func:`~..operators.caching.release_scoped` (the query registry calls
+    it between queries; long-lived sessions calling this API directly
+    should call ``release_scoped()`` after consuming each result, or
+    pinned frames accumulate). Both routed kernels consume the persisted
+    frame more than once (exact: query+corpus side; IVF: quantizer
+    training, cell assignment, probing), so the persist is load-bearing on
+    either branch, not just a routing artifact.
+
+    Changed defaults (round 8): ``strategy`` "exact"→"auto";
+    ``n_cells`` 16→"auto" (~sqrt(n)) — explicit ``strategy="ivf"``
+    callers who relied on 16 cells should now pass ``n_cells=16``.
     """
     n = None
     if strategy == "auto":
@@ -531,7 +546,12 @@ def mutual_knn_clusters(
     mutual filter bounds, but does not eliminate, that effect. On
     separable data (the regime clustering is FOR) the kNN recall is ~1
     and the clusterings coincide; the recall gate in
-    tests/test_llm_ops.py pins both."""
+    tests/test_llm_ops.py pins both.
+
+    Cache lifetime: ``strategy="auto"`` runs one eager count job inside
+    the kNN pass and the routed projection (plus the kNN edge frame below)
+    stays persisted until the next ``release_scoped()`` — see
+    :func:`knn_graph` for the contract."""
     from ..operators.caching import scoped_persist
 
     from .dedup import canonical_groups
@@ -611,7 +631,11 @@ def margin_mining(
     route as :func:`knn_graph`); mined pairs still carry exact rescored
     cosines, and a pair missed by the ANN pass only shrinks the mined set
     (margins of FOUND pairs shift by at most the avgk drift of missed
-    neighbours)."""
+    neighbours).
+
+    Cache lifetime: ``strategy="auto"`` runs two eager count jobs at call
+    time and both side projections stay persisted until the next
+    ``release_scoped()`` — see :func:`knn_graph` for the contract."""
     from ..operators.caching import scoped_persist
 
     counts: dict[int, int] = {}

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 # (GPT-2-style contraction/space handling stripped down to a portable regex).
 BPE_ISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
-WORD_SPLIT_RE = r"\s+"
+# Cross-engine whitespace contract: RE2 (DuckDB string_split_regex) defines
+# \s as [\t\n\f\r ] — NO vertical tab \x0b — while Java \s includes \x0b, so
+# the Spark side uses the explicit RE2 set to keep word counts identical in
+# both engines (ADVICE r8).
+WORD_SPLIT_RE = r"[ \t\n\f\r]+"
 
 
 def words(col: Column | str) -> Column:

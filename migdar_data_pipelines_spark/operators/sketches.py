@@ -975,6 +975,11 @@ def winsorize_stats_by(
     counting (ADVICE r7: previously they inflated ``n`` and, because
     least/greatest skip NULLs, silently entered ``sum_w`` as ``lo_v`` —
     an engine-version-sensitive accident, not a contract).
+
+    Output-shape consequence (ADVICE r8): a group whose ``val_col`` is
+    entirely NULL has no quantile sample and no surviving rows, so it
+    produces NO output row at all — consumers that need one row per input
+    group should left-join this result back onto the distinct group keys.
     """
     from ..operators.caching import scoped_persist
 

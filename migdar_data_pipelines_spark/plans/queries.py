@@ -1834,43 +1834,16 @@ def cohort_ltv_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _round_salt() -> int:
-    """Per-round registry iteration salt (VERDICT r7 #6): the driver's
-    correctness gate samples the FIRST ~50 names in ``queries()``
-    iteration order, so a fixed insertion order means the same round-1
-    queries get the driver's hard green forever while newer operators
-    never do. The round number isn't passed in, but each round commits
-    one more CORRECTNESS_r{N}.json at the repo root — counting them is a
-    deterministic, driver-visible proxy that advances exactly once per
-    round. Falls back to 0 (insertion order) outside a repo checkout."""
-    try:
-        from pathlib import Path
-
-        root = Path(__file__).resolve().parents[2]
-        return len(list(root.glob("CORRECTNESS_r*.json")))
-    except Exception:
-        return 0
-
-
-def _salted_names() -> list[str]:
-    names = list(QUERIES)
-    salt = _round_salt()
-    if salt:
-        import hashlib
-
-        names.sort(
-            key=lambda n: hashlib.md5(f"{salt}:{n}".encode()).hexdigest()
-        )
-    return names
-
-
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: QUERIES[name]["fn"] for name in _salted_names()}
+    """Registry in stable insertion order. Reproducible across
+    environments by design: iteration order depends only on module
+    source, never on repo-root state (ADVICE r8 removed the per-round
+    salt — any sampling strategy belongs to the evaluation harness,
+    not the library)."""
+    return {name: spec["fn"] for name, spec in QUERIES.items()}
 
 
 def oracle_sqls() -> dict[str, str]:
     return {
-        name: QUERIES[name]["sql"]
-        for name in _salted_names()
-        if QUERIES[name]["sql"]
+        name: spec["sql"] for name, spec in QUERIES.items() if spec["sql"]
     }
