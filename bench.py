@@ -12,12 +12,22 @@ correctness gate runs, capped per query (a LSH/ngram oracle is quadratic in
 DuckDB and would run for minutes) — capped queries report oracle_sec = cap and
 appear in "oracle_capped".
 
+Regression detection (VERDICT r8 #2): single-run timings carry ~±35%
+run-to-run noise at this scale (ppjoin measured 4.10/5.55/2.85s across three
+rounds with zero code change), which hides real regressions. The slowest
+REPEAT_TOP queries from the first timed pass are therefore re-timed to
+REPEAT_N samples each; their reported per-query number is the MEDIAN and
+bench_full.json records every sample plus the relative spread
+((max-min)/median), so a cross-round comparison can tell signal from noise.
+
 Env knobs:
-  SPARK_GRAFT_SF_DIR      data dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_SHUFFLE     override spark.sql.shuffle.partitions
-  SPARK_GRAFT_ORACLE      "0" to skip the DuckDB oracle pass
-  SPARK_GRAFT_ORACLE_CAP  per-query oracle cap in seconds (default 60)
-  SPARK_GRAFT_BENCH_ONLY  comma-separated query names to restrict the run
+  SPARK_GRAFT_SF_DIR        data dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_SHUFFLE       override spark.sql.shuffle.partitions
+  SPARK_GRAFT_ORACLE        "0" to skip the DuckDB oracle pass
+  SPARK_GRAFT_ORACLE_CAP    per-query oracle cap in seconds (default 60)
+  SPARK_GRAFT_BENCH_ONLY    comma-separated query names to restrict the run
+  SPARK_GRAFT_REPEAT_TOP    how many slowest queries get repeated (default 30)
+  SPARK_GRAFT_REPEAT_N      samples per repeated query, >=1 (default 3)
 """
 
 from __future__ import annotations
@@ -173,12 +183,38 @@ def main() -> None:
     clean()
     time.sleep(2)
 
-    timings: dict[str, float] = {}
-    for name in names:
+    def timed(name: str) -> float:
         t0 = time.perf_counter()
         fns[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        sec = round(time.perf_counter() - t0, 4)
         clean()
+        return sec
+
+    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    for name in names:
+        sec = timed(name)
+        timings[name] = sec
+        samples[name] = [sec]
+
+    # Median-of-N on the slowest queries: the heavy tail is where a real
+    # regression would live AND where single-run noise is largest in absolute
+    # terms, so only it earns the extra samples (repeating the ~100 sub-second
+    # queries would double the wall time to stabilise numbers already near the
+    # job-launch floor).
+    repeat_top = int(os.environ.get("SPARK_GRAFT_REPEAT_TOP", "30"))
+    repeat_n = max(1, int(os.environ.get("SPARK_GRAFT_REPEAT_N", "3")))
+    spread: dict[str, float] = {}
+    if repeat_top > 0 and repeat_n > 1:
+        slowest = sorted(timings, key=timings.get, reverse=True)[:repeat_top]
+        for name in slowest:
+            for _ in range(repeat_n - 1):
+                samples[name].append(timed(name))
+            ss = sorted(samples[name])
+            mid = len(ss) // 2
+            med = ss[mid] if len(ss) % 2 else (ss[mid - 1] + ss[mid]) / 2
+            timings[name] = round(med, 4)
+            spread[name] = round((ss[-1] - ss[0]) / med, 4) if med else 0.0
 
     # The stdout contract is ONE compact JSON line the driver tail-captures.
     # r3's line (53 queries + the full oracle map) outgrew that capture and
@@ -193,6 +229,9 @@ def main() -> None:
         "queries": {n: round(t, 2) for n, t in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if spread:
+        result["repeated"] = len(spread)
+        result["repeat_n"] = repeat_n
     full = {
         "metric": "suite_total_sec",
         "value": round(sum(timings.values()), 4),
@@ -200,6 +239,11 @@ def main() -> None:
         "queries": timings,
         "sf": result["sf"],
         "slowest": sorted(timings, key=timings.get, reverse=True)[:5],
+        # every sample for the repeated queries (first-pass value included),
+        # plus relative spread (max-min)/median — the noise band a cross-round
+        # comparison must exceed before calling a move a regression
+        "repeat_samples": {n: samples[n] for n in spread},
+        "repeat_spread": spread,
     }
 
     if os.environ.get("SPARK_GRAFT_ORACLE", "1") != "0":

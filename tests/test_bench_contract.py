@@ -44,6 +44,15 @@ def test_bench_stdout_is_one_compact_json_line(tmp_path):
     full = json.load(open(out))
     assert set(d["queries"]) == set(full["queries"])
     assert "slowest" in full
+    # median-of-N regression detection (VERDICT r8 #2): both queries fall in
+    # the slowest-30 window, so each carries repeat_n samples, a median
+    # per-query number, and a relative spread
+    assert d["repeated"] == 2 and d["repeat_n"] == 3
+    for name in d["queries"]:
+        assert len(full["repeat_samples"][name]) == 3
+        ss = sorted(full["repeat_samples"][name])
+        assert full["queries"][name] == round(ss[1], 4)
+        assert full["repeat_spread"][name] >= 0
 
 
 def test_full_registry_stdout_line_fits_driver_tail_capture():
