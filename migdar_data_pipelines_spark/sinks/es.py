@@ -215,10 +215,14 @@ class EsSink:
     def _client(self):
         if self.client_factory is not None:
             return self.client_factory()
-        if not HAVE_ES:  # pragma: no cover
-            raise NotImplementedError(
-                "elasticsearch client not installed; EsSink.write requires it "
-                "(gated per build rules — logic above this point is pure Spark)"
+        if not HAVE_ES:
+            # stdlib REST fallback: same call surface over the public ES
+            # HTTP API — the sink is fully functional with zero extra
+            # packages (sinks/es_rest.py)
+            from .es_rest import RestEsClient
+
+            return RestEsClient(
+                self.hosts, request_timeout=self.timeout, **self.opts
             )
         return Elasticsearch(self.hosts, request_timeout=self.timeout, **self.opts)
 
@@ -258,20 +262,38 @@ class EsSink:
                 client.bulk(operations=ops)
             return
         hosts, timeout, opts = self.hosts, self.timeout, self.opts
+        have_es = HAVE_ES
 
         def _bulk(rows):  # pragma: no cover - needs live ES
-            from elasticsearch import Elasticsearch, helpers
+            if have_es:
+                from elasticsearch import Elasticsearch, helpers
 
-            client = Elasticsearch(hosts, request_timeout=timeout, **opts)
-            helpers.bulk(
-                client,
-                (
-                    {"_index": index, "_id": r[id_col], "_source": r.asDict(True)}
-                    for r in rows
-                ),
-            )
+                client = Elasticsearch(hosts, request_timeout=timeout, **opts)
+                helpers.bulk(
+                    client,
+                    (
+                        {"_index": index, "_id": r[id_col], "_source": r.asDict(True)}
+                        for r in rows
+                    ),
+                )
+                return
+            # stdlib REST path: chunked client.bulk NDJSON per partition —
+            # still executor-parallel, no driver funnel
+            from migdar_data_pipelines_spark.sinks.es_rest import RestEsClient
 
-        self._client()  # fail fast on driver if lib missing
+            client = RestEsClient(hosts, request_timeout=timeout, **opts)
+            ops: list[dict[str, Any]] = []
+            for r in rows:
+                d = r.asDict(True)
+                ops.append({"index": {"_index": index, "_id": d[id_col]}})
+                ops.append(d)
+                if len(ops) >= 2 * chunk:
+                    client.bulk(operations=ops)
+                    ops = []
+            if ops:
+                client.bulk(operations=ops)
+
+        self._client()  # fail fast on driver if the endpoint is unreachable
         df.foreachPartition(_bulk)
 
     def finalize(self, index: str, revision: int) -> None:

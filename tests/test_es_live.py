@@ -25,8 +25,17 @@ pytestmark = pytest.mark.skipif(
 
 @pytest.fixture(scope="module")
 def es_client():
-    es = pytest.importorskip("elasticsearch")
-    client = es.Elasticsearch(ES_URL, request_timeout=10)
+    # elasticsearch-py when installed, else the stdlib REST client — the
+    # harness has no package gate left; a reachable MIGDAR_ES_URL is the
+    # only requirement (VERDICT r8 #1)
+    try:
+        import elasticsearch as es
+
+        client = es.Elasticsearch(ES_URL, request_timeout=10)
+    except ImportError:
+        from migdar_data_pipelines_spark.sinks.es_rest import RestEsClient
+
+        client = RestEsClient(ES_URL, request_timeout=10)
     try:
         if not client.ping():
             pytest.skip(f"Elasticsearch at {ES_URL} not reachable")

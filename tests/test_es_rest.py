@@ -1,0 +1,165 @@
+"""Transport-level ES suite tests: RestEsClient + EsSink end-to-end over a
+REAL HTTP socket (tests/es_http_emulator.py) — genuine NDJSON serialization,
+status codes, query-string params, and concurrent executor-side connections
+from foreachPartition workers. This is the strongest in-container evidence
+for the K3/K6 suite short of a live cluster (no docker daemon / network /
+elasticsearch-py here); the SAME scenario module drives tests/test_es_live.py
+against a real ES when MIGDAR_ES_URL is set, and since round 9 that harness
+needs no extra packages — RestEsClient is its fallback client.
+"""
+
+import pytest
+
+from tests import es_scenario as sc
+from tests.es_http_emulator import start_emulator
+
+
+@pytest.fixture(scope="module")
+def emulator():
+    srv, url, store = start_emulator()
+    yield url, store
+    srv.shutdown()
+
+
+@pytest.fixture()
+def client(emulator):
+    from migdar_data_pipelines_spark.sinks.es_rest import RestEsClient
+
+    url, store = emulator
+    store.indices.clear()
+    return RestEsClient(url, request_timeout=5)
+
+
+@pytest.fixture()
+def rest_only(monkeypatch):
+    # force EsSink onto the stdlib REST path even if elasticsearch-py were
+    # importable — this suite tests THAT transport
+    from migdar_data_pipelines_spark.sinks import es as es_mod
+
+    monkeypatch.setattr(es_mod, "HAVE_ES", False)
+
+
+def _seed(client, index, rows):
+    ops = []
+    for _id, doc in rows:
+        ops.append({"index": {"_index": index, "_id": _id}})
+        ops.append(doc)
+    client.bulk(operations=ops, refresh=True)
+
+
+def _ids(client, index):
+    client.indices.refresh(index=index)
+    hits = client.search(index=index, size=100)["hits"]["hits"]
+    return {h["_id"]: h["_source"] for h in hits}
+
+
+def test_rest_client_roundtrip(client):
+    assert client.ping()
+    assert not client.indices.exists(index="missing")
+    client.indices.create(
+        index="t1",
+        mappings={"properties": {"v": {"type": "object", "enabled": False}}},
+        settings={"index.mapping.coerce": True},
+    )
+    assert client.indices.exists(index="t1")
+    _seed(client, "t1", [("a", {"revision": 3}), ("b", {"n": 1})])
+    assert set(_ids(client, "t1")) == {"a", "b"}
+    m = client.indices.get_mapping(index="t1")
+    assert m["t1"]["mappings"]["properties"]["v"] == {
+        "type": "object",
+        "enabled": False,
+    }
+    # the two revision-GC bodies, evaluated server-side
+    client.delete_by_query(
+        index="t1", query={"bool": {"must_not": {"exists": {"field": "revision"}}}}
+    )
+    assert set(_ids(client, "t1")) == {"a"}
+    client.delete_by_query(index="t1", query={"range": {"revision": {"lt": 7}}})
+    assert _ids(client, "t1") == {}
+    client.indices.delete(index="t1")
+    assert not client.indices.exists(index="t1")
+    # idempotent delete with ignore_unavailable, 404 without
+    client.indices.delete(index="t1", ignore_unavailable=True)
+    from migdar_data_pipelines_spark.sinks.es_rest import EsRestError
+
+    with pytest.raises(EsRestError):
+        client.indices.delete(index="t1")
+
+
+def test_es_dumper_http_end_to_end(spark, emulator, client, rest_only, tmp_path):
+    """test_es_live.py's first scenario over the HTTP transport: stamped
+    bulk load (executor-parallel foreachPartition -> POST /_bulk), the two
+    GC delete_by_query bodies removing exactly the stale seeds, and the
+    shared docs index holding real value objects with no GC applied."""
+    from migdar_data_pipelines_spark.sinks import EsSink, es_dumper
+
+    url, _ = emulator
+    _seed(client, sc.INDEX, sc.STALE_SEED + sc.SURVIVOR_SEED)
+
+    sink = EsSink(hosts=[url], timeout=5)
+    es_dumper(
+        sc.docs_frame(spark),
+        sc.RESOURCE,
+        revision=sc.REVISION,
+        path=str(tmp_path / "es"),
+        sink=sink,
+        now=sc.STAMP_NOW,
+    )
+
+    pubs = _ids(client, sc.INDEX)
+    assert set(pubs) == sc.EXPECT_PUBS_IDS
+    for doc_id, _, n in sc.DOC_ROWS:
+        src = pubs[doc_id]
+        assert src["revision"] == sc.REVISION
+        assert src["score"] == 1.0
+        assert src["create_timestamp"] == sc.STAMP_NOW
+        assert src["n"] == n
+
+    docs = _ids(client, sc.DOCS_INDEX)
+    assert set(docs) == sc.EXPECT_DOCS_IDS
+    assert isinstance(docs["d1"]["value"], dict)
+    assert docs["d1"]["value"]["title"] == "alpha"
+    mapping = client.indices.get_mapping(index=sc.DOCS_INDEX)
+    props = mapping[sc.DOCS_INDEX]["mappings"]["properties"]
+    assert props["value"] == {"type": "object", "enabled": False}
+
+
+def test_es_dumper_http_timestamp_preservation(
+    spark, emulator, client, rest_only, tmp_path
+):
+    """test_es_live.py's second scenario over HTTP: a re-run at a later stamp
+    keeps the first run's create_timestamp for existing docs; new docs get
+    the later stamp."""
+    from migdar_data_pipelines_spark.sinks import EsSink, es_dumper
+
+    url, _ = emulator
+    sink = EsSink(hosts=[url], timeout=5)
+    df = sc.docs_frame(spark)
+    es_dumper(
+        df, sc.RESOURCE, revision=sc.REVISION,
+        path=str(tmp_path / "es1"), sink=sink, now=sc.STAMP_NOW,
+    )
+
+    snapshot = _ids(client, sc.INDEX)
+    existing = spark.createDataFrame(
+        [(k, v["create_timestamp"]) for k, v in snapshot.items()],
+        "doc_id string, create_timestamp double",
+    )
+    es_dumper(
+        df, sc.RESOURCE, revision=sc.REVISION + 1,
+        path=str(tmp_path / "es2"), sink=sink,
+        existing_timestamps=existing, now=sc.RESTAMP_NOW,
+    )
+
+    after = _ids(client, sc.INDEX)
+    for doc_id, _, _ in sc.DOC_ROWS:
+        assert after[doc_id]["revision"] == sc.REVISION + 1
+        assert after[doc_id]["create_timestamp"] == sc.STAMP_NOW  # preserved
+
+    extra = spark.createDataFrame([("d9", "delta", 9)], sc.DOC_SCHEMA)
+    es_dumper(
+        extra, sc.RESOURCE, revision=sc.REVISION + 1,
+        path=str(tmp_path / "es3"), sink=sink,
+        existing_timestamps=existing, now=sc.RESTAMP_NOW,
+    )
+    assert _ids(client, sc.INDEX)["d9"]["create_timestamp"] == sc.RESTAMP_NOW

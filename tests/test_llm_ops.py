@@ -477,6 +477,9 @@ def test_register_wrapper_releases_previous_scope(spark, sf_dir):
     from migdar_data_pipelines_spark.operators import caching
     from migdar_data_pipelines_spark.plans import query_fns
 
+    # drain anything a previously-run test scoped but did not release — this
+    # test asserts the register() wrapper's behavior, not suite run order
+    caching.release_scoped()
     df = caching.scoped_persist(spark.range(5))
     assert len(caching._SCOPED) == 1
     query_fns()["q1_pricing_summary"](spark, sf_dir)  # plan only, no action

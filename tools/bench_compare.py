@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Cross-round bench comparison under the noise rule PLANS.md §Bench variance
+defines: a per-query move counts as a REAL regression/improvement only if the
+new median sits outside the old median ± the larger of the two recorded
+relative spreads (falling back to the measured worst-case 0.35 single-run
+band when a side has no spread — i.e. pre-round-9 artifacts or non-repeated
+queries).
+
+Usage: python tools/bench_compare.py OLD.json NEW.json [--threshold 0.0]
+
+Accepts either the driver's BENCH_r{N}.json (the parsed stdout line under
+"parsed", or the raw line format) or a bench_full.json sidecar. Prints one
+line per real mover plus a suite summary; exit code 1 if any regression.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+FALLBACK_SPREAD = 0.35  # measured worst-case single-run band (PLANS.md)
+
+
+def load(path: str) -> tuple[dict[str, float], dict[str, float]]:
+    """-> (per-query sec, per-query relative spread)"""
+    with open(path) as f:
+        d = json.load(f)
+    if "parsed" in d and isinstance(d["parsed"], dict):
+        d = d["parsed"]
+    queries = d.get("queries") or {}
+    spread = d.get("repeat_spread") or {}
+    return (
+        {k: float(v) for k, v in queries.items()},
+        {k: float(v) for k, v in spread.items()},
+    )
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    thresh = 0.0
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            thresh = float(a.split("=", 1)[1])
+    if len(args) != 2:
+        sys.exit(__doc__)
+    old_q, old_s = load(args[0])
+    new_q, new_s = load(args[1])
+    common = sorted(set(old_q) & set(new_q))
+    regressions, improvements = [], []
+    for name in common:
+        o, n = old_q[name], new_q[name]
+        band = max(
+            old_s.get(name, FALLBACK_SPREAD), new_s.get(name, FALLBACK_SPREAD), thresh
+        )
+        if n > o * (1 + band):
+            regressions.append((name, o, n, band))
+        elif n < o * (1 - band):
+            improvements.append((name, o, n, band))
+    for name, o, n, band in sorted(regressions, key=lambda r: r[2] - r[1], reverse=True):
+        print(f"REGRESSION {name}: {o:.2f}s -> {n:.2f}s (band ±{band:.0%})")
+    for name, o, n, band in sorted(improvements, key=lambda r: r[1] - r[2], reverse=True):
+        print(f"improvement {name}: {o:.2f}s -> {n:.2f}s (band ±{band:.0%})")
+    to = sum(old_q[n] for n in common)
+    tn = sum(new_q[n] for n in common)
+    print(
+        f"suite (common {len(common)} queries): {to:.1f}s -> {tn:.1f}s "
+        f"({tn / to - 1:+.1%}); {len(regressions)} regressions, "
+        f"{len(improvements)} improvements outside noise"
+    )
+    sys.exit(1 if regressions else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,3 +19,27 @@ def knn_graph_ivf(spark, sf_dir):
         e, "vec_id", "embedding", k=3, strategy="ivf",
         n_cells="auto", nprobe=2, seed=7,
     )
+
+
+def knn_graph_auto(spark, sf_dir):
+    """knn_graph with DEFAULT arguments (strategy='auto') — the call a user
+    actually makes. Below ANN_AUTO_EXACT_MAX_ROWS (100k) the gate routes to
+    the exact blocked kernel; above it, to IVF — measured at the synthetic
+    200k-row rung so the production branch has real timing evidence
+    (VERDICT r8 #3), not just a test-lowered-threshold plan assertion."""
+    from migdar_data_pipelines_spark.llm.similarity import knn_graph
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return knn_graph(e, "vec_id", "embedding", k=3)
+
+
+def mutual_knn_clusters_auto(spark, sf_dir):
+    """mutual_knn_clusters with DEFAULT arguments (auto-routed kNN pass)."""
+    from migdar_data_pipelines_spark.llm.similarity import mutual_knn_clusters
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return mutual_knn_clusters(e, "vec_id", "embedding", k=3)

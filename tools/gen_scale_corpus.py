@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Generate the synthetic scale rungs SCALING.md measures beyond the driver's
+testdata (which stops at sf0.1): an "sf1" documents corpus (10x sf0.1, same
+intra-copy duplicate structure) for the pair-heavy dedup family, and a 200k-row
+embedding corpus (above ANN_AUTO_EXACT_MAX_ROWS = 100k) so the ANN auto gate's
+IVF branch is measured on the path production actually takes — not just
+exercised via a test-lowered threshold (VERDICT r8 #3/#4).
+
+Deterministic (fixed seeds), writes under $SPARK_GRAFT_SCALE_DIR (default
+/tmp/migdar_scale). /root/testdata is read-only and never touched.
+
+  documents.parquet   50,000 rows: the sf0.1 corpus plus 9 disjoint "shards",
+                      each a remapped copy whose every token carries a
+                      per-shard suffix — near-dup PAIRS exist only within a
+                      shard, so pair DENSITY stays that of sf0.1 while row
+                      count grows 10x (the honest way to scale a dedup
+                      benchmark: constant dup rate, not a pair explosion).
+  embeddings.parquet  200,000 rows x 64 dims: 2,000 cluster centers (unit
+                      vectors) each with 100 noisy members, L2-normalized —
+                      clustered geometry so IVF cells are non-degenerate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/migdar_scale")
+SRC = "/root/testdata/sf0.1"
+N_SHARDS = 10  # sf0.1 corpus + 9 suffixed copies = 10x rows
+EMB_CENTERS = 2_000
+EMB_PER_CENTER = 100  # 200k rows total
+EMB_DIM = 64
+
+
+def gen_documents(con) -> None:
+    # Token-level suffixing keeps every shard's shingle space disjoint from
+    # every other shard's: n-gram/minhash/containment candidates can only
+    # form INSIDE a shard, so the global pair count is 10x sf0.1's (linear),
+    # never (10x)^2. doc_ids are remapped per shard to stay unique.
+    con.execute(
+        f"""
+        COPY (
+          SELECT
+            d.doc_id + s.shard * 1_000_000 AS doc_id,
+            CASE WHEN s.shard = 0 THEN d.text
+                 ELSE list_aggregate(
+                        list_transform(
+                          list_filter(string_split_regex(trim(d.text), '[ \t\n\f\r]+'),
+                                      x -> x <> ''),
+                          t -> t || 'x' || CAST(s.shard AS VARCHAR)),
+                        'string_agg', ' ')
+            END AS text,
+            d.lang,
+            d.source,
+            CAST(NULL AS BIGINT) AS n_chars
+          FROM read_parquet('{SRC}/documents.parquet') d
+          CROSS JOIN (SELECT unnest(range({N_SHARDS})) AS shard) s
+        ) TO '{OUT_DIR}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    # n_chars must describe the suffixed text
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id, text, lang, source, CAST(length(text) AS BIGINT) AS n_chars
+          FROM read_parquet('{OUT_DIR}/documents.parquet')
+        ) TO '{OUT_DIR}/documents2.parquet' (FORMAT PARQUET)
+        """
+    )
+    os.replace(f"{OUT_DIR}/documents2.parquet", f"{OUT_DIR}/documents.parquet")
+
+
+def gen_embeddings() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((EMB_CENTERS, EMB_DIM)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # members = center + sigma*noise, renormalized: same-cluster cosines ~0.9
+    vecs = np.repeat(centers, EMB_PER_CENTER, axis=0)
+    vecs = vecs + 0.25 * rng.standard_normal(vecs.shape).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    n = len(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), type=pa.float32()), EMB_DIM
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(
+                np.repeat(np.arange(EMB_CENTERS, dtype=np.int32), EMB_PER_CENTER)
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{OUT_DIR}/embeddings.parquet", row_group_size=20_000)
+
+
+def main() -> None:
+    import duckdb
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    con = duckdb.connect()
+    gen_documents(con)
+    gen_embeddings()
+    print(
+        "wrote",
+        OUT_DIR,
+        con.sql(
+            f"SELECT count(*) FROM read_parquet('{OUT_DIR}/documents.parquet')"
+        ).fetchone()[0],
+        "docs,",
+        con.sql(
+            f"SELECT count(*) FROM read_parquet('{OUT_DIR}/embeddings.parquet')"
+        ).fetchone()[0],
+        "embeddings",
+    )
+
+
+if __name__ == "__main__":
+    main()

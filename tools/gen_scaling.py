@@ -62,7 +62,11 @@ PICK = [
 ]
 
 
-from common import knn_graph_ivf as _knn_graph_ivf  # noqa: E402
+from common import (  # noqa: E402
+    knn_graph_auto as _knn_graph_auto,
+    knn_graph_ivf as _knn_graph_ivf,
+    mutual_knn_clusters_auto as _mutual_knn_auto,
+)
 
 # non-registry measurements: (name, callable, what scales, dominant cost)
 EXTRA = [
@@ -74,29 +78,75 @@ EXTRA = [
     ),
 ]
 
+# Synthetic rungs beyond the driver testdata (gen_scale_corpus.py writes
+# them; VERDICT r8 #3/#4). SCALE_DIR holds a 10x-sf0.1 documents corpus with
+# per-shard-disjoint token space (constant dup density — pair count grows
+# linearly) and a 200k-row embedding corpus (above the ANN auto gate's 100k
+# exact ceiling, so default-argument calls take the IVF branch).
+SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/migdar_scale")
+
+# the pair-heavy family: the x2.4-3.6 growers at sf0.1 whose sub-linear
+# trend needed one more decade of data to prove (VERDICT r7 #8 / r8 #4)
+PAIR_SF1 = [
+    "ngram_jaccard_pairs_ppjoin",
+    "ngram_jaccard_pairs_invidx_prefix",
+    "ngram_containment_pairs",
+    "substring_dup_spans_documents",
+    "minhash_jaccard_estimate_documents",
+]
+
+# the ANN defaults, measured at BOTH sides of the auto gate: sf0.1 (2k rows
+# -> exact branch) and the synthetic 200k rung (-> IVF branch)
+ANN_AUTO = [
+    ("knn_graph (default args)", _knn_graph_auto),
+    ("mutual_knn_clusters (default args)", _mutual_knn_auto),
+]
+
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    # the engine session (24g driver heap, AQE, UTC) — a bare 1g-default
+    # builder OOM-spills the 200k-row ANN rung before the kernel even runs
+    from migdar_data_pipelines_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
-    )
+    spark = get_spark("gen-scaling", shuffle_partitions=32)
     from migdar_data_pipelines_spark.plans.llm_queries import QUERIES
 
     runs = [(name, QUERIES[name]["fn"], scales, cost) for name, scales, cost in PICK]
     runs += [(name, fn, scales, cost) for name, fn, scales, cost in EXTRA]
 
+    from migdar_data_pipelines_spark.operators.caching import release_scoped
+
+    def steady(fn, d: str) -> float:
+        fn(spark, d).count()  # steady-state: warm run absorbs codegen/scan setup
+        release_scoped()
+        t0 = time.time()
+        fn(spark, d).count()
+        sec = time.time() - t0
+        release_scoped()
+        spark.catalog.clearCache()
+        return sec
+
     times: dict[str, dict[str, float]] = {}
     for name, fn, _, _ in runs:
         times[name] = {}
         for sf in SFS:
-            d = f"/root/testdata/sf{sf}"
-            fn(spark, d).count()  # steady-state: warm run absorbs codegen/scan setup
-            t0 = time.time()
-            fn(spark, d).count()
-            times[name][sf] = time.time() - t0
+            times[name][sf] = steady(fn, f"/root/testdata/sf{sf}")
+
+    # ---- synthetic rungs (skipped with a note if the corpus isn't generated)
+    have_scale = os.path.exists(f"{SCALE_DIR}/documents.parquet")
+    pair_sf1: dict[str, float] = {}
+    ann: dict[str, dict[str, float]] = {}
+    n_scale_docs = n_scale_emb = 0
+    if have_scale:
+        n_scale_docs = spark.read.parquet(f"{SCALE_DIR}/documents.parquet").count()
+        n_scale_emb = spark.read.parquet(f"{SCALE_DIR}/embeddings.parquet").count()
+        for name in PAIR_SF1:
+            pair_sf1[name] = steady(QUERIES[name]["fn"], SCALE_DIR)
+        for name, fn in ANN_AUTO:
+            ann[name] = {
+                "sf0.1": steady(fn, "/root/testdata/sf0.1"),
+                "200k": steady(fn, SCALE_DIR),
+            }
 
     lines = [
         "# SCALING — steady-state wall time across scale factors",
@@ -127,6 +177,46 @@ def main() -> None:
         "10 would mean super-linear work (e.g. a pair explosion) and fails review.",
         "",
     ]
+    if have_scale:
+        lines += [
+            "## Synthetic sf1 rung — the pair-heavy family",
+            "",
+            f"One more 10x decade for the x2.4-3.6 growers: {n_scale_docs:,} docs",
+            "(10 shards of the sf0.1 corpus with per-shard-disjoint token",
+            "space, so duplicate DENSITY stays constant — pair count grows",
+            "linearly with rows, the regime a real corpus scales in).",
+            "Generate with `python tools/gen_scale_corpus.py`.",
+            "",
+            "| query | sf0.1 | sf1 (synthetic) | x |",
+            "|---|---|---|---|",
+        ]
+        for name in PAIR_SF1:
+            a, b = times[name]["0.1"], pair_sf1[name]
+            lines.append(f"| {name} | {a:.2f}s | {b:.2f}s | x{b / a:.1f} |")
+        lines += [
+            "",
+            "## ANN auto gate — default-argument calls on both sides of the 100k ceiling",
+            "",
+            f"`strategy=\"auto\"` (the default) at sf0.1 ({2000:,} vectors) routes",
+            f"to the exact blocked kernel; at the synthetic {n_scale_emb:,}-vector",
+            "rung it routes to IVF (~sqrt(n) cells, nprobe=2) — the production",
+            "branch, measured on the path a default-argument caller actually",
+            "takes (100x the rows, NOT 100x the time — the sub-quadratic",
+            "evidence the gate exists for).",
+            "",
+            "| call | sf0.1 (2k, exact branch) | 200k rung (IVF branch) | x per 100x rows |",
+            "|---|---|---|---|",
+        ]
+        for name, _ in ANN_AUTO:
+            a, b = ann[name]["sf0.1"], ann[name]["200k"]
+            lines.append(f"| {name} | {a:.2f}s | {b:.2f}s | x{b / a:.1f} |")
+        lines.append("")
+    else:
+        lines += [
+            f"(Synthetic rungs skipped: {SCALE_DIR} not generated — run",
+            "`python tools/gen_scale_corpus.py` first.)",
+            "",
+        ]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )
@@ -136,6 +226,10 @@ def main() -> None:
     for name, _, _, _ in runs:
         t = times[name]
         print(name, {k: round(v, 2) for k, v in t.items()})
+    for name, t1 in pair_sf1.items():
+        print("sf1", name, round(t1, 2))
+    for name, t in ann.items():
+        print("ann", name, {k: round(v, 2) for k, v in t.items()})
 
 
 if __name__ == "__main__":
