@@ -17,12 +17,14 @@ from pyspark.sql import functions as F
 from .textanalysis import words
 
 # Redaction patterns applied IN ORDER (more specific first — SSN before the
-# generic phone run, email before hostname-ish text). Shared Java/RE2 syntax.
+# generic phone run, email before hostname-ish text). Shared Java/RE2 syntax;
+# the phone class spells out RE2's \s set (Java \s adds \x0b, which would let
+# a vertical tab extend a phone span on the Spark side only).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][0-9()\s.-]{7,}[0-9]", "<PHONE>"),
+    ("phone", r"\+?[0-9][0-9() \t\n\f\r.-]{7,}[0-9]", "<PHONE>"),
 )
 
 

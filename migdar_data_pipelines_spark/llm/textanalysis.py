@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs | single digits | punctuation glyphs
 # (GPT-2-style contraction/space handling stripped down to a portable regex).
-BPE_ISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+# The negated class spells out RE2's \s set — Java \s additionally includes
+# \x0b, which would silently drop vertical tab from the punct-glyph count on
+# the Spark side only (same contract as WORD_SPLIT_RE below).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]"
 
 # Cross-engine whitespace contract: RE2 (DuckDB string_split_regex) defines
 # \s as [\t\n\f\r ] — NO vertical tab \x0b — while Java \s includes \x0b, so
@@ -56,7 +59,11 @@ def quality_score(col: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
     punct_ratio = F.when(
         n_chars > 0,
-        F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0)).cast("double") / n_chars,
+        # explicit RE2 \s set (no \x0b) — keeps punct_ratio engine-identical
+        F.size(
+            F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9 \t\n\f\r]"), 0)
+        ).cast("double")
+        / n_chars,
     ).otherwise(F.lit(0.0))
     length_term = F.least(n_words / F.lit(100.0), F.lit(1.0))
     word_len_term = F.when(

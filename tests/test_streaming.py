@@ -335,3 +335,50 @@ def test_streaming_ewma_state_survives_restart(spark, tmp_path):
     for i in (3, 4, 5):
         assert got[i] == round(want[i], 6), (i, got[i], want[i])
     assert got[3] != 40.0  # the fresh-state value a broken resume would emit
+
+
+def test_streaming_cdc_restart_rocksdb_state_store(spark, tmp_path):
+    """The same restart-recovery contract under the RocksDBStateStoreProvider
+    — the state backend a real cluster runs (bounded executor memory, state
+    spills to local disk + checkpoint). Pins that nothing in the stateful
+    operators assumes the default in-memory HDFSBackedStateStore."""
+    from migdar_data_pipelines_spark.streaming import streaming_cdc
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        schema = "key string, h string, tsec double"
+
+        def write(rows):
+            spark.createDataFrame(rows, schema).selectExpr(
+                "key", "h", "timestamp_seconds(tsec) AS ts"
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        def drain(name):
+            stream = spark.readStream.schema(
+                "key string, h string, ts timestamp"
+            ).parquet(src)
+            return _drain_append(
+                spark, streaming_cdc(stream, ["key"], "h", "ts"), ckpt, name
+            )
+
+        write([("k1", "h1", 1.0)])
+        assert {(r["key"], r["status"]) for r in drain("t_cdc_rk1")} == {
+            ("k1", "new")
+        }
+        write([("k1", "h1", 2.0), ("k2", "h5", 3.0)])
+        assert {(r["key"], r["status"]) for r in drain("t_cdc_rk2")} == {
+            ("k1", "same"),
+            ("k2", "new"),
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
