@@ -15,7 +15,28 @@ import time
 import traceback
 
 import os
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def _repo_root() -> str:
+    """Repo root that works from ANY copy location: walk up from the script
+    (tools/ layout), then the cwd, then $SPARK_GRAFT_REPO — so the documented
+    'copy to /tmp, run with no PYTHONPATH' serde acid test actually runs
+    instead of failing on a hardcoded parent-of-parent path."""
+    env = os.environ.get("SPARK_GRAFT_REPO")
+    starts = [os.path.dirname(os.path.abspath(__file__)), os.getcwd()]
+    for start in starts:
+        d = start
+        while d != os.path.dirname(d):
+            if os.path.isdir(os.path.join(d, "migdar_data_pipelines_spark")):
+                return d
+            d = os.path.dirname(d)
+    if env:
+        return env
+    raise SystemExit(
+        "driver_sim: cannot locate the repo (no migdar_data_pipelines_spark "
+        "above the script or cwd); set SPARK_GRAFT_REPO"
+    )
+
+sys.path.insert(0, _repo_root())
 
 import duckdb
 from pyspark.sql import SparkSession
