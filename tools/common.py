@@ -43,3 +43,38 @@ def mutual_knn_clusters_auto(spark, sf_dir):
         "vec_id", "embedding"
     )
     return mutual_knn_clusters(e, "vec_id", "embedding", k=3)
+
+
+def knn_auto_sampled_recall(spark, sf_dir, k=3, sample_mod=200):
+    """Edge recall of the DEFAULT knn_graph route at this corpus, measured
+    against exact brute-force ground truth on a deterministic query sample
+    (vec_id % sample_mod == 0 — 1/200th of the corpus, 1k queries at the
+    200k rung). The exact side runs the blocked-matmul kernel with the
+    sample as the query side and the FULL corpus as the candidate side, so
+    ground truth stays tractable (1k x 200k) while the measured route is the
+    production call at full scale. Returns (recall, n_sampled_edges)."""
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.llm.similarity import (
+        cosine_topk_blocked,
+        knn_graph,
+    )
+    from migdar_data_pipelines_spark.operators.caching import release_scoped
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    got = (
+        knn_graph(e, "vec_id", "embedding", k=k)
+        .filter(F.col("query_id") % sample_mod == 0)
+        .select("query_id", "neighbour_id")
+    )
+    sample = e.filter(F.col("vec_id") % sample_mod == 0)
+    truth = cosine_topk_blocked(
+        sample, e, "vec_id", "vec_id", query_vec="embedding",
+        corpus_vec="embedding", k=k, exclude_self=True,
+    ).select("query_id", "neighbour_id")
+    hit = got.join(truth, ["query_id", "neighbour_id"], "left_semi").count()
+    total = truth.count()
+    release_scoped()
+    return (hit / total if total else 0.0), total

@@ -81,9 +81,15 @@ def gen_embeddings() -> None:
     rng = np.random.default_rng(42)
     centers = rng.standard_normal((EMB_CENTERS, EMB_DIM)).astype(np.float32)
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    # members = center + sigma*noise, renormalized: same-cluster cosines ~0.9
+    # members = center + sigma*noise, renormalized. Noise VECTOR length is
+    # sigma*sqrt(dim): sigma must shrink with dim or the corpus degenerates
+    # to near-uniform directions (sigma=0.25 at d=64 gives |noise|~2 vs
+    # |center|=1 -> intra-cluster cosine ~0.2, an ANN-hostile geometry no
+    # real embedding model produces). sigma=0.05 -> |noise|~0.4, member-to-
+    # center cosine ~0.93, member-to-member ~0.86 — the clustered local
+    # structure actual text/image embeddings exhibit.
     vecs = np.repeat(centers, EMB_PER_CENTER, axis=0)
-    vecs = vecs + 0.25 * rng.standard_normal(vecs.shape).astype(np.float32)
+    vecs = vecs + 0.05 * rng.standard_normal(vecs.shape).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     n = len(vecs)
     tbl = pa.table(
