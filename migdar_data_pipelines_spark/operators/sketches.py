@@ -702,8 +702,6 @@ def kmv_adjacent_overlap(
     Everything here is sketch-sized: pairs x 2k rows at most, broadcast
     joins throughout.
     """
-    from pyspark.sql import Window
-
     from ..operators.caching import scoped_persist
 
     s = scoped_persist(
@@ -717,6 +715,44 @@ def kmv_adjacent_overlap(
             "left_semi",
         )
     )
+    return _kmv_pairs_overlap(s, pairs, k)
+
+
+def kmv_pairwise_overlap(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Distinct-set overlap between EVERY pair of groups (g < g2) from
+    their KMV sketches — the cross-source contamination/overlap MATRIX a
+    corpus merge runs first: which sources share content, and how much,
+    before any row-level dedup is scheduled. Same estimator algebra as
+    :func:`kmv_adjacent_overlap`; with G groups the whole computation is
+    G(G-1)/2 pairs x 2k sketch rows — G=1000 sources is still only ~500k
+    pair-rows of k-hash algebra, nothing data-sized.
+
+    Output one row per unordered pair: (grp, next_grp, est_a, est_b,
+    est_union, est_inter) — grp < next_grp."""
+    from ..operators.caching import scoped_persist
+
+    s = scoped_persist(
+        sketches.select(F.col(group_col).alias("g"), "h")
+    )
+    g1 = s.select("g").distinct()
+    pairs = g1.join(
+        g1.select(F.col("g").alias("g2")), F.col("g") < F.col("g2")
+    )
+    return _kmv_pairs_overlap(s, pairs, k)
+
+
+def _kmv_pairs_overlap(s: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
+    """Shared pair algebra: per (g, g2) pair, union re-trim + rho-ratio
+    intersection over the (g, h) sketch rows. ``pairs`` carries (g, g2);
+    every frame here is pair x sketch sized, broadcast joins throughout."""
+    from pyspark.sql import Window
+
+    from ..operators.caching import scoped_persist
+
     a = s.select(F.col("g").alias("__ga"), F.col("h").alias("__ha"))
     b = s.select(F.col("g").alias("__gb"), F.col("h").alias("__hb"))
     merged = (
@@ -796,14 +832,35 @@ def kmv_adjacent_overlap_sql(
     (group, h, rk) rows (use ``kmv_by_sql``); ``next_expr`` maps the
     group column to its successor (e.g. ``g + INTERVAL 1 DAY`` spelled
     over the group expression)."""
+    pairs = f"""
+  SELECT g, g2 FROM (SELECT DISTINCT g, {next_expr} AS g2 FROM s)
+  WHERE g2 IN (SELECT DISTINCT g FROM s)
+"""
+    return _kmv_pairs_overlap_sql(sketch_sql, group_col, pairs, k)
+
+
+def kmv_pairwise_overlap_sql(
+    sketch_sql: str, group_col: str, k: int = KMV_K
+) -> str:
+    """DuckDB mirror of ``kmv_pairwise_overlap`` (all unordered pairs)."""
+    pairs = """
+  SELECT a.g, b.g AS g2
+  FROM (SELECT DISTINCT g FROM s) a JOIN (SELECT DISTINCT g FROM s) b
+  ON a.g < b.g
+"""
+    return _kmv_pairs_overlap_sql(sketch_sql, group_col, pairs, k)
+
+
+def _kmv_pairs_overlap_sql(
+    sketch_sql: str, group_col: str, pairs_sql: str, k: int
+) -> str:
     est_a = kmv_estimate_sql_expr("na", "ka", k)
     est_b = kmv_estimate_sql_expr("nb", "kb", k)
     est_u = kmv_estimate_sql_expr("nu", "ku", k)
     return f"""
 WITH s AS (SELECT {group_col} AS g, h FROM ({sketch_sql})),
 pairs AS (
-  SELECT g, g2 FROM (SELECT DISTINCT g, {next_expr} AS g2 FROM s)
-  WHERE g2 IN (SELECT DISTINCT g FROM s)
+{pairs_sql}
 ),
 merged AS (
   SELECT DISTINCT p.g, p.g2, x.h

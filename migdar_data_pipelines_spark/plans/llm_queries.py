@@ -5301,3 +5301,53 @@ def streaming_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         "ewma",
     )
+
+def _install_source_overlap_sql() -> None:
+    from ..operators.sketches import kmv_by_sql, kmv_pairwise_overlap_sql
+
+    seeded = (
+        "(SELECT source, CASE WHEN doc_id % 3 = 0 "
+        "THEN 'shared pool ' || CAST(doc_id % 50 AS VARCHAR) "
+        "ELSE text END AS content FROM documents)"
+    )
+    sketch = kmv_by_sql("content", ["source"], seeded)
+    QUERIES["source_overlap_matrix"]["sql"] = kmv_pairwise_overlap_sql(
+        sketch, "source"
+    )
+
+
+@register("source_overlap_matrix", sql=None)  # SQL installed below (generated)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-overlap MATRIX from grouped KMV sketches
+    (operators/sketches.py::kmv_sketch_by/kmv_pairwise_overlap) — the
+    survey a corpus merge runs FIRST: which of the G sources share content
+    and how much, before any row-level dedup is scheduled. Per-source
+    distinct-content sketches (scan-local per-partition k-min, group-keyed
+    sketch-sized merge), then for EVERY unordered source pair the union
+    re-trim + rho-ratio intersection estimate — G(G-1)/2 pairs x 2k sketch
+    rows of algebra, so a 1000-source merge survey costs ~500k tiny rows
+    after ONE corpus scan, where exact pairwise distinct-intersections
+    would need G full passes.
+
+    Deterministic seeded overlap (the synthetic corpus's sources are
+    otherwise disjoint): every doc_id % 3 == 0 document's content is
+    replaced by one of 50 shared pool values, which span sources by
+    construction (pool key doc_id % 50 vs source key doc_id % 20), so the
+    matrix has real non-zero intersections to estimate. Oracle GENERATED
+    from the same md5 fold and estimator literals."""
+    from ..operators.sketches import kmv_pairwise_overlap, kmv_sketch_by
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("shared pool "), (F.col("doc_id") % 50).cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("content"),
+    )
+    s = kmv_sketch_by(d, ["source"], "content")
+    return kmv_pairwise_overlap(s, "source")
+
+
+_install_source_overlap_sql()

@@ -926,3 +926,60 @@ def test_winsorize_stats_matches_python_reference(spark):
     assert r["n_clipped_low"] == sum(v < lo_v for v in vals)
     assert r["n_clipped_high"] == sum(v > hi_v for v in vals)
     assert r["sum_w"] == Decimal(f"{sum(clipped):.2f}")
+
+
+def test_kmv_pairwise_overlap_matches_python_reference(spark):
+    """kmv_sketch_by + kmv_pairwise_overlap vs a pure-Python mirror on
+    three sources with controlled overlap: every unordered pair appears
+    exactly once (g < g2) and each pair's estimates match the reference
+    algebra; exactly-disjoint pairs estimate est_inter = 0."""
+    import hashlib
+    from itertools import combinations
+
+    from migdar_data_pipelines_spark.operators.sketches import (
+        KMV_HEX_DIGITS,
+        KMV_K,
+        KMV_SPACE,
+        kmv_pairwise_overlap,
+        kmv_sketch_by,
+    )
+
+    srcs = {
+        "s_a": set(range(0, 3000)),
+        "s_b": set(range(2000, 5000)),   # 1000 shared with s_a
+        "s_c": set(range(9000, 9200)),   # disjoint from both
+    }
+
+    def fold(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:KMV_HEX_DIGITS], 16)
+
+    def sk(vals):
+        return sorted({fold(v) for v in vals})[:KMV_K]
+
+    def est(s):
+        return len(s) if len(s) < KMV_K else round((KMV_K - 1) * KMV_SPACE / s[-1], 4)
+
+    def pair_ref(va, vb):
+        a, b = sk(va), sk(vb)
+        u = sorted(set(a) | set(b))[:KMV_K]
+        ni = len([h for h in u if h in set(a) and h in set(b)])
+        return {
+            "est_a": est(a),
+            "est_b": est(b),
+            "est_union": est(u),
+            "est_inter": round(ni / len(u) * est(u), 4),
+        }
+
+    rows = [(s, v) for s, vs in srcs.items() for v in vs]
+    df = spark.createDataFrame(rows, "source string, val long")
+    s = kmv_sketch_by(df, ["source"], "val")
+    got = {(r["grp"], r["next_grp"]): r for r in kmv_pairwise_overlap(s, "source").collect()}
+
+    assert set(got) == {(a, b) for a, b in combinations(sorted(srcs), 2)}
+    for (ga, gb), r in got.items():
+        want = pair_ref(srcs[ga], srcs[gb])
+        for k_, v in want.items():
+            assert r[k_] == v, (ga, gb, k_, r[k_], v)
+    assert got[("s_a", "s_c")]["est_inter"] == 0.0
+    assert got[("s_b", "s_c")]["est_inter"] == 0.0
+    assert 400 < got[("s_a", "s_b")]["est_inter"] < 1800  # true 1000
