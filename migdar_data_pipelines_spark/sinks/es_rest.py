@@ -126,13 +126,10 @@ class RestEsClient:
     # ------------------------------------------------------------- API calls
     def ping(self) -> bool:
         try:
-            status, _ = self._c_ping()
+            status, _ = self._request("GET", "/")
             return status == 200
         except Exception:
             return False
-
-    def _c_ping(self) -> tuple[int, str]:
-        return self._request("GET", "/")
 
     def bulk(self, operations: list[dict], refresh: bool = False) -> dict:
         """NDJSON pairs — the exact ``client.bulk(operations=[action, source,

@@ -18,7 +18,19 @@ from __future__ import annotations
 import json
 import sys
 
-FALLBACK_SPREAD = 0.35  # measured worst-case single-run band (PLANS.md)
+# The noise band has TWO components: within-process run-to-run spread (the
+# recorded repeat_spread, 7-35% measured) and BETWEEN-process variance (JVM
+# lifetime, page cache, CPU frequency state), measured at up to +40% on
+# sub-3s queries across two same-code benches in one day (kmeans medians
+# 1.58 vs 2.22, r9 — PLANS.md §Bench variance). The recorded spread only
+# sees the first component, so the comparison band is floored at 0.35.
+BAND_FLOOR = 0.35
+# ... and the same between-process evidence shows sub-2.5s queries swinging
+# ±0.5-0.8s absolute with no code change, so moves under this many seconds
+# never flag regardless of ratio (a true 2x regression on a 0.5s query is
+# indistinguishable from process noise at this scale — the suite total and
+# the >2.5s queries are where a real regression must show).
+ABS_FLOOR_SEC = 1.0
 
 
 def load(path: str) -> tuple[dict[str, float], dict[str, float]]:
@@ -50,8 +62,10 @@ def main() -> None:
     for name in common:
         o, n = old_q[name], new_q[name]
         band = max(
-            old_s.get(name, FALLBACK_SPREAD), new_s.get(name, FALLBACK_SPREAD), thresh
+            old_s.get(name, 0.0), new_s.get(name, 0.0), BAND_FLOOR, thresh
         )
+        if abs(n - o) < ABS_FLOOR_SEC:
+            continue
         if n > o * (1 + band):
             regressions.append((name, o, n, band))
         elif n < o * (1 - band):
