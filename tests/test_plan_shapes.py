@@ -205,3 +205,14 @@ def test_kmeans_assignment_stays_scan_local(spark, sf_dir):
     plan = _formatted_plan(query_fns()["kmeans_clusters_embeddings"](spark, sf_dir))
     assert "ArrowEvalPython" in plan
     assert "Join" not in plan, "centroids must not arrive via a join"
+
+
+def test_kmv_pairwise_overlap_all_joins_broadcast(spark, sf_dir):
+    """The cross-source overlap matrix's pair algebra must stay
+    sketch-sized: every join broadcast (hash or tiny nested-loop for the
+    g < g2 pair generation), never a SortMergeJoin or CartesianProduct —
+    those would mean a data-sized side reached the pair stage."""
+    plan = _formatted_plan(query_fns()["source_overlap_matrix"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
