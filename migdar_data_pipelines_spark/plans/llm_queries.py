@@ -5351,3 +5351,45 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_source_overlap_sql()
+
+
+@register(
+    "edit_distance_pairs_documents",
+    sql="""
+WITH c AS (
+  SELECT doc_id AS id, substr(text, 1, 40) AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, 6) || substr(text, 8, 33) FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM c a JOIN c b ON a.id < b.id AND abs(len(a.t) - len(b.t)) <= 2
+WHERE levenshtein(a.t, b.t) <= 2
+""",
+)
+def edit_distance_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-level near-dup mining (llm/dedup.py::edit_distance_pairs — the
+    Ed-Join prefix-filter family): exact pairs within Levenshtein distance 2
+    over 40-char document keys plus a 1-char-deletion corrupted copy per doc
+    — the third dedup similarity class (edit distance) next to
+    set-similarity and hash-based, catching the single-character variants
+    word-shingle methods cannot see (one edit changes every overlapping
+    word gram). Spark side: q-gram prefix-filter candidates (rarest
+    q*d+1 grams probe the inverted index), length filter, banded
+    levenshtein(threshold) verify — no all-pairs stage; the quadratic
+    DuckDB oracle is the blocking-free ground truth (both engines'
+    levenshtein agree on the standard DP)."""
+    from ..llm.dedup import edit_distance_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.select(
+        F.col("doc_id").alias("id"), F.substring("text", 1, 40).alias("t")
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.concat(
+                F.substring("text", 1, 6), F.substring("text", 8, 33)
+            ).alias("t"),
+        )
+    )
+    return edit_distance_pairs(corpus, "t", "id", max_dist=2)

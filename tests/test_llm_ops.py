@@ -1588,3 +1588,55 @@ def test_dsir_keeps_zero_word_docs(spark):
         assert rows[i]["n_feats"] == 0 and rows[i]["log_weight"] == 0.0
         assert rows[i]["sample_key"] is not None
     assert sum(r["keep"] for r in rows.values()) == 2
+
+
+def test_edit_distance_pairs_matches_bruteforce(spark):
+    """edit_distance_pairs == the all-pairs levenshtein ground truth on a
+    corpus engineered to stress every path: long strings with 1-2 edits
+    (prefix-filter candidates), repeated-character strings (the case that
+    breaks DISTINCT-gram count filters), short strings below the prefix
+    threshold (bucket path), short-vs-long boundary pairs, and controls
+    beyond the distance."""
+    import itertools
+
+    from migdar_data_pipelines_spark.llm.dedup import edit_distance_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over the lazy dot",      # d=1 vs 1
+        3: "the quick brown fox jumps over the hazy dots",     # d=2 vs 2
+        4: "a completely different sentence about spark plans",
+        5: "aaaaaaaaaaaaaaaaaaaa",                              # 20 a's
+        6: "aaaaaaaaabaaaaaaaaaa",                              # 1 sub vs 5
+        7: "short",                                             # bucket path
+        8: "shore",                                             # d=2 vs 7
+        9: "sharts",                                            # d=2 vs 7
+        10: "xy",                                               # tiny
+        11: "xyz",                                              # d=1 vs 10
+        12: "entirely unrelated content here",
+    }
+    d = 2
+    want = {
+        (a, b, lev(texts[a], texts[b]))
+        for a, b in itertools.combinations(sorted(texts), 2)
+        if lev(texts[a], texts[b]) <= d
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, "text", "doc_id", max_dist=d).collect()
+    }
+    assert got == want, (sorted(got - want), sorted(want - got))
+    assert (5, 6, 1) in got  # the repeated-char case distinct-gram filters drop
+    assert (7, 8, 1) in got and (10, 11, 1) in got  # short/bucket paths
