@@ -1817,18 +1817,22 @@ def edit_distance_pairs(
     """EXACT pairs within Levenshtein distance ``max_dist`` as
     (id_a, id_b, dist), id_a < id_b — without the all-pairs join.
 
-    Candidate generation is Ed-Join's q-gram prefix filter, exact by the
-    destruction argument: one edit destroys at most ``q`` of a string's
-    positional character q-grams, so after ``max_dist`` edits at least one
-    of the string's ``q*max_dist + 1`` RAREST grams (rarest by corpus
-    document frequency, gram tie-break, then position) survives with its
-    VALUE present in the other string — value-match candidates are a
-    superset of positional-match ones, so completeness holds. Only those
-    prefix rows probe the full inverted gram index; survivors pass the
-    ``|len_a - len_b| <= max_dist`` length filter and are verified with
-    the BANDED ``levenshtein(a, b, threshold)`` kernel (O(d*n) per pair,
-    JVM-side, returns -1 above the band — the filter only prunes, the
-    verify decides).
+    Candidate generation is Ed-Join's q-gram prefix filter WITH its
+    location-based extension, exact by the destruction argument: one edit
+    destroys at most ``q`` of a string's positional character q-grams and
+    shifts every surviving gram's position by at most 1, so after
+    ``max_dist`` edits at least one of the string's ``q*max_dist + 1``
+    RAREST grams (rarest by corpus document frequency, gram tie-break,
+    then position) survives in the other string with the same VALUE at a
+    position within ``±max_dist``. The position constraint rides in the
+    hash-join key as a width-``(max_dist+1)`` bucket (probe explodes to
+    its <= 3 covering buckets), which is what keeps low-vocabulary corpora
+    from exploding — value-only matching admitted 31% of all pairs on a
+    916-trigram corpus; (value, ~position) admits ~0.5% at identical
+    output. Survivors pass the ``|len_a - len_b| <= max_dist`` length
+    filter and are verified with the BANDED ``levenshtein(a, b,
+    threshold)`` kernel (O(d*n) per pair, JVM-side, returns -1 above the
+    band — the filters only prune, the verify decides).
 
     Strings too short to own a full prefix (fewer than ``q*max_dist + 1``
     grams, i.e. ``len < q*max_dist + q``) can lose EVERY gram to

@@ -59,6 +59,8 @@ PICK = [
     ("sampled_quantiles_by_returnflag", "lineitem rows", "grouped k-min partials + candidate-only rank"),
     ("winsorize_prices_returnflag", "lineitem rows", "quantile pass + broadcast bounds join"),
     ("mutual_information_documents", "documents", "one joint groupBy + broadcast term sum"),
+    ("edit_distance_pairs_documents", "documents + 1-del copy", "positional-gram prefix join + banded levenshtein"),
+    ("source_overlap_matrix", "documents by source", "grouped k-min + all-pairs sketch algebra"),
 ]
 
 
@@ -94,6 +96,7 @@ PAIR_SF1 = [
     "ngram_containment_pairs",
     "substring_dup_spans_documents",
     "minhash_jaccard_estimate_documents",
+    "edit_distance_pairs_documents",
 ]
 
 # the ANN defaults, measured at BOTH sides of the auto gate: sf0.1 (2k rows
@@ -127,6 +130,14 @@ def main() -> None:
         spark.catalog.clearCache()
         return sec
 
+    def steady_median(fn, d: str, n: int = 3) -> float:
+        # the synthetic-rung queries run 10-60s late in a long JVM session,
+        # where single runs swing +/-40% (containment measured 24s and 47s in
+        # two same-code runs) — median-of-n is the same treatment bench.py
+        # gives its slowest queries
+        runs = sorted(steady(fn, d) for _ in range(n))
+        return runs[n // 2]
+
     times: dict[str, dict[str, float]] = {}
     for name, fn, _, _ in runs:
         times[name] = {}
@@ -136,17 +147,19 @@ def main() -> None:
     # ---- synthetic rungs (skipped with a note if the corpus isn't generated)
     have_scale = os.path.exists(f"{SCALE_DIR}/documents.parquet")
     pair_sf1: dict[str, float] = {}
+    pair_sf01: dict[str, float] = {}  # median sf0.1 base for the x-factor
     ann: dict[str, dict[str, float]] = {}
     n_scale_docs = n_scale_emb = 0
     if have_scale:
         n_scale_docs = spark.read.parquet(f"{SCALE_DIR}/documents.parquet").count()
         n_scale_emb = spark.read.parquet(f"{SCALE_DIR}/embeddings.parquet").count()
         for name in PAIR_SF1:
-            pair_sf1[name] = steady(QUERIES[name]["fn"], SCALE_DIR)
+            pair_sf01[name] = steady_median(QUERIES[name]["fn"], "/root/testdata/sf0.1")
+            pair_sf1[name] = steady_median(QUERIES[name]["fn"], SCALE_DIR)
         for name, fn in ANN_AUTO:
             ann[name] = {
-                "sf0.1": steady(fn, "/root/testdata/sf0.1"),
-                "200k": steady(fn, SCALE_DIR),
+                "sf0.1": steady_median(fn, "/root/testdata/sf0.1"),
+                "200k": steady_median(fn, SCALE_DIR),
             }
         recall, n_truth = _knn_auto_recall(spark, SCALE_DIR)
 
@@ -188,13 +201,30 @@ def main() -> None:
             "space, so duplicate DENSITY stays constant — pair count grows",
             "linearly with rows, the regime a real corpus scales in).",
             "Generate with `python tools/gen_scale_corpus.py`.",
+            "Both columns are MEDIANS of 3 steady-state runs (the 10-60s rungs",
+            "swing +/-40% between single runs late in a long JVM session).",
             "",
             "| query | sf0.1 | sf1 (synthetic) | x |",
             "|---|---|---|---|",
         ]
         for name in PAIR_SF1:
-            a, b = times[name]["0.1"], pair_sf1[name]
+            a, b = pair_sf01[name], pair_sf1[name]
             lines.append(f"| {name} | {a:.2f}s | {b:.2f}s | x{b / a:.1f} |")
+        lines += [
+            "",
+            "The edit_distance row is the honest outlier: this corpus is",
+            "char-level TEMPLATED (every shard shares the same ~30 base words,",
+            "so in-token q-grams repeat corpus-wide at aligned positions) and",
+            "the Ed-Join prefix filter's precision collapses in that regime —",
+            "candidates grew x51 per 10x rows (2.6M -> 135M; q=5 does not",
+            "save it, measured 45M). Word-shingle methods keep their linearity",
+            "because the shard token SUFFIXES differ. Known exact remedy:",
+            "PASS-JOIN segment matching (Li, Deng, Feng 2011) — an untouched",
+            "1-of-(d+1) segment must appear as an exact ~len/(d+1)-char",
+            "substring at a +/-d-shifted position, which stays selective on",
+            "templated text; blocking (shard/lang/length) is the production",
+            "mitigation until that lands.",
+        ]
         lines += [
             "",
             "## ANN auto gate — default-argument calls on both sides of the 100k ceiling",
