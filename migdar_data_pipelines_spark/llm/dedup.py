@@ -1812,49 +1812,46 @@ def edit_distance_pairs(
     text_col: str,
     id_col: str,
     max_dist: int = 2,
-    q: int = 3,
 ) -> DataFrame:
     """EXACT pairs within Levenshtein distance ``max_dist`` as
     (id_a, id_b, dist), id_a < id_b — without the all-pairs join.
 
-    Candidate generation is Ed-Join's q-gram prefix filter WITH its
-    location-based extension, exact by the destruction argument: one edit
-    destroys at most ``q`` of a string's positional character q-grams and
-    shifts every surviving gram's position by at most 1, so after
-    ``max_dist`` edits at least one of the string's ``q*max_dist + 1``
-    RAREST grams (rarest by corpus document frequency, gram tie-break,
-    then position) survives in the other string with the same VALUE at a
-    position within ``±max_dist``. The position constraint rides in the
-    hash-join key as a width-``(max_dist+1)`` bucket (probe explodes to
-    its <= 3 covering buckets), which is what keeps low-vocabulary corpora
-    from exploding — value-only matching admitted 31% of all pairs on a
-    916-trigram corpus; (value, ~position) admits ~0.5% at identical
-    output. Survivors pass the ``|len_a - len_b| <= max_dist`` length
-    filter and are verified with the BANDED ``levenshtein(a, b,
-    threshold)`` kernel (O(d*n) per pair, JVM-side, returns -1 above the
-    band — the filters only prune, the verify decides).
+    Candidate generation is PASS-JOIN segment matching (Li, Deng, Feng
+    2011), exact by pigeonhole: partition every string into ``max_dist+1``
+    even segments — ``max_dist`` edits cannot touch them all, and an
+    untouched segment of y appears in x as an EXACT substring whose
+    position shifted by at most ``max_dist`` (each insert/delete shifts
+    later content by 1). So the index holds each string's ``d+1`` segments
+    keyed by (segment value, slot, length) and every string probes its own
+    substrings at the slot positions of each hypothesized partner length
+    ``len±d`` — a bounded ``(2d+1)(d+1)(2d+1)`` probe rows per string with
+    ~``len/(d+1)``-char join keys. Long exact keys are what survives
+    char-level TEMPLATED corpora: the previous Ed-Join q-gram prefix
+    filter (even with its location extension) measured candidates growing
+    x51 per 10x rows on the shard-templated scale corpus because in-token
+    q-grams repeat corpus-wide at aligned positions, while 13-char
+    segment keys there include the shard-distinct token suffixes and stay
+    selective. Survivors pass the ``|len_a - len_b| <= max_dist`` length
+    filter (built into the join key) and are verified with the BANDED
+    ``levenshtein(a, b, threshold)`` kernel (O(d*n) per pair, JVM-side,
+    returns -1 above the band — the filter only prunes, the verify
+    decides).
 
-    Strings too short to own a full prefix (fewer than ``q*max_dist + 1``
-    grams, i.e. ``len < q*max_dist + q``) can lose EVERY gram to
-    ``max_dist`` edits, so they route through a length-bucket path
-    instead: each short string explodes to buckets ``len-d .. len+d`` and
-    equi-joins every string (short or long) on its exact length — pairs
-    outside the length filter never form. Shorts are a sliver of any real
-    corpus; the bucket join is bounded by that sliver's size.
+    Strings shorter than ``max_dist + 1`` cannot form ``d+1`` non-empty
+    segments, so they route through a length-bucket path instead: each
+    explodes to buckets ``len-d .. len+d`` and equi-joins every string on
+    its exact length. Tiny strings are a sliver of any real corpus; the
+    bucket join is bounded by that sliver's size.
 
-    Scale shape: one corpus scan builds (grams, length); the prefix join
-    carries ``q*d+1`` rows per doc against the index (rarest-first keeps
-    hot-gram blowup capped, same machinery as ngram_containment_pairs);
-    the verify is candidate-sized with the banded kernel. No all-pairs
-    stage anywhere.
+    Scale shape: one corpus scan builds (segments, substring probes); the
+    candidate join is an equi-join on (value, slot, length); the verify is
+    candidate-sized with the banded kernel. No all-pairs stage anywhere.
     """
-    from pyspark.sql import Window
-
     from ..operators.caching import scoped_persist
 
-    assert max_dist >= 1 and q >= 2
-    prefix_len = q * max_dist + 1
-    short_max = q * max_dist + q - 1  # longest length WITHOUT a full prefix
+    assert max_dist >= 1
+    d = max_dist
+    nseg = d + 1
 
     base = scoped_persist(
         df.select(
@@ -1863,58 +1860,74 @@ def edit_distance_pairs(
             F.length(text_col).alias("len"),
         ).where(F.col(text_col).isNotNull())
     )
-    # positional character q-grams (SQL substr accepts a column position)
-    grams = base.where(F.col("len") >= F.lit(q)).select(
-        "id",
-        "len",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, len - {q - 1}), i -> struct(substr(t, i, {q}) AS g, i AS pos))"
-            )
-        ).alias("gp"),
-    ).select("id", "len", F.col("gp.g").alias("g"), F.col("gp.pos").alias("pos"))
 
-    long_grams = scoped_persist(grams.where(F.col("len") > short_max))
-    dfreq = long_grams.groupBy("g").agg(F.count_distinct("id").alias("df"))
-    rk = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"), F.asc("pos"))
-    prefix = (
-        long_grams.join(dfreq, "g")
-        .withColumn("__rk", F.row_number().over(rk))
-        .where(F.col("__rk") <= prefix_len)
-        .select("id", "g", "pos")
+    # index side: the d+1 even-partition segments of every string with
+    # len >= d+1. base_sz = len div (d+1), rem = len mod (d+1): the first
+    # (d+1-rem) segments take base_sz chars, the last rem take base_sz+1;
+    # start_i is 1-indexed for substr.
+    seg_struct = (
+        f"transform(sequence(0, {d}), i -> named_struct("
+        f"'i', i, "
+        f"'seg', substr(t, "
+        f"1 + i * (len div {nseg}) + greatest(0, i - ({nseg} - len % {nseg})), "
+        f"(len div {nseg}) + IF(i >= {nseg} - (len % {nseg}), 1, 0))))"
     )
-    # Ed-Join's LOCATION-BASED filter, exact: d edits shift a surviving
-    # gram's position by at most d (each insert/delete shifts by 1), so a
-    # candidate must match a prefix gram's VALUE at a position within +/-d.
-    # The position constraint rides IN the hash-join key as a bucket of
-    # width d+1 (probe explodes to its <=3 covering buckets, index keys on
-    # its own bucket), which is what keeps low-vocabulary corpora from
-    # exploding: gram value alone admitted 15.5M of 50M possible pairs on
-    # the 916-trigram bench corpus; (value, ~position) admits ~0.5%.
-    bw = max_dist + 1
-    probe = prefix.select(
-        "id",
-        "g",
-        "pos",
-        F.explode(
-            F.sequence(
-                F.floor((F.col("pos") - max_dist) / bw).cast("int"),
-                F.floor((F.col("pos") + max_dist) / bw).cast("int"),
-            )
-        ).alias("__bkt"),
-    )
-    idx = long_grams.select(
+    idx = base.where(F.col("len") >= nseg).select(
         F.col("id").alias("id2"),
-        "g",
-        F.col("pos").alias("pos2"),
-        F.floor(F.col("pos") / bw).cast("int").alias("__bkt"),
-    ).dropDuplicates(["id2", "g", "pos2"])
-    cand_long = (
-        probe.join(idx, ["g", "__bkt"])
-        .where(
-            (F.col("id") != F.col("id2"))
-            & (F.abs(F.col("pos") - F.col("pos2")) <= max_dist)
+        F.col("len").alias("L"),
+        F.explode(F.expr(seg_struct)).alias("sg"),
+    ).select("id2", "L", F.col("sg.i").alias("i"), F.col("sg.seg").alias("seg"))
+
+    # probe side: every string hypothesizes partner lengths L in
+    # [max(d+1, len-d), len+d], computes the partner's slot geometry from
+    # L alone, and emits its own substrings of that slot length at
+    # positions within +/-d of the slot start.
+    probe = (
+        base.select(
+            "id",
+            "t",
+            "len",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("len") - d, F.lit(nseg)),
+                    F.col("len") + d,
+                )
+            ).alias("L"),
         )
+        .where(F.col("L") >= nseg)
+        .select(
+            "id", "t", "len", "L", F.explode(F.sequence(F.lit(0), F.lit(d))).alias("i")
+        )
+        .withColumn(
+            "__s",
+            F.lit(1)
+            + F.col("i") * (F.col("L") / nseg).cast("long").cast("int")
+            + F.greatest(
+                F.lit(0), F.col("i") - (F.lit(nseg) - F.col("L") % nseg).cast("int")
+            ),
+        )
+        .withColumn(
+            "__l",
+            (F.col("L") / nseg).cast("long").cast("int")
+            + F.when(F.col("i") >= F.lit(nseg) - F.col("L") % nseg, 1).otherwise(0),
+        )
+        .withColumn("__plo", F.greatest(F.lit(1), F.col("__s") - d))
+        .withColumn("__phi", F.least(F.col("len") - F.col("__l") + 1, F.col("__s") + d))
+        .where(F.col("__phi") >= F.col("__plo"))
+        .select(
+            "id",
+            "L",
+            "i",
+            F.explode(F.sequence("__plo", "__phi")).alias("p"),
+            "t",
+            "__l",
+        )
+        .select("id", "L", "i", F.expr("substr(t, p, __l)").alias("seg"))
+        .dropDuplicates(["id", "L", "i", "seg"])
+    )
+    cand_long = (
+        probe.join(idx, ["L", "i", "seg"])
+        .where(F.col("id") != F.col("id2"))
         .select(
             F.least("id", "id2").alias("id_a"),
             F.greatest("id", "id2").alias("id_b"),
@@ -1922,8 +1935,8 @@ def edit_distance_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # short-string path: bucket join on exact length within +/- max_dist
-    shorts = base.where(F.col("len") <= short_max)
+    # tiny-string path: bucket join on exact length within +/- max_dist
+    shorts = base.where(F.col("len") < nseg)
     short_probe = shorts.select(
         "id",
         F.explode(
