@@ -14,9 +14,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from migdar_data_pipelines_spark.plans import oracle_sqls, query_fns  # noqa: E402
+try:
+    # installed package (pip wheel from tools/build_wheel.py, or
+    # `python setup.py develop` — see pyproject.toml)
+    from migdar_data_pipelines_spark.plans import oracle_sqls, query_fns
+except ModuleNotFoundError:
+    # bare checkout loaded by file path (importlib spec does not put the
+    # script's directory on sys.path)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from migdar_data_pipelines_spark.plans import oracle_sqls, query_fns  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

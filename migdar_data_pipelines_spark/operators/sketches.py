@@ -687,6 +687,7 @@ def kmv_adjacent_overlap(
     group_col: str,
     next_of: Column,
     k: int = KMV_K,
+    max_broadcast_groups: int | None = None,
 ) -> DataFrame:
     """Distinct-set overlap between CONSECUTIVE groups from their KMV
     sketches — the bounded-memory form of day-over-day returning-user /
@@ -700,28 +701,49 @@ def kmv_adjacent_overlap(
     intermediate count and hash an exact integer.
 
     Everything here is sketch-sized: pairs x 2k rows at most, broadcast
-    joins throughout.
+    joins throughout — count-gated like :func:`kmv_pairwise_overlap`
+    (the full G*k-row sketch set is what gets broadcast; adjacent pairs
+    are only G rows but G itself is unbounded).
     """
     from ..operators.caching import scoped_persist
 
     s = scoped_persist(
         sketches.select(F.col(group_col).alias("g"), "h")
     )
-    groups = s.select("g").distinct().withColumn("g2", next_of)
+    g1 = scoped_persist(s.select("g").distinct())
+    ceiling = (
+        MAX_BROADCAST_SKETCH_GROUPS
+        if max_broadcast_groups is None
+        else max_broadcast_groups
+    )
+    bcast = g1.count() <= ceiling
+    groups = g1.withColumn("g2", next_of)
     pairs = (
         groups.join(
-            s.select(F.col("g").alias("__gx")).distinct(),
+            g1.select(F.col("g").alias("__gx")),
             F.col("g2") == F.col("__gx"),
             "left_semi",
         )
     )
-    return _kmv_pairs_overlap(s, pairs, k)
+    return _kmv_pairs_overlap(s, pairs, k, bcast=bcast)
+
+
+# Broadcast ceiling for the pair-overlap algebra: with G groups the sketch
+# set is G*k rows and the pair frames are up to G(G-1)/2 rows — both are
+# force-broadcast on the fast path. 2048 groups * k=64 = 131k sketch rows /
+# ~2M pair rows, comfortably executor-sized; past it (a 100k-source corpus
+# merge -> 5e9 pair rows) every forced broadcast would blow up silently, so
+# the gate drops the hints and lets the joins shuffle on (g, g2) with AQE
+# free to re-broadcast from MEASURED sizes (same policy as the LSH candidate
+# gate, llm/dedup.py::MAX_BROADCAST_CANDIDATE_PAIRS).
+MAX_BROADCAST_SKETCH_GROUPS = 2048
 
 
 def kmv_pairwise_overlap(
     sketches: DataFrame,
     group_col: str,
     k: int = KMV_K,
+    max_broadcast_groups: int = MAX_BROADCAST_SKETCH_GROUPS,
 ) -> DataFrame:
     """Distinct-set overlap between EVERY pair of groups (g < g2) from
     their KMV sketches — the cross-source contamination/overlap MATRIX a
@@ -731,6 +753,13 @@ def kmv_pairwise_overlap(
     G(G-1)/2 pairs x 2k sketch rows — G=1000 sources is still only ~500k
     pair-rows of k-hash algebra, nothing data-sized.
 
+    The broadcast hints are COUNT-GATED: one cheap ``count()`` over the
+    distinct group list (the sketch frame is persisted, so this reads G
+    rows) decides whether the sketch set and pair frames may be broadcast
+    (G <= ``max_broadcast_groups``) or must shuffle on their keys — G is
+    unbounded user input (one group per source/day/tenant) and a forced
+    broadcast at G=100k would materialize G^2/2 pair rows on every executor.
+
     Output one row per unordered pair: (grp, next_grp, est_a, est_b,
     est_union, est_inter) — grp < next_grp."""
     from ..operators.caching import scoped_persist
@@ -738,28 +767,38 @@ def kmv_pairwise_overlap(
     s = scoped_persist(
         sketches.select(F.col(group_col).alias("g"), "h")
     )
-    g1 = s.select("g").distinct()
+    g1 = scoped_persist(s.select("g").distinct())
+    bcast = g1.count() <= max_broadcast_groups
     pairs = g1.join(
         g1.select(F.col("g").alias("g2")), F.col("g") < F.col("g2")
     )
-    return _kmv_pairs_overlap(s, pairs, k)
+    return _kmv_pairs_overlap(s, pairs, k, bcast=bcast)
 
 
-def _kmv_pairs_overlap(s: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
+def _kmv_pairs_overlap(
+    s: DataFrame, pairs: DataFrame, k: int, bcast: bool = True
+) -> DataFrame:
     """Shared pair algebra: per (g, g2) pair, union re-trim + rho-ratio
     intersection over the (g, h) sketch rows. ``pairs`` carries (g, g2);
-    every frame here is pair x sketch sized, broadcast joins throughout."""
+    with ``bcast`` every frame here is pair x sketch sized and broadcast;
+    callers whose group count exceeds their broadcast ceiling pass
+    ``bcast=False`` and the same joins shuffle on their keys (AQE may still
+    broadcast from runtime size estimates — only the plan-time force is
+    dropped)."""
     from pyspark.sql import Window
 
     from ..operators.caching import scoped_persist
 
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
     a = s.select(F.col("g").alias("__ga"), F.col("h").alias("__ha"))
     b = s.select(F.col("g").alias("__gb"), F.col("h").alias("__hb"))
     merged = (
-        pairs.join(F.broadcast(a), F.col("g") == F.col("__ga"))
+        pairs.join(_b(a), F.col("g") == F.col("__ga"))
         .select("g", "g2", F.col("__ha").alias("h"))
         .unionByName(
-            pairs.join(F.broadcast(b), F.col("g2") == F.col("__gb"))
+            pairs.join(_b(b), F.col("g2") == F.col("__gb"))
             .select("g", "g2", F.col("__hb").alias("h"))
         )
         .dropDuplicates(["g", "g2", "h"])
@@ -770,12 +809,12 @@ def _kmv_pairs_overlap(s: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
     )
     inter = (
         u.join(
-            F.broadcast(a),
+            _b(a),
             (F.col("g") == F.col("__ga")) & (F.col("h") == F.col("__ha")),
             "left_semi",
         )
         .join(
-            F.broadcast(b),
+            _b(b),
             (F.col("g2") == F.col("__gb")) & (F.col("h") == F.col("__hb")),
             "left_semi",
         )
@@ -795,9 +834,9 @@ def _kmv_pairs_overlap(s: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
     )
     out = (
         pairs.select("g", "g2")
-        .join(F.broadcast(sa.select(F.col("__g").alias("g"), "na", "ka")), "g")
+        .join(_b(sa.select(F.col("__g").alias("g"), "na", "ka")), "g")
         .join(
-            F.broadcast(
+            _b(
                 sa.select(
                     F.col("__g").alias("g2"),
                     F.col("na").alias("nb"),
@@ -806,8 +845,8 @@ def _kmv_pairs_overlap(s: DataFrame, pairs: DataFrame, k: int) -> DataFrame:
             ),
             "g2",
         )
-        .join(F.broadcast(ustats), ["g", "g2"])
-        .join(F.broadcast(inter), ["g", "g2"], "left")
+        .join(_b(ustats), ["g", "g2"])
+        .join(_b(inter), ["g", "g2"], "left")
         .select(
             F.col("g").alias("grp"),
             F.col("g2").alias("next_grp"),

@@ -293,7 +293,16 @@ class EsSink:
             if ops:
                 client.bulk(operations=ops)
 
-        self._client()  # fail fast on driver if the endpoint is unreachable
+        # Fail fast on the driver: neither Elasticsearch() nor RestEsClient()
+        # contacts the cluster at construction, so an unreachable endpoint
+        # would otherwise surface as N executor task failures inside
+        # foreachPartition. ping() returns False on any transport error.
+        probe = self._client()
+        if hasattr(probe, "ping") and not probe.ping():
+            raise ConnectionError(
+                f"Elasticsearch unreachable at {self.hosts!r} — aborting before "
+                "the distributed bulk write"
+            )
         df.foreachPartition(_bulk)
 
     def finalize(self, index: str, revision: int) -> None:

@@ -21,11 +21,23 @@ each call 1:1 onto its documented REST endpoint.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 from typing import Any
 from urllib import error as _urlerror
 from urllib import parse as _urlparse
 from urllib import request as _urlrequest
+
+
+def _json_default(obj: Any) -> str:
+    """Match elasticsearch-py's serializer for temporal types: ISO8601 with
+    'T' (``2024-01-02T03:04:05``). ``str(datetime)`` uses a space separator,
+    which ES's default ``strict_date_optional_time`` date mapping rejects —
+    so the REST fallback must not serialize dates differently than the real
+    client does (ADVICE r9)."""
+    if isinstance(obj, (_dt.datetime, _dt.date, _dt.time)):
+        return obj.isoformat()
+    return str(obj)
 
 
 class EsRestError(RuntimeError):
@@ -73,8 +85,11 @@ class _Indices:
 
 class RestEsClient:
     """Duck-typed stand-in for ``elasticsearch.Elasticsearch`` covering the
-    sink suite's call surface. ``hosts`` may be a URL string or a list (the
-    first entry is used; local clusters have one endpoint)."""
+    sink suite's call surface. ``hosts`` may be a URL string or a list; all
+    entries are kept and tried in order on *connection* failure (a simpler
+    failover than elasticsearch-py's pooling — no round-robin, no node
+    sniffing — but a dead first endpoint no longer strands the extra hosts
+    ``EsSink.from_env`` parsed out of ``MIGDAR_ES_HOSTS``, ADVICE r9)."""
 
     def __init__(
         self,
@@ -83,15 +98,20 @@ class RestEsClient:
         api_key: str | None = None,
         **_ignored: Any,
     ):
-        host = (hosts[0] if isinstance(hosts, (list, tuple)) else hosts) or (
-            "http://localhost:9200"
-        )
-        self._base = host.rstrip("/")
+        if isinstance(hosts, (list, tuple)):
+            host_list = list(hosts) or ["http://localhost:9200"]
+        else:
+            host_list = [hosts or "http://localhost:9200"]
+        self._bases = [h.rstrip("/") for h in host_list]
         self._timeout = request_timeout
         self._headers = {"Content-Type": "application/json"}
         if api_key:
             self._headers["Authorization"] = f"ApiKey {api_key}"
         self.indices = _Indices(self)
+
+    @property
+    def _base(self) -> str:
+        return self._bases[0]
 
     # ------------------------------------------------------------ transport
     def _request(
@@ -103,20 +123,29 @@ class RestEsClient:
         headers: dict[str, str] | None = None,
         ok: tuple[int, ...] = (200, 201),
     ) -> tuple[int, str]:
-        url = self._base + path
-        if params:
-            url += "?" + _urlparse.urlencode(params)
-        req = _urlrequest.Request(
-            url, data=data, method=method, headers={**self._headers, **(headers or {})}
-        )
-        try:
-            with _urlrequest.urlopen(req, timeout=self._timeout) as resp:
-                return resp.status, resp.read().decode("utf-8", "replace")
-        except _urlerror.HTTPError as e:
-            body = e.read().decode("utf-8", "replace")
-            if e.code in ok:
-                return e.code, body
-            raise EsRestError(e.code, body) from None
+        last_conn_err: Exception | None = None
+        for base in self._bases:
+            url = base + path
+            if params:
+                url += "?" + _urlparse.urlencode(params)
+            req = _urlrequest.Request(
+                url,
+                data=data,
+                method=method,
+                headers={**self._headers, **(headers or {})},
+            )
+            try:
+                with _urlrequest.urlopen(req, timeout=self._timeout) as resp:
+                    return resp.status, resp.read().decode("utf-8", "replace")
+            except _urlerror.HTTPError as e:
+                # HTTP response = endpoint alive; no point trying other hosts
+                body = e.read().decode("utf-8", "replace")
+                if e.code in ok:
+                    return e.code, body
+                raise EsRestError(e.code, body) from None
+            except (_urlerror.URLError, OSError) as e:
+                last_conn_err = e  # connection-level failure -> next host
+        raise last_conn_err  # type: ignore[misc]
 
     def _json(self, method: str, path: str, body: dict | None = None, **kw) -> dict:
         data = json.dumps(body).encode() if body is not None else None
@@ -134,7 +163,7 @@ class RestEsClient:
     def bulk(self, operations: list[dict], refresh: bool = False) -> dict:
         """NDJSON pairs — the exact ``client.bulk(operations=[action, source,
         ...])`` shape the sink emits and elasticsearch-py accepts."""
-        nd = "".join(json.dumps(op, default=str) + "\n" for op in operations)
+        nd = "".join(json.dumps(op, default=_json_default) + "\n" for op in operations)
         params = {"refresh": "true"} if refresh else None
         _, text = self._request(
             "POST",
@@ -145,11 +174,16 @@ class RestEsClient:
         )
         out = json.loads(text)
         if out.get("errors"):
-            bad = [
-                i["index"]
-                for i in out.get("items", [])
-                if i.get("index", {}).get("error")
-            ][:3]
+            # Items are keyed by op type (index/create/update/delete); take
+            # whichever key is present so ES 7 and 8 response dialects (and
+            # mixed-op batches) all surface their per-item errors.
+            bad = []
+            for i in out.get("items", []):
+                item = next(iter(i.values()), {}) if isinstance(i, dict) else {}
+                if item.get("error"):
+                    bad.append(item)
+                    if len(bad) >= 3:
+                        break
             raise EsRestError(200, f"bulk item errors: {bad}")
         return out
 

@@ -163,3 +163,92 @@ def test_es_dumper_http_timestamp_preservation(
         existing_timestamps=existing, now=sc.RESTAMP_NOW,
     )
     assert _ids(client, sc.INDEX)["d9"]["create_timestamp"] == sc.RESTAMP_NOW
+
+
+def test_bulk_serializes_datetimes_iso8601(client):
+    """ADVICE r9: the REST fallback must serialize temporal values the way
+    elasticsearch-py does — ISO8601 with 'T' — or ES's default
+    strict_date_optional_time date mapping rejects them. str(datetime) uses a
+    space separator; the client's json default must call .isoformat()."""
+    import datetime as dt
+
+    _seed(
+        client,
+        "dt1",
+        [("a", {"ts": dt.datetime(2024, 1, 2, 3, 4, 5), "d": dt.date(2024, 1, 2)})],
+    )
+    src = _ids(client, "dt1")["a"]
+    assert src["ts"] == "2024-01-02T03:04:05"
+    assert src["d"] == "2024-01-02"
+
+
+def test_multihost_failover_on_connection_error(emulator):
+    """EsSink.from_env parses comma-separated MIGDAR_ES_HOSTS; a dead first
+    endpoint must not strand the live ones (ADVICE r9: the fallback client
+    used hosts[0] only). Connection-level failures advance to the next host;
+    HTTP responses (even errors) do not."""
+    from migdar_data_pipelines_spark.sinks.es_rest import RestEsClient
+
+    url, store = emulator
+    store.indices.clear()
+    # port 9 (discard) on localhost: connection refused immediately
+    c = RestEsClient(["http://127.0.0.1:9", url], request_timeout=5)
+    assert c.ping()
+    _seed(c, "fo1", [("a", {"n": 1})])
+    assert set(_ids(c, "fo1")) == {"a"}
+    # all hosts dead -> the connection error propagates (ping() -> False)
+    dead = RestEsClient(["http://127.0.0.1:9"], request_timeout=1)
+    assert not dead.ping()
+
+
+def test_bulk_item_error_dialects():
+    """Bulk per-item errors must surface for both ES 7 and ES 8 response
+    dialects and regardless of the op key (index/create): items are keyed by
+    op type, and ES 7 adds a legacy '_type' field ES 8 omits."""
+    from migdar_data_pipelines_spark.sinks.es_rest import EsRestError, RestEsClient
+
+    class Canned(RestEsClient):
+        def __init__(self, response):
+            super().__init__("http://unused:1")
+            self._resp = response
+
+        def _request(self, *a, **k):
+            import json as j
+
+            return 200, j.dumps(self._resp)
+
+    es7 = {
+        "errors": True,
+        "items": [
+            {"index": {"_type": "_doc", "_id": "a", "status": 201, "result": "created"}},
+            {"create": {"_type": "_doc", "_id": "b", "status": 409,
+                        "error": {"type": "version_conflict_engine_exception"}}},
+        ],
+    }
+    es8 = {
+        "errors": True,
+        "items": [
+            {"index": {"_id": "a", "status": 201, "result": "created"}},
+            {"index": {"_id": "b", "status": 400,
+                       "error": {"type": "mapper_parsing_exception"}}},
+        ],
+    }
+    for resp, expect in [(es7, "version_conflict"), (es8, "mapper_parsing")]:
+        with pytest.raises(EsRestError) as ei:
+            Canned(resp).bulk(operations=[{"index": {"_index": "t", "_id": "b"}}, {}])
+        assert expect in str(ei.value)
+    # errors:false passes through untouched in both dialects
+    ok = dict(es8, errors=False)
+    assert Canned(ok).bulk(operations=[])["items"][0]["index"]["result"] == "created"
+
+
+def test_driver_ping_fail_fast(spark):
+    """es.py write(): an unreachable endpoint must raise ON THE DRIVER before
+    foreachPartition launches N failing executor tasks (ADVICE r9 — neither
+    client contacts the cluster at construction)."""
+    from migdar_data_pipelines_spark.sinks import EsSink
+
+    sink = EsSink(hosts=["http://127.0.0.1:9"], timeout=1)
+    df = spark.createDataFrame([("a", 1)], "doc_id string, n int")
+    with pytest.raises(ConnectionError, match="unreachable"):
+        sink.write(df, index="t", id_col="doc_id")

@@ -48,16 +48,19 @@ def load(path: str) -> tuple[dict[str, float], dict[str, float]]:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    thresh = 0.0
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            thresh = float(a.split("=", 1)[1])
-    if len(args) != 2:
-        sys.exit(__doc__)
-    old_q, old_s = load(args[0])
-    new_q, new_s = load(args[1])
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=0.0)
+    ns = ap.parse_args()
+    thresh = ns.threshold
+    old_q, old_s = load(ns.old)
+    new_q, new_s = load(ns.new)
     common = sorted(set(old_q) & set(new_q))
+    if not common:
+        sys.exit("no common queries between the two benches — nothing to compare")
     regressions, improvements = [], []
     for name in common:
         o, n = old_q[name], new_q[name]
