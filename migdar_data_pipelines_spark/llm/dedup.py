@@ -177,6 +177,11 @@ def _shingle_band_frames(
 # 100 TB point of gating at plan time).
 MAX_BROADCAST_CANDIDATE_PAIRS = 1_000_000
 
+# duplicated_spans' dup-hash set ceiling: 8-byte xxhash64 rows, ~32MB
+# serialized at the ceiling — broadcasting it spares the occurrence frame
+# its second full shuffle (see the inline comment at the residue join)
+MAX_BROADCAST_DUP_GRAMS = 4_000_000
+
 
 def minhash_lsh_pairs(
     df: DataFrame,
@@ -469,8 +474,11 @@ def connected_components(
             out = out.unionByName(m.select("u", F.col("m").alias("v")))
         return out.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
 
+    from ..operators.metrics import record
+
     prev_sig = None
-    for _ in range(max_iter):
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
         # localCheckpoint, not persist: each star references its input plan
         # FOUR times (both union arms of the neighbourhood view, the min
         # aggregate, the re-join), so round k's *logical plan* would hold
@@ -491,6 +499,9 @@ def connected_components(
         if sig == prev_sig:
             break
         prev_sig = sig
+    # driver-side diagnostic: the scale harness reports rounds next to wall
+    # time (a CC rung that slowed down may simply have run more rounds)
+    record("cc_rounds", rounds)
 
     # Converged: every edge is (node, component-min). Roots appear only on
     # the v side; the defensive min() collapses any duplicate child rows.
@@ -1236,13 +1247,23 @@ def duplicated_spans(
         occ.select("id", "n_words", "pos", F.xxhash64("gram").alias("h"))
     )
 
-    dup_grams = (
+    dup_grams = scoped_persist(
         occ.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") > 1)
         .select("h")
     )
-    dup = occ.join(dup_grams, "h")
+    # Broadcast the dup-hash set when its EXACT count proves it small: the
+    # residue join is occ's SECOND full shuffle (the groupBy above is the
+    # first, and with near-unique grams its map-side combine collapses
+    # nothing — every rung measured distinct_h ~ 0.95 * occ_rows), so a
+    # broadcast here halves the operator's shuffled bytes. 8-byte hash rows:
+    # the 4M ceiling is ~32MB serialized. Past it, shuffle as before (AQE
+    # may still broadcast from runtime sizes). Same eager-count-at-plan-
+    # construction policy as the LSH gate; scoped persists freed by
+    # release_scoped().
+    dup_small = dup_grams.count() <= MAX_BROADCAST_DUP_GRAMS
+    dup = occ.join(F.broadcast(dup_grams) if dup_small else dup_grams, "h")
 
     by_doc = Window.partitionBy("id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k - 1).over(
@@ -1504,6 +1525,8 @@ def ngram_containment_pairs(
     id_col: str,
     n: int = 2,
     threshold: float = 0.8,
+    q_hits: int = 2,
+    max_broadcast_candidates: int | None = None,
 ) -> DataFrame:
     """DIRECTIONAL n-gram containment: C(A in B) = |grams(A) ∩ grams(B)| /
     |grams(A)| for probe docs A against corpus docs B — the asymmetric
@@ -1514,27 +1537,51 @@ def ngram_containment_pairs(
     to symmetric near-dup, shaped like ``incremental_dedup``: a (small)
     probe set against a standing corpus.
 
-    Candidate generation is PPJoin-style prefix filtering on the PROBE side
-    only, exact by pigeonhole: C(A in B) >= t forces B to contain at least
-    one of A's floor((1-t)|A|)+1 rarest grams (rarest by corpus document
-    frequency, gram tie-break), so only those prefix rows join the corpus
-    index. Rarest-first is what caps the hot-gram blowup a naive gram
-    self-join suffers (measured 41.6s -> sub-second at sf0.1 on a
-    small-vocabulary corpus where every doc shares grams with most others).
-    Verification re-joins candidates against the full gram sets for the
-    exact intersection count — the filter only prunes, never decides.
+    Candidate generation is a pigeonring-count prefix filter on the PROBE
+    side, exact by pigeonhole: with m = |A| - ceil(t_eff*|A|) misses allowed,
+    any qualifying B contains at least min(q_hits, |A|-m) of A's m+q_hits
+    RAREST grams (rarest by corpus document frequency, gram tie-break). The
+    matched prefix rows therefore feed a map-side-combinable
+    groupBy(id_a, id_b) count, and only groups reaching the hit floor
+    become candidates. The single-gram form of this filter (q_hits=1, the
+    round-7 implementation) was MEASURED collapsing on shared-vocabulary
+    corpora: candidate pairs grew x119 per 10x rows at the
+    sf0.01 -> sf0.1 rung (4,262 -> 507,400 for 114 -> 1,109 true pairs —
+    precision 37 -> 458 candidates per output pair), because one rare-gram
+    hit admits every doc in that gram's posting list and posting lists grow
+    with the corpus; requiring a SECOND independent rare-gram hit makes the
+    admission probability quadratic in df instead of linear
+    (tools/measure_candidates.py is the rung harness, PLANS.md the
+    disposition). Verification computes the exact intersection from the
+    persisted gram ARRAYS (array_intersect) — the candidate frame is
+    count-gated for broadcast like the LSH verify (no corpus shuffle at
+    all when candidates are output-sized); the filter only prunes, never
+    decides.
     """
     assert 0 < threshold <= 1
-    a_base = scoped_persist(
+    assert q_hits >= 1
+    # grams are folded to xxhash64 longs ONCE at array build: every later
+    # frame (df counts, prefix rows, matched stream, verify arrays) carries
+    # 8-byte keys instead of ~20-char strings — 3-4x smaller shuffles and a
+    # long-array intersect at verify. Engine-internal key, same contract as
+    # duplicated_spans (the oracle only needs the distinct-count algebra to
+    # match; the 2^-64 collision floor is negligible for a dedup signal).
+    a_arr = scoped_persist(
         probe.select(
             F.col(id_col).alias("id_a"), shingles(text_col, n).alias("ga")
-        ).select("id_a", F.size("ga").alias("sz_a"), F.explode("ga").alias("gram"))
+        ).select(
+            "id_a",
+            F.size("ga").alias("sz_a"),
+            F.transform("ga", lambda g: F.xxhash64(g)).alias("ga"),
+        )
     )
-    b_idx = scoped_persist(
+    a_base = a_arr.select("id_a", "sz_a", F.explode("ga").alias("gram"))
+    b_arr = scoped_persist(
         corpus.select(
             F.col(id_col).alias("id_b"), shingles(text_col, n).alias("gb")
-        ).select("id_b", F.explode("gb").alias("gram"))
+        ).select("id_b", F.transform("gb", lambda g: F.xxhash64(g)).alias("gb"))
     )
+    b_idx = b_arr.select("id_b", F.explode("gb").alias("gram"))
     dfreq = b_idx.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
 
     from pyspark.sql import Window
@@ -1551,29 +1598,48 @@ def ngram_containment_pairs(
     # from ceiling one too high and shrinking the prefix below losslessness.
     t_eff = threshold - 5e-5 - 1e-9
     required = F.ceil(t_eff * F.col("sz_a")).cast("int")
-    prefix_len = F.col("sz_a") - required + 1
+    # prefix of the m + q_hits rarest grams (m = sz_a - required miss budget,
+    # capped at sz_a); a qualifying B hits >= min(q_hits, required) of them
+    prefix_len = F.least(F.col("sz_a"), F.col("sz_a") - required + q_hits)
+    needed = F.least(F.lit(q_hits), F.col("required"))
     prefix = (
         a_base.join(dfreq, "gram", "left")
         .withColumn("df", F.coalesce("df", F.lit(0)))
         .withColumn("__rk", F.row_number().over(rk))
         .filter(F.col("__rk") <= prefix_len)
-        .select("id_a", "gram")
+        .withColumn("required", required)
+        .select("id_a", "gram", "required")
     )
     cand = (
         prefix.join(b_idx, "gram")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__hits"),
+            F.max("required").alias("required"),
+        )
+        .filter(F.col("__hits") >= needed)
         .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
 
-    inter = (
-        cand.join(a_base, "id_a")
-        .join(b_idx, ["id_b", "gram"])
-        .groupBy("id_a", "id_b", "sz_a")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # verify from the persisted gram arrays; candidate side broadcast only
+    # when its EXACT count proves it small (same policy + eager-count
+    # lifetime as the LSH verify gate above)
+    cand = scoped_persist(cand)
+    hint = cand.count() <= (
+        MAX_BROADCAST_CANDIDATE_PAIRS
+        if max_broadcast_candidates is None
+        else max_broadcast_candidates
     )
+    withf = (F.broadcast(cand) if hint else cand).join(
+        a_arr.select("id_a", "sz_a", "ga"), "id_a"
+    )
+    withf = (F.broadcast(withf) if hint else withf).join(b_arr, "id_b")
     return (
-        inter.withColumn(
-            "containment", F.round(F.col("inter") / F.col("sz_a"), 4)
+        withf.withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("ga", "gb")) / F.col("sz_a"), 4
+            ),
         )
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")

@@ -82,6 +82,15 @@ def salted_aggregate(
 
     aggs: {out_name: (src_col, fn)} with fn in sum|count|max|min.
     The combine phase re-aggregates: sum->sum, count->sum, max->max, min->min.
+
+    Salt source: with ``entropy_cols`` the salt is a hash of those columns —
+    stable across retries AND across re-partitioning. Without them the salt
+    is ``monotonically_increasing_id() % n_salts`` (per-row), NOT a hash of
+    the key: hashing the key itself gives every row of the hot key the SAME
+    salt, which spreads nothing — the exact failure the salt exists to fix.
+    The id-based salt is deterministic for a given upstream partitioning
+    (task retries recompute identical ids), and the aggregate's VALUE never
+    depends on which salt a row lands on, only the spread does.
     """
     first_phase = []
     second_phase = []
@@ -100,9 +109,60 @@ def salted_aggregate(
             second_phase.append(F.min(f"__p_{out}").alias(out))
         else:
             raise ValueError(f"salted_aggregate cannot combine {fn!r}")
-    salt = salted_key(keys[0], n_salts, *(entropy_cols or []))
+    if entropy_cols:
+        salt = salted_key(keys[0], n_salts, *entropy_cols)
+    else:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*first_phase)
     return partial.groupBy(*keys).agg(*second_phase)
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str | F.Column,
+    k: int,
+    n_salts: int = 16,
+    descending: bool = True,
+) -> DataFrame:
+    """Skew-safe per-key top-k: rows with the k largest (or smallest)
+    ``order_col`` values per key group, EXACTLY equal to the window form
+    ``row_number().over(Window.partitionBy(keys).orderBy(order_col)) <= k``
+    minus the tie-arbitrariness (this returns all rows tied with the k-th
+    value, like rank() — a deterministic superset contract; callers needing
+    strict-k add their own tie-break column to ``order_col``).
+
+    Why not the window: a window partitionBy shuffles EVERY row of a key to
+    ONE task and sorts there — a Zipfian hot key holding 30% of a 100 TB
+    table serializes 30 TB through a single task while the rest of the
+    cluster idles. Two-phase instead: per-(key, salt) partial top-k spreads
+    the hot key over ``n_salts`` independent sorts (each also benefits from
+    map-side partial TakeOrdered semantics), then a final top-k over the
+    n_salts * k surviving rows per key — the second pass is k-bounded, never
+    data-bounded. Same algebra as ``salted_aggregate``: phase one spreads,
+    phase two combines a tiny residue.
+
+    Salt is per-row (``monotonically_increasing_id() % n_salts``): the
+    result is salt-placement-independent, so determinism of the salt only
+    matters for retry consistency, which mid provides."""
+    from pyspark.sql import Window
+
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    ordered = oc.desc() if descending else oc.asc()
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(ordered)
+    partial = (
+        df.withColumn("__salt", salt)
+        .withColumn("__rk", F.rank().over(w1))
+        .filter(F.col("__rk") <= k)
+        .drop("__salt", "__rk")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(ordered)
+    return (
+        partial.withColumn("__rk", F.rank().over(w2))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
 
 
 def key_distribution(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:

@@ -269,3 +269,38 @@ def salted_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("sum_qty", F.round("sum_qty", 2)).withColumn(
         "max_price", F.round("max_price", 2)
     )
+
+
+@register(
+    "salted_topk_lineitem",
+    sql="""
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       round(l_extendedprice, 2) AS price
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         rank() OVER (PARTITION BY l_returnflag
+                      ORDER BY l_extendedprice DESC) AS rk
+  FROM lineitem
+) WHERE rk <= 5
+""",
+)
+def salted_topk_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-key top-k (operators/scale.salted_topk, new r10): top-5
+    lineitems by price per returnflag — 3 groups over the whole fact table
+    is exactly the hot-key shape the plain window serializes (every row of a
+    group sorts in ONE task). Two-phase: per-(key, salt) partial top-k in 16
+    parallel sorts, then a k-bounded combine; the rank()<=k tie contract
+    matches the oracle window verbatim. The Zipfian 5M-row rung for this
+    operator is in SCALING.md (gen_scale_corpus.py events_skewed)."""
+    from ..operators.scale import salted_topk
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = salted_topk(li, ["l_returnflag"], "l_extendedprice", k=5, n_salts=16)
+    return out.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+    )

@@ -21,11 +21,17 @@ from typing import Any
 
 
 class _Store:
-    """index name -> {"docs": {_id: source}, "mappings": {...}}"""
+    """index name -> {"docs": {_id: source}, "mappings": {...}}.
+
+    ``dialect`` switches the RESPONSE shapes between the two wire formats a
+    live cluster would serve: "es8" (typeless items) and "es7" (legacy
+    ``_type: _doc`` on bulk items and search hits) — so the client's
+    response parsing is exercised against both (VERDICT r9 #6)."""
 
     def __init__(self):
         self.indices: dict[str, dict[str, Any]] = {}
         self.lock = threading.Lock()
+        self.dialect = "es8"
 
     def ensure(self, index: str) -> dict[str, Any]:
         return self.indices.setdefault(index, {"docs": {}, "mappings": {}})
@@ -140,7 +146,10 @@ class _Handler(BaseHTTPRequestHandler):
                     raise ValueError(f"emulator: unsupported bulk op {op}")
                 src = json.loads(lines[i + 1])
                 self.store.ensure(meta["_index"])["docs"][str(meta["_id"])] = src
-                items.append({"index": {"_id": str(meta["_id"]), "status": 201}})
+                item = {"_id": str(meta["_id"]), "status": 201, "result": "created"}
+                if self.store.dialect == "es7":
+                    item["_type"] = "_doc"
+                items.append({"index": item})
                 i += 2
         self._send(200, {"errors": False, "items": items})
 
@@ -152,8 +161,9 @@ class _Handler(BaseHTTPRequestHandler):
         if idx is None:
             self._send(404, {"error": "index_not_found_exception"})
             return
+        extra = {"_type": "_doc"} if self.store.dialect == "es7" else {}
         hits = [
-            {"_index": index, "_id": _id, "_source": src}
+            {"_index": index, "_id": _id, "_source": src, **extra}
             for _id, src in idx["docs"].items()
             if _matches(q, src)
         ][:size]

@@ -53,7 +53,15 @@ def _ids(client, index):
     return {h["_id"]: h["_source"] for h in hits}
 
 
-def test_rest_client_roundtrip(client):
+@pytest.fixture(params=["es8", "es7"])
+def dialect(request, emulator):
+    _, store = emulator
+    store.dialect = request.param
+    yield request.param
+    store.dialect = "es8"
+
+
+def test_rest_client_roundtrip(client, dialect):
     assert client.ping()
     assert not client.indices.exists(index="missing")
     client.indices.create(

@@ -421,6 +421,36 @@ def test_containment_prefix_filter_is_lossless(spark):
     assert len(got) == 1 and got[0].containment == 0.8
 
 
+def test_containment_pigeonring_floor_is_lossless(spark):
+    """The q_hits=2 pigeonring filter's worst cases: (a) every allowed miss
+    lands INSIDE the rarest prefix, so a true pair shares exactly
+    prefix_len - m = q_hits prefix grams; (b) a tiny probe where
+    required < q_hits, so the hit floor must drop to `required` (a 1-gram
+    probe can never share 2 grams)."""
+    from migdar_data_pipelines_spark.llm.dedup import ngram_containment_pairs
+
+    # (a) probe bigrams: ab bc cd de ef zq (sz=6, t=0.8 -> required=5, m=1,
+    # prefix=3 rarest). 'zq' is corpus-absent (df 0, always in the prefix)
+    # and IS the one miss; the doc must still qualify via 2 prefix hits.
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "x y")], "id long, text string"
+    )
+    probe = spark.createDataFrame(
+        [(100, "a b c d e f zq")], "id long, text string"
+    )
+    got = ngram_containment_pairs(
+        probe, corpus, "text", "id", n=2, threshold=0.8
+    ).collect()
+    assert len(got) == 1 and got[0].containment == 0.8333  # round(5/6, 4)
+
+    # (b) single-gram probe (2 words): required=1 < q_hits=2
+    probe1 = spark.createDataFrame([(200, "x y")], "id long, text string")
+    got1 = ngram_containment_pairs(
+        probe1, corpus, "text", "id", n=2, threshold=0.8
+    ).collect()
+    assert [(r.id_b, r.containment) for r in got1] == [(2, 1.0)]
+
+
 def test_margin_mining_rejects_hub_vectors(spark):
     from migdar_data_pipelines_spark.llm.similarity import margin_mining
 

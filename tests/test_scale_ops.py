@@ -100,3 +100,58 @@ def test_key_distribution_no_singlepartition_window(spark, sf_dir):
         .toString()
     )
     assert "Window" not in plan, plan
+
+
+def test_salted_aggregate_default_salt_spreads_hot_key(spark):
+    """Without entropy_cols the salt must be PER-ROW (mid-based), not a hash
+    of the key — hashing the key gives every hot-key row the same salt and
+    spreads nothing (the exact failure the salt exists for). Proven on a
+    one-key frame: phase one must produce MULTIPLE partial groups."""
+    df = spark.range(10_000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("v")
+    )
+    out = salted_aggregate(df, ["k"], {"n": ("v", "count")}, n_salts=8)
+    assert out.collect()[0]["n"] == 10_000
+    # count the phase-one partial groups directly with the same salt expr
+    partials = (
+        df.withColumn(
+            "__salt",
+            F.pmod(F.monotonically_increasing_id(), F.lit(8)).cast("int"),
+        )
+        .groupBy("k", "__salt")
+        .count()
+        .count()
+    )
+    assert partials > 1, "hot key landed on a single salt — no spread"
+
+
+def test_salted_topk_matches_window(spark):
+    """salted_topk (skew-safe per-key top-k) must return exactly the window
+    rank()<=k row set — on a skewed frame (one key with 10k rows, ties
+    included) and on a uniform one."""
+    from pyspark.sql import Window
+
+    from migdar_data_pipelines_spark.operators.scale import salted_topk
+
+    rows = [("hot", i % 997) for i in range(10_000)] + [
+        (f"u{i}", v) for i in range(50) for v in (1, 2, 3)
+    ]
+    df = spark.createDataFrame(rows, "k string, v int")
+    w = Window.partitionBy("k").orderBy(F.desc("v"))
+    plain = (
+        df.withColumn("__rk", F.rank().over(w)).filter(F.col("__rk") <= 3).drop("__rk")
+    )
+    salted = salted_topk(df, ["k"], "v", k=3, n_salts=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # ascending variant
+    plain_asc = (
+        df.withColumn(
+            "__rk", F.rank().over(Window.partitionBy("k").orderBy(F.asc("v")))
+        )
+        .filter(F.col("__rk") <= 2)
+        .drop("__rk")
+    )
+    salted_asc = salted_topk(df, ["k"], "v", k=2, n_salts=8, descending=False)
+    assert sorted(map(tuple, plain_asc.collect())) == sorted(
+        map(tuple, salted_asc.collect())
+    )

@@ -78,3 +78,67 @@ def knn_auto_sampled_recall(spark, sf_dir, k=3, sample_mod=200):
     total = truth.count()
     release_scoped()
     return (hit / total if total else 0.0), total
+
+
+# --------------------------------------------------------------------------
+# Zipfian skew rung callables (VERDICT r9 #2): events_skewed.parquet from
+# gen_scale_corpus.py — 5M rows, user_id Zipf(1.5), hot key ~38% of rows.
+# Each returns a DataFrame; gen_scaling.py times .count() on it.
+# --------------------------------------------------------------------------
+
+
+def skew_topk_window(spark, scale_dir):
+    """Per-user top-5 by value via the PLAIN window — the shape a hot key
+    kills: every row of user 1 (1.9M) sorts in ONE task."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{scale_dir}/events_skewed.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"))
+    return e.withColumn("__rk", F.rank().over(w)).filter(F.col("__rk") <= 5).drop("__rk")
+
+
+def skew_topk_salted(spark, scale_dir):
+    """Same result via operators.scale.salted_topk (two-phase: per-salt
+    partial top-k spreads the hot key, k-bounded combine)."""
+    from migdar_data_pipelines_spark.operators.scale import salted_topk
+
+    e = spark.read.parquet(f"{scale_dir}/events_skewed.parquet")
+    return salted_topk(e, ["user_id"], "value", k=5, n_salts=16)
+
+
+def skew_agg_plain(spark, scale_dir):
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{scale_dir}/events_skewed.parquet")
+    return e.groupBy("user_id").agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def skew_agg_salted(spark, scale_dir):
+    from migdar_data_pipelines_spark.operators.scale import salted_aggregate
+
+    e = spark.read.parquet(f"{scale_dir}/events_skewed.parquet")
+    return salted_aggregate(
+        e, ["user_id"], {"total": ("value", "sum"), "n": ("value", "count")}
+    )
+
+
+def skew_join_sortmerge(spark, scale_dir):
+    """Fact-side-skewed sort-merge join: 5M Zipf events vs a 21k-user dim,
+    broadcast disabled so the join shuffles on the hot key. With AQE's skew
+    split enabled (and thresholds sized for this rung's MBs), the hot
+    partition is split at runtime; gen_scaling measures both settings and
+    checks the final adaptive plan for `skew=true`."""
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{scale_dir}/events_skewed.parquet")
+    dim = (
+        e.select("user_id").distinct()
+        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(7)))
+    )
+    joined = e.hint("merge").join(dim.hint("merge"), "user_id")
+    return joined.select(
+        F.sum(F.col("value") * (F.col("segment") + 1)).alias("weighted")
+    )

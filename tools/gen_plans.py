@@ -14,6 +14,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ADDENDA_MARKER = (
+    "<!-- HAND-WRITTEN ADDENDA — gen_plans.py preserves everything below "
+    "this line across regenerations -->"
+)
+
 PICK = {
     "q5_region_revenue": "Multi-way join: dims broadcast, one fact shuffle",
     "minhash_lsh_near_dup": "Banded LSH: bucket-key self-join, broadcast verification",
@@ -127,8 +132,18 @@ def main() -> None:
             df.explain("formatted")
         out += [f"## {name}", "", f"_{note}_", "", "```", trim(buf.getvalue()), "```", ""]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    # hand-written addenda (variance notes, per-round dispositions) live
+    # below the marker and survive regeneration
+    marker = ADDENDA_MARKER
+    addenda = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            addenda = old[old.index(marker):]
     with open(path, "w") as f:
         f.write("\n".join(out))
+        if addenda:
+            f.write("\n" + addenda)
     print(f"wrote {path} ({os.path.getsize(path)} bytes)")
 
 

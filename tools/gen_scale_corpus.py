@@ -106,6 +106,39 @@ def gen_embeddings() -> None:
     pq.write_table(tbl, f"{OUT_DIR}/embeddings.parquet", row_group_size=20_000)
 
 
+def gen_events_skewed() -> None:
+    """Zipfian hot-key events corpus (VERDICT r9 #2): 5M rows whose user_id
+    is Zipf(1.5) over ~21k distinct users — the hottest key holds ~38% of
+    all rows, the canonical skew that kills per-key windows and shuffle
+    joins at 100x scale (every uniform rung so far hides it).
+    Deterministic (seed 7)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 5_000_000
+    rng = np.random.default_rng(7)
+    # one Zipf(1.5) draw per row, clipped to 50k distinct users: rank 1 is
+    # the hot key (~38% of rows measured), rank 2 ~13%, rank 3 ~7% — the
+    # textbook hot-key distribution, already interleaved across partitions
+    user = np.minimum(rng.zipf(1.5, size=n), 50_000).astype(np.int64)
+    value = np.round(rng.exponential(100.0, size=n), 2)
+    etype = rng.integers(0, 4, size=n).astype(np.int8)
+    ts = np.int64(1_700_000_000_000_000) + rng.integers(  # microseconds
+        0, 30 * 86_400_000_000, size=n, dtype=np.int64
+    )
+    tbl = pa.table(
+        {
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(user),
+            "event_type": pa.array(etype.astype(np.int32)),
+            "ts_us": pa.array(ts),
+            "value": pa.array(value),
+        }
+    )
+    pq.write_table(tbl, f"{OUT_DIR}/events_skewed.parquet", row_group_size=500_000)
+
+
 def main() -> None:
     import duckdb
 
@@ -113,6 +146,7 @@ def main() -> None:
     con = duckdb.connect()
     gen_documents(con)
     gen_embeddings()
+    gen_events_skewed()
     print(
         "wrote",
         OUT_DIR,
