@@ -132,15 +132,22 @@ def salted_topk(
     value, like rank() — a deterministic superset contract; callers needing
     strict-k add their own tie-break column to ``order_col``).
 
-    Why not the window: a window partitionBy shuffles EVERY row of a key to
-    ONE task and sorts there — a Zipfian hot key holding 30% of a 100 TB
-    table serializes 30 TB through a single task while the rest of the
-    cluster idles. Two-phase instead: per-(key, salt) partial top-k spreads
-    the hot key over ``n_salts`` independent sorts (each also benefits from
-    map-side partial TakeOrdered semantics), then a final top-k over the
-    n_salts * k surviving rows per key — the second pass is k-bounded, never
-    data-bounded. Same algebra as ``salted_aggregate``: phase one spreads,
-    phase two combines a tiny residue.
+    When you need it: a window partitionBy classically shuffles EVERY row
+    of a key to ONE task and sorts there — a Zipfian hot key holding 30% of
+    a 100 TB table serializes 30 TB through a single task. Spark 3.5+
+    defuses exactly the literal ``rank()/row_number() <= k`` filter itself:
+    the WindowGroupLimit rule inserts a map-side per-key group limit below
+    the exchange, so only ~k rows per key per map partition shuffle —
+    MEASURED at the 20M-row 38%-hot-key rung as parity between this
+    operator and the plain window (SCALING.md skew section). Use
+    salted_topk when that rule cannot fire: a non-literal k (per-key bound
+    from a join), rank filters composed through views the optimizer won't
+    push, or engines without the rule. Two-phase: per-(key, salt) partial
+    top-k spreads the hot key over ``n_salts`` independent sorts, then a
+    final top-k over the n_salts * k surviving rows per key — the second
+    pass is k-bounded, never data-bounded. Same algebra as
+    ``salted_aggregate``: phase one spreads, phase two combines a tiny
+    residue.
 
     Salt is per-row (``monotonically_increasing_id() % n_salts``): the
     result is salt-placement-independent, so determinism of the salt only

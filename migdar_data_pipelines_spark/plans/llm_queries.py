@@ -2113,6 +2113,39 @@ def vocab_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frequent_tokens_mg_documents",
+    sql=f"""
+WITH t AS (SELECT unnest({_W}) AS term FROM documents)
+SELECT value, n, rank FROM (
+  SELECT term AS value, CAST(count(*) AS BIGINT) AS n,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, term ASC) AS BIGINT)
+           AS rank
+  FROM t WHERE term IS NOT NULL GROUP BY term
+) WHERE rank <= 20
+""",
+)
+def frequent_tokens_mg_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-20 corpus tokens via two-phase Misra-Gries
+    (operators/frequent.py, new r10) — the heavy-hitters alternative to
+    vocab_top_terms' full groupBy: per-partition bounded-state summaries
+    nominate candidates (<= capacity rows per partition reach the merge),
+    exact counts are re-counted for candidates only, and an
+    N/(capacity+1) certificate proves the result equals the full groupBy
+    — which is exactly what the oracle runs (natural-language token
+    frequencies are Zipfian, so the certificate holds and the fast path
+    serves; on flat data the operator falls back to the plain plan and
+    still matches). At 100 TB this is the difference between shuffling
+    billions of per-partition (token, count) partials and shuffling
+    capacity * partitions rows."""
+    from ..llm.textanalysis import words as _words_fn
+    from ..operators.frequent import frequent_items
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_words_fn("text")).alias("term"))
+    return frequent_items(toks, "term", k=20, capacity=4096)
+
+
+@register(
     "weighted_sample_documents",
     sql=f"""
 WITH u AS (

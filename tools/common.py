@@ -126,19 +126,32 @@ def skew_agg_salted(spark, scale_dir):
 
 
 def skew_join_sortmerge(spark, scale_dir):
-    """Fact-side-skewed sort-merge join: 5M Zipf events vs a 21k-user dim,
-    broadcast disabled so the join shuffles on the hot key. With AQE's skew
-    split enabled (and thresholds sized for this rung's MBs), the hot
-    partition is split at runtime; gen_scaling measures both settings and
-    checks the final adaptive plan for `skew=true`."""
+    """Fact-side-skewed sort-merge join: 20M Zipf events vs a 50k-user dim,
+    broadcast disabled so the join shuffles on the hot key (the hottest hash
+    partition carries 40% of the rows). With AQE's skew split enabled (and
+    thresholds sized for this rung's MBs), the hot partition is split at
+    runtime; gen_scaling measures both settings and checks the final
+    adaptive plan for `skew=true`.
+
+    The dim is a bare `range` relation ON PURPOSE: OptimizeSkewedJoin only
+    pattern-matches SMJ whose children are shuffle+sort directly — an
+    aggregate between the dim's shuffle and the join (e.g. a `.distinct()`
+    built right before joining, this harness's first version) silently
+    disables the skew split on BOTH sides, because splitting the fact
+    partition requires replicating the matching dim partition, and the
+    intervening HashAggregate breaks that match. Measured r10: with the
+    distinct-dim the final plan never showed `skew=true` at any threshold;
+    with the materialized dim it does. At 100 TB: materialize/stage dims
+    before skew-prone joins."""
     from pyspark.sql import functions as F
 
-    e = spark.read.parquet(f"{scale_dir}/events_skewed.parquet")
-    dim = (
-        e.select("user_id").distinct()
-        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(7)))
+    e = spark.read.parquet(f"{scale_dir}/events_skewed.parquet").select(
+        "user_id", "value"
     )
-    joined = e.hint("merge").join(dim.hint("merge"), "user_id")
+    dim = spark.range(1, 50_001).select(
+        F.col("id").alias("user_id"), F.pmod(F.col("id"), F.lit(7)).alias("segment")
+    )
+    joined = e.join(dim, "user_id")
     return joined.select(
         F.sum(F.col("value") * (F.col("segment") + 1)).alias("weighted")
     )

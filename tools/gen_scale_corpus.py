@@ -107,7 +107,7 @@ def gen_embeddings() -> None:
 
 
 def gen_events_skewed() -> None:
-    """Zipfian hot-key events corpus (VERDICT r9 #2): 5M rows whose user_id
+    """Zipfian hot-key events corpus (VERDICT r9 #2): 20M rows whose user_id
     is Zipf(1.5) over ~21k distinct users — the hottest key holds ~38% of
     all rows, the canonical skew that kills per-key windows and shuffle
     joins at 100x scale (every uniform rung so far hides it).
@@ -116,7 +116,7 @@ def gen_events_skewed() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    n = 5_000_000
+    n = 20_000_000
     rng = np.random.default_rng(7)
     # one Zipf(1.5) draw per row, clipped to 50k distinct users: rank 1 is
     # the hot key (~38% of rows measured), rank 2 ~13%, rank 3 ~7% — the

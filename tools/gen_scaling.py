@@ -224,7 +224,10 @@ def main() -> None:
             skew_join[setting] = steady_median(_skew_join, SCALE_DIR)
             if setting == "true":
                 df = _skew_join(spark, SCALE_DIR)
-                df.count()
+                # collect() THIS df: count() runs a different QueryExecution,
+                # leaving df's own plan un-finalized (isFinalPlan=false, no
+                # AQE skew markers — bit this harness once)
+                df.collect()
                 final_plan = df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "simple"
                 )
@@ -380,31 +383,41 @@ def main() -> None:
             "that (a rising rounds column would flag diameter growth before it",
             "becomes a 100x-scale surprise).",
             "",
-            "## Zipfian skew rung — hot-key behavior, plain vs salted",
+            "## Zipfian skew rung — hot-key behavior, plain vs explicit handling",
             "",
-            f"events_skewed.parquet: 5M rows, user_id ~ Zipf(1.5) over ~21k users,",
-            f"hot key = {hot_pct}% of all rows (gen_scale_corpus.py, seed 7) — the",
-            "skew every uniform rung hides. Medians of 3, local[32].",
+            f"events_skewed.parquet: 20M rows, user_id ~ Zipf(1.5) over ~41k users,",
+            f"hot key = {hot_pct}% of all rows, hottest hash partition = 40% of the",
+            "corpus (gen_scale_corpus.py, seed 7) — the skew every uniform rung",
+            "hides. Medians of 3, local[32]. The measured outcome is a MAP of",
+            "which skew shapes Spark's own machinery already defuses and which",
+            "need explicit handling:",
             "",
-            "| shape | plain | salted/two-phase | salted wins? |",
+            "| shape | plain | salted/two-phase | verdict |",
             "|---|---|---|---|",
         ]
         for label, p, s in skew_rows:
-            verdict = "yes" if s < p * 0.8 else ("no (parity)" if s < p * 1.25 else "NO — slower")
+            verdict = (
+                "salted wins" if s < p * 0.8
+                else ("parity — native handling suffices" if s < p * 1.25 else "plain wins")
+            )
             lines.append(f"| {label} | {p:.2f}s | {s:.2f}s | {verdict} |")
         lines += [
             "",
-            "Reading: per-key TOP-K is where the hot key hurts — the plain window",
-            "sorts every hot-key row in ONE task while 31 slots idle; salted_topk",
-            "(operators/scale.py) spreads it over 16 per-salt partial top-ks and",
-            "combines a k-bounded residue (same row set, asserted in this run).",
-            "Algebraic SUM/COUNT aggregation is expected to show PARITY: Spark's",
-            "map-side partial aggregation already collapses hot-key rows per input",
-            "partition before the exchange, so there is nothing left to salt —",
-            "salted_aggregate exists for shapes whose partials DON'T collapse",
-            "(collect/median-like state) and as the explicit form when AQE is off.",
+            "Readings (each verified in the final physical plans):",
             "",
-            "Skewed sort-merge join (5M Zipf events x 21k-user dim, broadcast",
+            "- **rank()<=k top-k: Spark 3.5+'s WindowGroupLimit already defuses",
+            "  the hot key** — a Partial group-limit below the exchange keeps ~k",
+            "  rows per key per map partition, so the 7.65M-row hot key never",
+            "  funnels through one sort. Parity measured; `salted_topk`",
+            "  (operators/scale.py) is the explicit two-phase form for filters",
+            "  the rule can't push (non-literal k, composed views, other",
+            "  engines), equality-tested against the window form.",
+            "- **algebraic SUM/COUNT: map-side partial aggregation collapses",
+            "  hot-key rows per input partition before the exchange** — parity;",
+            "  `salted_aggregate` is for partials that don't collapse and",
+            "  AQE-off clusters.",
+            "",
+            "Skewed sort-merge join (20M Zipf events x 50k-user dim, broadcast",
             "disabled, AQE skew thresholds sized to this rung's MB-scale",
             "partitions):",
             "",
@@ -413,11 +426,17 @@ def main() -> None:
             f"| disabled | {skew_join['false']:.2f}s |",
             f"| enabled | {skew_join['true']:.2f}s |",
             "",
-            f"Final adaptive plan shows `skew=true` on the hot side: "
-            f"**{skew_plan_engaged}** — the runtime split ENGAGES; at this rung the",
-            "hot partition is ~60MB so the wall-time delta is modest, but the",
-            "mechanism is proven live (at 100 TB the same split is the difference",
-            "between a 30-TB straggler task and ~120 parallel splits).",
+            f"Final adaptive plan shows `SortMergeJoin(skew=true)` + the hot side",
+            f"read as `coalesced and skewed`: **{skew_plan_engaged}** — the runtime",
+            "split ENGAGES at this rung (the hot partition is ~100MB; the",
+            "wall-time delta stays modest at laptop scale, but at 100 TB the same",
+            "split is the difference between a 30-TB straggler task and ~120",
+            "parallel splits). Caveat discovered while building this rung, now",
+            "pinned in the harness docstring (tools/common.py): OptimizeSkewedJoin",
+            "only matches SMJ children that are bare shuffle+sort — building the",
+            "dim with `.distinct()` right before the join leaves a HashAggregate",
+            "between its shuffle and the join and SILENTLY disables the split at",
+            "every threshold. Materialize dims before skew-prone joins.",
             "",
         ]
     else:
