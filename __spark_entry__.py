@@ -14,15 +14,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-try:
-    # installed package (pip wheel from tools/build_wheel.py, or
-    # `python setup.py develop` — see pyproject.toml)
-    from migdar_data_pipelines_spark.plans import oracle_sqls, query_fns
-except ModuleNotFoundError:
-    # bare checkout loaded by file path (importlib spec does not put the
-    # script's directory on sys.path)
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from migdar_data_pipelines_spark.plans import oracle_sqls, query_fns  # noqa: E402
+# Prefer the checkout sitting next to this entry file: a stale wheel
+# installed earlier (tools/build_wheel.py makes that likely) must not
+# silently shadow the code the harness thinks it is running (ADVICE r10).
+# The installed package remains the fallback for wheel-only environments.
+_here = os.path.dirname(os.path.abspath(__file__))
+if os.path.isdir(os.path.join(_here, "migdar_data_pipelines_spark")) and _here not in sys.path:
+    sys.path.insert(0, _here)
+from migdar_data_pipelines_spark.plans import oracle_sqls, query_fns  # noqa: E402
+
+_resolved = os.path.dirname(os.path.dirname(os.path.abspath(
+    sys.modules["migdar_data_pipelines_spark"].__file__)))
+if os.path.isdir(os.path.join(_here, "migdar_data_pipelines_spark")) and _resolved != _here:
+    print(
+        f"__spark_entry__: WARNING — resolved package at {_resolved!r}, "
+        f"not the checkout at {_here!r} (stale installed wheel?)",
+        file=sys.stderr,
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -182,6 +182,120 @@ MAX_BROADCAST_CANDIDATE_PAIRS = 1_000_000
 # its second full shuffle (see the inline comment at the residue join)
 MAX_BROADCAST_DUP_GRAMS = 4_000_000
 
+# Byte ceiling for the SECOND verify broadcast — the intermediate that
+# carries each candidate pair PLUS the probe's full shingle/gram array.
+# Rows there are fat: 1M pairs x a few hundred 8-byte grams is GBs, so
+# the 1M-pair ceiling calibrated for thin (id_a, id_b) rows is not a safe
+# gate for it (ADVICE r10). 64 MiB keeps the serialized broadcast an
+# order of magnitude under executor memory at default configs.
+MAX_BROADCAST_VERIFY_BYTES = 64 << 20
+
+
+def _verify_hints(
+    cand: DataFrame,
+    a_sizes: DataFrame,
+    join_col: str,
+    pair_ceiling: int,
+    bytes_per_elem: int,
+) -> tuple[bool, bool]:
+    """Broadcast gates for the two-hop candidate verification. ``cand`` must
+    already be persisted (this runs one eager aggregate over it — same
+    plan-time-count policy as the pair gate it extends). Returns
+    ``(thin, fat)``: ``thin`` gates broadcasting the bare (id_a, id_b)
+    frame into the first lookup (exact row count vs ``pair_ceiling``);
+    ``fat`` gates broadcasting the array-carrying intermediate into the
+    second lookup, from the estimated serialized size — total array
+    elements the candidates drag along x ``bytes_per_elem`` + ~32B/row
+    envelope, capped at ``MAX_BROADCAST_VERIFY_BYTES``. When ``fat`` is
+    False the second join shuffles (AQE may still broadcast from its own
+    runtime estimate, which — unlike the plan-time hint — sees the real
+    bytes)."""
+    row = (
+        cand.join(a_sizes, join_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("__asz"), F.lit(0)).alias("elems"),
+        )
+        .collect()[0]
+    )
+    thin = row["n"] <= pair_ceiling
+    fat_bytes = row["elems"] * bytes_per_elem + row["n"] * 32
+    return thin, thin and fat_bytes <= MAX_BROADCAST_VERIFY_BYTES
+
+
+# rough serialized width of one word-3-shingle string element in a
+# broadcast row (UTF8String payload + array offset overhead)
+_SHINGLE_ELEM_BYTES = 24
+
+# Per-band-bucket cardinality ceiling for the LSH candidate self-join
+# (VERDICT r10 #1). Exact-dedup-first collapses byte-identical docs, but a
+# NEAR-identical template cluster of M docs (boilerplate, paraphrase-level
+# edits) lands all M in the same bucket in every band -> O(M^2) candidate
+# pairs out of a single key: at 100 TB a 1M-doc boilerplate cluster is
+# ~10^12 pairs from one bucket — the classic production LSH failure. Above
+# the ceiling a bucket emits STAR pairs only (every member against the
+# bucket's canonical representative, min id): O(M) rows, and connectivity
+# through the representative keeps the bucket one candidate-graph
+# component, so connected-component dedup groups are preserved whenever
+# the cluster is genuinely near-identical (members verify against the rep
+# too). What CAN change above the ceiling: (a) the emitted PAIR LIST for a
+# hot bucket lists rep-member pairs, not all member-member pairs, and (b)
+# a borderline member that fails Jaccard against the rep but would have
+# passed against some nearer member may split off — the documented
+# recall trade for not being quadratic. A pair suppressed in one band's
+# hot bucket is still found by any OTHER band where the two ids share a
+# below-ceiling bucket. 1000 keeps the worst single bucket's all-pairs
+# output at ~500k rows.
+MAX_LSH_BUCKET_SIZE = 1000
+
+
+def _band_candidates(
+    band_rows: DataFrame, max_bucket_size: int | None
+) -> DataFrame:
+    """(id_a < id_b) candidate pairs from (id, bucket) band rows, with the
+    per-bucket cardinality ceiling above. One groupBy sizes the buckets
+    (map-side combinable, reuses the self-join's bucket partitioning);
+    below-ceiling buckets take the exact all-pairs self-join, oversized
+    ones the linear star form. The bucket-size frame and the guard cost
+    O(band rows); nothing here is ever quadratic in an oversized bucket."""
+    if max_bucket_size is None:
+        left = band_rows.select("bucket", F.col("id").alias("id_a"))
+        right = band_rows.select(
+            F.col("bucket").alias("bucket_r"), F.col("id").alias("id_b")
+        )
+        return (
+            left.join(
+                right,
+                (F.col("bucket") == F.col("bucket_r"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    sizes = band_rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    rows = band_rows.join(sizes, "bucket")
+    small = rows.filter(F.col("__bn") <= max_bucket_size)
+    pairs_small = (
+        small.select("bucket", F.col("id").alias("id_a"))
+        .join(
+            small.select(
+                F.col("bucket").alias("bucket_r"), F.col("id").alias("id_b")
+            ),
+            (F.col("bucket") == F.col("bucket_r"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+    big = rows.filter(F.col("__bn") > max_bucket_size)
+    reps = big.groupBy("bucket").agg(F.min("id").alias("__rep"))
+    pairs_big = (
+        big.join(reps, "bucket")
+        .filter(F.col("id") != F.col("__rep"))
+        # rep = min(id), so the (id_a < id_b) pair convention holds
+        .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    return pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"])
+
 
 def minhash_lsh_pairs(
     df: DataFrame,
@@ -193,12 +307,20 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     persist_shingles: bool = True,
     max_broadcast_candidates: int | None = None,
+    max_bucket_size: int | None = MAX_LSH_BUCKET_SIZE,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with true shingle Jaccard.
 
     ``max_broadcast_candidates`` overrides ``MAX_BROADCAST_CANDIDATE_PAIRS``
     — the candidate-count ceiling above which the verification joins drop
     the broadcast hint (see the inline comment at the verify step).
+
+    ``max_bucket_size`` is the per-band-bucket cardinality ceiling
+    (``MAX_LSH_BUCKET_SIZE``; None disables): oversized buckets emit
+    linear star pairs against the bucket's canonical (min-id) member
+    instead of the quadratic all-pairs join — see the constant's comment
+    for the exact semantics trade. Below the ceiling the output is
+    bit-identical to the unguarded plan (equality-tested).
 
     NOTE — eager construction: with ``persist_shingles=True`` (default),
     BUILDING this plan runs Spark jobs before the caller's first action:
@@ -246,19 +368,26 @@ def minhash_lsh_pairs(
     base, band_rows = _shingle_band_frames(
         df, text_col, id_col, n_hashes, bands, k, persist=persist_shingles
     )
+    cand = _band_candidates(band_rows, max_bucket_size)
+    if persist_shingles and max_bucket_size is not None:
+        # driver-side telemetry (operators/metrics.py): how many buckets
+        # tripped the ceiling and how many band rows sit in them — the two
+        # numbers the hot-cluster SCALING.md rung reports. One aggregate
+        # over the persisted band rows.
+        from migdar_data_pipelines_spark.operators import metrics as _metrics
 
-    left = band_rows.select("bucket", F.col("id").alias("id_a"))
-    right = band_rows.select(
-        F.col("bucket").alias("bucket_r"), F.col("id").alias("id_b")
-    )
-    cand = (
-        left.join(
-            right,
-            (F.col("bucket") == F.col("bucket_r")) & (F.col("id_a") < F.col("id_b")),
+        over = (
+            band_rows.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_bucket_size)
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
+            )
+            .collect()[0]
         )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        _metrics.record("lsh_hot_buckets", int(over["nb"]))
+        _metrics.record("lsh_hot_bucket_rows", int(over["nr"]))
 
     # Verify only the candidates with true Jaccard over shingle sets. The
     # candidate side is broadcast in both lookups ONLY when its EXACT size
@@ -275,13 +404,17 @@ def minhash_lsh_pairs(
     # signature pipeline, so we skip the hint and let AQE decide.
     if persist_shingles:
         cand = scoped_persist(cand)
-        hint = cand.count() <= (
+        hint, fat_hint = _verify_hints(
+            cand,
+            base.select(F.col("id").alias("id_a"), F.size("__sh").alias("__asz")),
+            "id_a",
             MAX_BROADCAST_CANDIDATE_PAIRS
             if max_broadcast_candidates is None
-            else max_broadcast_candidates
+            else max_broadcast_candidates,
+            _SHINGLE_ELEM_BYTES,
         )
     else:
-        hint = False
+        hint = fat_hint = False
     sh_df = base.select(F.col("id").alias("__sid"), F.col("__sh"))
     cand = (
         (F.broadcast(cand) if hint else cand)
@@ -289,8 +422,10 @@ def minhash_lsh_pairs(
         .withColumnRenamed("__sh", "sh_a")
         .drop("__sid")
     )
+    # the second hop's left side carries sh_a — rows are arrays, not id
+    # pairs, so its broadcast is gated on estimated BYTES, not row count
     cand = (
-        (F.broadcast(cand) if hint else cand)
+        (F.broadcast(cand) if fat_hint else cand)
         .join(sh_df, F.col("id_b") == F.col("__sid"))
         .withColumnRenamed("__sh", "sh_b")
         .drop("__sid")
@@ -365,10 +500,14 @@ def incremental_dedup(
     # candidate list O(batch x index dup pairs), past executor memory at
     # scale); above the ceiling these run as shuffle joins on id.
     cand = scoped_persist(cand)
-    hint = cand.count() <= (
+    hint, fat_hint = _verify_hints(
+        cand,
+        b_base.select(F.col("id").alias("id_b"), F.size("__sh").alias("__asz")),
+        "id_b",
         MAX_BROADCAST_CANDIDATE_PAIRS
         if max_broadcast_candidates is None
-        else max_broadcast_candidates
+        else max_broadcast_candidates,
+        _SHINGLE_ELEM_BYTES,
     )
     cand = (
         (F.broadcast(cand) if hint else cand)
@@ -376,8 +515,9 @@ def incremental_dedup(
               F.col("id_b") == F.col("__sid"))
         .drop("__sid")
     )
+    # second hop carries sh_b arrays — byte-gated, not row-count-gated
     cand = (
-        (F.broadcast(cand) if hint else cand)
+        (F.broadcast(cand) if fat_hint else cand)
         .join(i_base.select(F.col("id").alias("__sid"), F.col("__sh").alias("sh_i")),
               F.col("id_i") == F.col("__sid"))
         .drop("__sid")
@@ -1621,19 +1761,26 @@ def ngram_containment_pairs(
         .select("id_a", "id_b")
     )
 
-    # verify from the persisted gram arrays; candidate side broadcast only
-    # when its EXACT count proves it small (same policy + eager-count
-    # lifetime as the LSH verify gate above)
+    # verify from the persisted gram arrays; thin candidate side broadcast
+    # only when its EXACT count proves it small, and the array-carrying
+    # intermediate only when its estimated BYTES fit (sum of sz_a over the
+    # candidates x 8-byte grams — the fat rows ADVICE r10 flagged: 1M pairs
+    # x a few hundred grams is GBs, far past what the 1M-pair ceiling was
+    # calibrated for)
     cand = scoped_persist(cand)
-    hint = cand.count() <= (
+    hint, fat_hint = _verify_hints(
+        cand,
+        a_arr.select("id_a", F.col("sz_a").alias("__asz")),
+        "id_a",
         MAX_BROADCAST_CANDIDATE_PAIRS
         if max_broadcast_candidates is None
-        else max_broadcast_candidates
+        else max_broadcast_candidates,
+        8,  # grams are xxhash64 longs
     )
     withf = (F.broadcast(cand) if hint else cand).join(
         a_arr.select("id_a", "sz_a", "ga"), "id_a"
     )
-    withf = (F.broadcast(withf) if hint else withf).join(b_arr, "id_b")
+    withf = (F.broadcast(withf) if fat_hint else withf).join(b_arr, "id_b")
     return (
         withf.withColumn(
             "containment",

@@ -69,6 +69,18 @@ def salted_key(primary: str | F.Column, n_salts: int, *entropy_cols: str) -> F.C
     return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
 
 
+def _check_reserved(df: DataFrame, fn: str) -> None:
+    """Salting uses ``__salt``/``__rk`` as scratch columns; a pre-existing
+    column of either name would be silently clobbered and then dropped
+    (ADVICE r10). Fail loudly instead — callers rename first."""
+    clash = [c for c in ("__salt", "__rk") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{fn}: input already has reserved scratch column(s) {clash}; "
+            "rename them before salting"
+        )
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
@@ -88,10 +100,13 @@ def salted_aggregate(
     is ``monotonically_increasing_id() % n_salts`` (per-row), NOT a hash of
     the key: hashing the key itself gives every row of the hot key the SAME
     salt, which spreads nothing — the exact failure the salt exists to fix.
-    The id-based salt is deterministic for a given upstream partitioning
-    (task retries recompute identical ids), and the aggregate's VALUE never
-    depends on which salt a row lands on, only the spread does.
+    The id-based salt is deterministic ONLY while the upstream partitioning
+    and per-partition order are reproduced (a retried task recomputes the
+    same ids; a re-run after a repartition may not) — but the aggregate's
+    VALUE never depends on which salt a row lands on, only the spread does,
+    so salt drift is harmless here.
     """
+    _check_reserved(df, "salted_aggregate")
     first_phase = []
     second_phase = []
     for out, (src, fn) in aggs.items():
@@ -150,9 +165,13 @@ def salted_topk(
     residue.
 
     Salt is per-row (``monotonically_increasing_id() % n_salts``): the
-    result is salt-placement-independent, so determinism of the salt only
-    matters for retry consistency, which mid provides."""
+    result is salt-placement-independent, so the salt needs no determinism
+    at all — mid is retry-stable only while the upstream partitioning and
+    order are reproduced, and even when it isn't, only the spread (not the
+    output) can change."""
     from pyspark.sql import Window
+
+    _check_reserved(df, "salted_topk")
 
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
     ordered = oc.desc() if descending else oc.asc()
@@ -200,5 +219,6 @@ __all__ = [
     "bucketed_join",
     "salted_key",
     "salted_aggregate",
+    "salted_topk",
     "key_distribution",
 ]

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import json
+import socket as _socket
 from typing import Any
 from urllib import error as _urlerror
 from urllib import parse as _urlparse
@@ -114,6 +115,18 @@ class RestEsClient:
         return self._bases[0]
 
     # ------------------------------------------------------------ transport
+    @staticmethod
+    def _is_connect_phase(err: Exception) -> bool:
+        """True when the error definitively happened BEFORE the request was
+        delivered (refused / unreachable / DNS) — safe to replay on another
+        host regardless of method. Timeouts and resets are ambiguous: the
+        first host may already have processed the request."""
+        reason = getattr(err, "reason", err)
+        return isinstance(
+            reason,
+            (ConnectionRefusedError, _socket.gaierror, ConnectionAbortedError),
+        ) or isinstance(err, (ConnectionRefusedError, _socket.gaierror))
+
     def _request(
         self,
         method: str,
@@ -122,7 +135,18 @@ class RestEsClient:
         params: dict[str, str] | None = None,
         headers: dict[str, str] | None = None,
         ok: tuple[int, ...] = (200, 201),
+        replay_safe: bool = False,
     ) -> tuple[int, str]:
+        """Multi-host transport. Failover policy (ADVICE r10): a request is
+        retried on the next host only when (a) the failure was provably
+        connect-phase (refused/DNS — nothing was delivered), (b) the HTTP
+        method is idempotent (GET/HEAD/PUT/DELETE — a double-apply is a
+        no-op), or (c) the caller declares the payload replay-safe (the
+        sink's bulk bodies are all index-with-_id, which overwrite
+        idempotently). An ambiguous timeout on a non-replay-safe POST
+        (e.g. a generic create/update via ``transport_request``) raises
+        instead of risking a double mutation."""
+        idempotent = method in ("GET", "HEAD", "PUT", "DELETE", "OPTIONS")
         last_conn_err: Exception | None = None
         for base in self._bases:
             url = base + path
@@ -144,7 +168,10 @@ class RestEsClient:
                     return e.code, body
                 raise EsRestError(e.code, body) from None
             except (_urlerror.URLError, OSError) as e:
-                last_conn_err = e  # connection-level failure -> next host
+                last_conn_err = e
+                if self._is_connect_phase(e) or idempotent or replay_safe:
+                    continue  # safe to try the next host
+                raise  # ambiguous failure on a non-idempotent mutation
         raise last_conn_err  # type: ignore[misc]
 
     def _json(self, method: str, path: str, body: dict | None = None, **kw) -> dict:
@@ -165,12 +192,17 @@ class RestEsClient:
         ...])`` shape the sink emits and elasticsearch-py accepts."""
         nd = "".join(json.dumps(op, default=_json_default) + "\n" for op in operations)
         params = {"refresh": "true"} if refresh else None
+        # replay_safe: the sink emits only index-with-_id actions, which are
+        # overwrite-idempotent — a timeout-then-retry double-apply converges
+        # to the same documents. Callers pushing create/update ops through
+        # transport paths do NOT get this flag.
         _, text = self._request(
             "POST",
             "/_bulk",
             data=nd.encode(),
             params=params,
             headers={"Content-Type": "application/x-ndjson"},
+            replay_safe=True,
         )
         out = json.loads(text)
         if out.get("errors"):
@@ -188,11 +220,14 @@ class RestEsClient:
         return out
 
     def delete_by_query(self, index: str, query: dict) -> dict:
+        # delete_by_query converges under replay (deleting the same match
+        # set twice deletes the same documents), so host failover is safe.
         return self._json(
             "POST",
             f"/{index}/_delete_by_query",
             {"query": query},
             params={"refresh": "true"},
+            replay_safe=True,
         )
 
     def search(self, index: str, size: int = 10, query: dict | None = None) -> dict:

@@ -260,3 +260,71 @@ def test_driver_ping_fail_fast(spark):
     df = spark.createDataFrame([("a", 1)], "doc_id string, n int")
     with pytest.raises(ConnectionError, match="unreachable"):
         sink.write(df, index="t", id_col="doc_id")
+
+
+def test_failover_policy_ambiguous_timeout(monkeypatch):
+    """ADVICE r10: a timeout mid-request is NOT proof the first host missed
+    the mutation — failing over would risk a double-apply. Policy: replay on
+    the next host only for (a) provable connect-phase failures, (b)
+    idempotent methods, or (c) replay-safe payloads (the sink's
+    index-with-_id bulks). An ambiguous timeout on a bare POST raises."""
+    from urllib import request as _urlrequest
+
+    from migdar_data_pipelines_spark.sinks import es_rest
+
+    calls: list[str] = []
+
+    def fake_urlopen(req, timeout=None):
+        calls.append(req.full_url)
+        if "127.0.0.1:9001" in req.full_url:
+            raise TimeoutError("timed out")  # ambiguous: maybe delivered
+
+        class R:
+            status = 200
+
+            def read(self):
+                return b"{}"
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+        return R()
+
+    monkeypatch.setattr(es_rest._urlrequest, "urlopen", fake_urlopen)
+    c = es_rest.RestEsClient(
+        ["http://127.0.0.1:9001", "http://127.0.0.1:9002"], request_timeout=1
+    )
+
+    # non-idempotent POST + ambiguous timeout -> raise, no second host
+    calls.clear()
+    with pytest.raises(TimeoutError):
+        c._request("POST", "/x/_doc")
+    assert len(calls) == 1
+
+    # same timeout but replay-safe payload -> second host is tried
+    calls.clear()
+    status, _ = c._request("POST", "/_bulk", replay_safe=True)
+    assert status == 200 and len(calls) == 2
+
+    # idempotent GET -> second host is tried
+    calls.clear()
+    status, _ = c._request("GET", "/")
+    assert status == 200 and len(calls) == 2
+
+    # connect-phase refusal -> failover even for bare POST
+    def refuse_first(req, timeout=None):
+        calls.append(req.full_url)
+        if "127.0.0.1:9001" in req.full_url:
+            raise ConnectionRefusedError("refused")  # provably undelivered
+        return fake_urlopen(
+            _urlrequest.Request(req.full_url.replace("9001", "9002")),
+            timeout,
+        )
+
+    monkeypatch.setattr(es_rest._urlrequest, "urlopen", refuse_first)
+    calls.clear()
+    status, _ = c._request("POST", "/x/_doc")
+    assert status == 200 and len(calls) >= 2

@@ -1640,3 +1640,108 @@ def test_edit_distance_pairs_matches_bruteforce(spark):
     assert got == want, (sorted(got - want), sorted(want - got))
     assert (5, 6, 1) in got  # the repeated-char case distinct-gram filters drop
     assert (7, 8, 1) in got and (10, 11, 1) in got  # short/bucket paths
+
+
+def test_verify_fat_broadcast_byte_gate(spark, monkeypatch):
+    """ADVICE r10: the second verification join's left side carries each
+    candidate pair PLUS the probe's full gram/shingle array — fat rows the
+    1M-PAIR ceiling was never calibrated for. That hop is gated on estimated
+    BYTES: with the byte ceiling forced to 0 the thin (id,id) hint still
+    fires but the fat one must not, and the output is identical."""
+    from migdar_data_pipelines_spark.llm import dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(12)], "id long, text string"
+    )
+    probe = spark.createDataFrame([(100, text)], "id long, text string")
+
+    def hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+    # hint decisions are made eagerly at construction time, so build the
+    # default-ceiling frames BEFORE patching the byte ceiling
+    docs = spark.createDataFrame([(i, text) for i in range(8)], "id long, text string")
+    fast = dedup.ngram_containment_pairs(probe, corpus, "text", "id", n=2, threshold=0.8)
+    fast_lsh = dedup.minhash_lsh_pairs(
+        docs, "text", "id", n_hashes=8, bands=4, jaccard_threshold=0.9
+    )
+    n_fast, n_fast_lsh = hints(fast), hints(fast_lsh)
+    assert n_fast >= 2 and n_fast_lsh >= 2  # thin + fat both hinted
+
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_VERIFY_BYTES", 0)
+    gated = dedup.ngram_containment_pairs(probe, corpus, "text", "id", n=2, threshold=0.8)
+    assert hints(gated) == n_fast - 1, "fat hint must drop, thin must survive"
+    assert sorted(map(tuple, gated.collect())) == sorted(map(tuple, fast.collect()))
+
+    # same policy on the LSH verify path
+    gated_lsh = dedup.minhash_lsh_pairs(
+        docs, "text", "id", n_hashes=8, bands=4, jaccard_threshold=0.9
+    )
+    assert hints(gated_lsh) == n_fast_lsh - 1
+    assert sorted(map(tuple, gated_lsh.collect())) == sorted(
+        map(tuple, fast_lsh.collect())
+    )
+
+
+def test_lsh_hot_bucket_ceiling(spark):
+    """VERDICT r10 #1: a NEAR-identical template cluster (paraphrase-level
+    edits exact-dedup can't collapse) lands every member in the same band
+    buckets — unguarded, that one key emits O(M^2) candidate pairs. Above
+    ``max_bucket_size`` a bucket emits linear star pairs against its
+    canonical member; dedup groups are preserved; below the ceiling the
+    guarded plan is bit-identical to the unguarded one."""
+    from migdar_data_pipelines_spark.llm.dedup import (
+        canonical_groups,
+        minhash_lsh_pairs,
+    )
+    from migdar_data_pipelines_spark.operators import metrics
+
+    body = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        # 30-doc near-identical cluster + 5 unrelated docs
+        [(i, f"{body} tail{i}") for i in range(30)]
+        + [
+            (100 + i, " ".join(f"x{i}_{j}" for j in range(12)))
+            for i in range(5)
+        ],
+        "id long, text string",
+    )
+
+    metrics.LAST.pop("lsh_hot_buckets", None)
+    guarded = minhash_lsh_pairs(
+        docs, "text", "id", n_hashes=8, bands=4,
+        jaccard_threshold=0.5, max_bucket_size=5,
+    )
+    rows_guarded = guarded.collect()
+    assert metrics.LAST["lsh_hot_buckets"] >= 1
+    assert metrics.LAST["lsh_hot_bucket_rows"] >= 30
+    # star form: the cluster contributes O(M) pairs, never 30*29/2 = 435
+    assert len(rows_guarded) < 435
+
+    unguarded = minhash_lsh_pairs(
+        docs, "text", "id", n_hashes=8, bands=4,
+        jaccard_threshold=0.5, max_bucket_size=None,
+    )
+    # CC dedup groups identical either way: the cluster stays ONE group
+    ids = docs.select("id")
+    g1 = {
+        (r.id, r.canonical_id)
+        for r in canonical_groups(ids, guarded, "id").collect()
+    }
+    g2 = {
+        (r.id, r.canonical_id)
+        for r in canonical_groups(ids, unguarded, "id").collect()
+    }
+    assert g1 == g2
+    # and the cluster really is one 30-doc group in both
+    assert sum(1 for _, c in g1 if c == 0) == 30
+
+    # below the ceiling: guarded == unguarded, bit for bit
+    small = minhash_lsh_pairs(
+        docs, "text", "id", n_hashes=8, bands=4,
+        jaccard_threshold=0.5, max_bucket_size=10_000,
+    )
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, unguarded.collect())
+    )

@@ -155,3 +155,23 @@ def test_salted_topk_matches_window(spark):
     assert sorted(map(tuple, plain_asc.collect())) == sorted(
         map(tuple, salted_asc.collect())
     )
+
+
+def test_salting_rejects_reserved_scratch_columns(spark):
+    """ADVICE r10: __salt/__rk on the input would be silently clobbered and
+    dropped — the salted operators must refuse them loudly."""
+    import pytest
+
+    from migdar_data_pipelines_spark.operators.scale import (
+        salted_aggregate,
+        salted_topk,
+    )
+
+    df = spark.createDataFrame([("a", 1, 0)], "k string, v int, __salt int")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_aggregate(df, ["k"], {"s": ("v", "sum")})
+    with pytest.raises(ValueError, match="__salt"):
+        salted_topk(df, ["k"], "v", k=1)
+    df2 = spark.createDataFrame([("a", 1, 0)], "k string, v int, __rk int")
+    with pytest.raises(ValueError, match="__rk"):
+        salted_topk(df2, ["k"], "v", k=1)

@@ -108,7 +108,9 @@ def gen_embeddings() -> None:
 
 def gen_events_skewed() -> None:
     """Zipfian hot-key events corpus (VERDICT r9 #2): 20M rows whose user_id
-    is Zipf(1.5) over ~21k distinct users — the hottest key holds ~38% of
+    is Zipf(1.5) over ~41k distinct users (measured 40,808 at seed 7; the
+    SCALING.md prose computes the real numbers from the parquet rather than
+    trusting this estimate) — the hottest key holds ~38% of
     all rows, the canonical skew that kills per-key windows and shuffle
     joins at 100x scale (every uniform rung so far hides it).
     Deterministic (seed 7)."""

@@ -197,6 +197,19 @@ def main() -> None:
         mutual_rounds = str(_metrics.LAST.get("cc_rounds", "?"))
 
         # ---- Zipfian skew rung: plain vs salted, AQE skew-join on/off
+        # measure the rung's actual shape from the generated parquet instead
+        # of embedding constants that go stale when the corpus seed/size
+        # changes (ADVICE r10): row count, distinct users, hot-key share
+        import duckdb as _duck
+
+        _shape = _duck.sql(
+            "SELECT sum(c) AS n, count(*) AS users, max(c) AS hot FROM "
+            "(SELECT user_id, count(*) AS c FROM "
+            f"read_parquet('{SCALE_DIR}/events_skewed.parquet') GROUP BY 1)"
+        ).fetchone()
+        skew_n, skew_users = int(_shape[0]), int(_shape[1])
+        hot_pct = round(100.0 * _shape[2] / _shape[0], 1)
+
         skew_rows: list[tuple[str, float, float]] = []
         for label, plain_fn, salted_fn in [
             ("per-key top-5 (window vs salted_topk)", _skew_topk_window, _skew_topk_salted),
@@ -341,7 +354,6 @@ def main() -> None:
         for name, _ in ANN_AUTO:
             a, b = ann[name]["sf0.1"], ann[name]["200k"]
             lines.append(f"| {name} | {a:.2f}s | {b:.2f}s | x{b / a:.1f} |")
-        hot_pct = 38.3  # measured share of the Zipf(1.5) rank-1 user, seed 7
         lines += [
             "",
             f"Measured accuracy at the 200k rung: edge recall@3 = **{recall:.4f}**",
@@ -385,9 +397,10 @@ def main() -> None:
             "",
             "## Zipfian skew rung — hot-key behavior, plain vs explicit handling",
             "",
-            f"events_skewed.parquet: 20M rows, user_id ~ Zipf(1.5) over ~41k users,",
-            f"hot key = {hot_pct}% of all rows, hottest hash partition = 40% of the",
-            "corpus (gen_scale_corpus.py, seed 7) — the skew every uniform rung",
+            f"events_skewed.parquet: {skew_n:,} rows, user_id ~ Zipf(1.5) over",
+            f"{skew_users:,} distinct users, hot key = {hot_pct}% of all rows",
+            "(shape measured from the generated parquet, not assumed)",
+            "(gen_scale_corpus.py, seed 7) — the skew every uniform rung",
             "hides. Medians of 3, local[32]. The measured outcome is a MAP of",
             "which skew shapes Spark's own machinery already defuses and which",
             "need explicit handling:",
