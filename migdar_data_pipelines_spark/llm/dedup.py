@@ -250,17 +250,29 @@ MAX_LSH_BUCKET_SIZE = 1000
 
 
 def _band_candidates(
-    band_rows: DataFrame, max_bucket_size: int | None
-) -> DataFrame:
+    band_rows: DataFrame, max_bucket_size: int | None, persist: bool = False
+) -> tuple[DataFrame, dict[str, int] | None]:
     """(id_a < id_b) candidate pairs from (id, bucket) band rows, with the
     per-bucket cardinality ceiling above. One groupBy sizes the buckets
     (map-side combinable, reuses the self-join's bucket partitioning);
     below-ceiling buckets take the exact all-pairs self-join, oversized
     ones the linear star form. The bucket-size frame and the guard cost
-    O(band rows); nothing here is ever quadratic in an oversized bucket."""
-    if max_bucket_size is None:
-        left = band_rows.select("bucket", F.col("id").alias("id_a"))
-        right = band_rows.select(
+    O(band rows); nothing here is ever quadratic in an oversized bucket.
+
+    With ``persist`` the bucket-size histogram is aggregated EAGERLY (one
+    cheap job over the already-persisted band rows, sketch-sized output)
+    and returned as telemetry; when it shows ZERO oversized buckets — the
+    common case — the plain all-pairs self-join is returned unchanged, so
+    the guard costs one aggregate job and nothing in the main plan. Only
+    when a hot bucket actually exists does the guarded plan engage, with
+    the size-annotated band rows pinned (read three times: small-side
+    left/right and the star branch). Without ``persist`` no eager job is
+    triggered and the guarded plan is always built (lazily correct either
+    way); telemetry is None."""
+
+    def plain(rows_df: DataFrame) -> DataFrame:
+        left = rows_df.select("bucket", F.col("id").alias("id_a"))
+        right = rows_df.select(
             F.col("bucket").alias("bucket_r"), F.col("id").alias("id_b")
         )
         return (
@@ -272,8 +284,29 @@ def _band_candidates(
             .select("id_a", "id_b")
             .dropDuplicates(["id_a", "id_b"])
         )
+
+    if max_bucket_size is None:
+        return plain(band_rows), None
     sizes = band_rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    stats = None
+    if persist:
+        over = (
+            sizes.filter(F.col("__bn") > max_bucket_size)
+            .agg(
+                F.count(F.lit(1)).alias("nb"),
+                F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
+            )
+            .collect()[0]
+        )
+        stats = {
+            "lsh_hot_buckets": int(over["nb"]),
+            "lsh_hot_bucket_rows": int(over["nr"]),
+        }
+        if stats["lsh_hot_buckets"] == 0:
+            return plain(band_rows), stats
     rows = band_rows.join(sizes, "bucket")
+    if persist:
+        rows = scoped_persist(rows)
     small = rows.filter(F.col("__bn") <= max_bucket_size)
     pairs_small = (
         small.select("bucket", F.col("id").alias("id_a"))
@@ -294,7 +327,10 @@ def _band_candidates(
         # rep = min(id), so the (id_a < id_b) pair convention holds
         .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
     )
-    return pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"])
+    return (
+        pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"]),
+        stats,
+    )
 
 
 def minhash_lsh_pairs(
@@ -368,26 +404,17 @@ def minhash_lsh_pairs(
     base, band_rows = _shingle_band_frames(
         df, text_col, id_col, n_hashes, bands, k, persist=persist_shingles
     )
-    cand = _band_candidates(band_rows, max_bucket_size)
-    if persist_shingles and max_bucket_size is not None:
+    cand, hot_stats = _band_candidates(
+        band_rows, max_bucket_size, persist=persist_shingles
+    )
+    if hot_stats is not None:
         # driver-side telemetry (operators/metrics.py): how many buckets
         # tripped the ceiling and how many band rows sit in them — the two
-        # numbers the hot-cluster SCALING.md rung reports. One aggregate
-        # over the persisted band rows.
+        # numbers the hot-cluster SCALING.md rung reports
         from migdar_data_pipelines_spark.operators import metrics as _metrics
 
-        over = (
-            band_rows.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") > max_bucket_size)
-            .agg(
-                F.count(F.lit(1)).alias("nb"),
-                F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
-            )
-            .collect()[0]
-        )
-        _metrics.record("lsh_hot_buckets", int(over["nb"]))
-        _metrics.record("lsh_hot_bucket_rows", int(over["nr"]))
+        for k_, v_ in hot_stats.items():
+            _metrics.record(k_, v_)
 
     # Verify only the candidates with true Jaccard over shingle sets. The
     # candidate side is broadcast in both lookups ONLY when its EXACT size

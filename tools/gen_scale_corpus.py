@@ -141,6 +141,41 @@ def gen_events_skewed() -> None:
     pq.write_table(tbl, f"{OUT_DIR}/events_skewed.parquet", row_group_size=500_000)
 
 
+def gen_documents_hotcluster() -> None:
+    """Hot-cluster LSH corpus (VERDICT r10 #1): 500k docs of which EXACTLY
+    20% (doc_id % 5 == 0, so any doc_id-prefix rung keeps the ratio) form
+    ONE near-identical template cluster — a shared 39-word template plus a
+    member-unique final word. Paraphrase-level: exact dedup cannot collapse
+    the members (every text is distinct), member-member Jaccard is
+    35/41 ~ 0.854 (>= the 0.8 production threshold), and the shared
+    35-shingle prefix dominates every minhash permutation, so the whole
+    cluster funnels into the SAME band buckets — the boilerplate shape that
+    makes an unguarded band self-join quadratic in the cluster size. The
+    other 80% are token-disjoint unique docs (no cross-doc pairs).
+    Rungs by prefix: doc_id < 50_000 (10k cluster) and the full 500k
+    (100k cluster). Deterministic (no RNG needed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 500_000
+    template = " ".join(f"tpl{i}" for i in range(39))
+    texts = []
+    for i in range(n):
+        if i % 5 == 0:
+            texts.append(f"{template} tail{i}")
+        else:
+            texts.append(" ".join(f"u{i}w{j}" for j in range(30)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(
+        tbl, f"{OUT_DIR}/documents_hotcluster.parquet", row_group_size=50_000
+    )
+
+
 def main() -> None:
     import duckdb
 
@@ -149,6 +184,7 @@ def main() -> None:
     gen_documents(con)
     gen_embeddings()
     gen_events_skewed()
+    gen_documents_hotcluster()
     print(
         "wrote",
         OUT_DIR,

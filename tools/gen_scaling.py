@@ -8,6 +8,7 @@ Run from the repo root with nothing else on the machine."""
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -452,6 +453,71 @@ def main() -> None:
             "every threshold. Materialize dims before skew-prone joins.",
             "",
         ]
+        # ---- hot-cluster LSH rung (VERDICT r10 #1): read the stats JSON
+        # written by tools/measure_hot_cluster.py (run separately — its 500k
+        # rung takes minutes and should not gate every SCALING regen)
+        hc_path = f"{SCALE_DIR}/hot_cluster_stats.json"
+        if os.path.exists(hc_path):
+            with open(hc_path) as f:
+                hc = json.load(f)
+            mini = hc.get("mini_5k_equality", {})
+            lines += [
+                "## Hot-cluster LSH rung — the shape that makes a band bucket quadratic",
+                "",
+                "Corpus: documents_hotcluster.parquet (gen_scale_corpus.py) — 20% of",
+                "docs form ONE near-identical template cluster (paraphrase-level: a",
+                "member-unique final word, member-member Jaccard ~0.95, so exact",
+                "dedup cannot collapse it), funneling into the SAME band bucket in",
+                "every band. `implied unguarded` is what the pre-guard all-pairs",
+                "self-join would emit, COMPUTED from the bucket-size histogram",
+                "(sum n*(n-1)/2) — never materialized. The guard",
+                "(`MAX_LSH_BUCKET_SIZE`, llm/dedup.py): oversized buckets emit",
+                "linear star pairs against the bucket's canonical member.",
+                "Production params (32 hashes / 16 bands / k=3 / t=0.8).",
+                "",
+                "| rung | max bucket | implied unguarded pairs | guarded candidates | cut | wall (guarded, end-to-end) | cluster captured |",
+                "|---|---|---|---|---|---|---|",
+            ]
+            for rung in ("50k", "500k"):
+                s = hc.get(rung)
+                if s:
+                    lines.append(
+                        f"| {rung} | {s['max_bucket']:,} | {s['implied_unguarded']:,} "
+                        f"| {s['guarded_candidates']:,} | x{s['cut_factor']:,} "
+                        f"| {s['wall_s']:.2f}s | {s['cluster_group_size']:,}/{s['cluster_expected']:,} |"
+                    )
+            wall_ratio = (
+                f"{hc['500k']['wall_s'] / hc['50k']['wall_s']:.1f}"
+                if "50k" in hc and "500k" in hc
+                else "?"
+            )
+            lines += [
+                "",
+                f"10x rows -> x{wall_ratio} wall: the implied quadratic grows",
+                f"x100 per decade ({hc.get('500k', {}).get('implied_unguarded', 0):,}",
+                "pairs at 500k docs); the guarded candidate count grows x10",
+                "(linear). Dedup GROUPS are preserved: the 5k mini-rung",
+                "(1k-member cluster, small enough to run unguarded) asserts",
+                "guarded == unguarded groups",
+                f"({mini.get('guarded_pairs', 0):,} guarded vs",
+                f"{mini.get('unguarded_pairs', 0):,} unguarded PAIRS — the pair",
+                "list for a hot bucket is rep-member by design; the groups are",
+                "identical), and tests/test_llm_ops.py::test_lsh_hot_bucket_ceiling",
+                "pins the same invariant in CI. The 1-doc capture shortfall at both",
+                "rungs is a SIGNATURE-scheme false negative (a member whose unique",
+                "shingle hashes below every common shingle sculpts its own",
+                "signature and lands in singleton buckets), present identically",
+                "with the guard off — not a guard miss.",
+                "",
+            ]
+        else:
+            lines += [
+                "## Hot-cluster LSH rung",
+                "",
+                f"(not measured this run: {hc_path} missing — run",
+                "`python tools/measure_hot_cluster.py`)",
+                "",
+            ]
     else:
         lines += [
             f"(Synthetic rungs skipped: {SCALE_DIR} not generated — run",
