@@ -27,6 +27,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_SKEW_PASSTHROUGH_NODES = {"Project", "Filter", "SubqueryAlias", "View"}
+_SKEW_BLOCKING_NODES = {"Aggregate", "Deduplicate", "Distinct"}
+
+
+def _aggregate_topped(df: DataFrame) -> bool:
+    """True when the frame's analyzed plan is an Aggregate/Deduplicate under
+    only pass-through unary nodes — the shape that sits between the dim's
+    shuffle and a sort-merge join and SILENTLY disables AQE's
+    OptimizeSkewedJoin on BOTH sides (measured, r10 Zipfian rung: splitting
+    the skewed fact partition requires replicating the matching dim
+    partition, and the rule only matches SMJ children that are bare
+    shuffle+sort, so an intervening final HashAggregate breaks the match at
+    every threshold)."""
+    node = df._jdf.queryExecution().analyzed()
+    while (
+        node.getClass().getSimpleName() in _SKEW_PASSTHROUGH_NODES
+        and node.children().size() == 1
+    ):
+        node = node.children().apply(0)
+    return node.getClass().getSimpleName() in _SKEW_BLOCKING_NODES
+
+
 def join(
     target: DataFrame,
     source: DataFrame,
@@ -35,12 +57,25 @@ def join(
     fields: dict[str, str] | None = None,
     full: bool = False,
     broadcast_source: bool = True,
+    stage_blocking_source: bool = True,
 ) -> DataFrame:
     """Enrich ``target`` with renamed ``fields`` from ``source``.
 
     fields: {source_col: output_name}. full=False -> inner join (the
     reference's default drops unmatched target rows — QUICKSTART.md:325-337
     worked example goes 2,052 -> 389 rows); full=True -> left join.
+
+    Skew alignment (VERDICT r10 #4): with ``broadcast_source=False`` (a
+    source too big to broadcast — exactly the join AQE's skew split exists
+    for) a source whose plan is topped by an Aggregate/Deduplicate (e.g. a
+    ``.distinct()`` or a rollup built right before joining) would silently
+    disable OptimizeSkewedJoin: the rule only matches sort-merge children
+    that are bare shuffle+sort. ``stage_blocking_source`` (default True)
+    detects that shape and stages the source through a LAZY
+    ``localCheckpoint`` — no job at plan time; on first execution the
+    source materializes once and the join reads it as a leaf, so the skew
+    rule can engage (plan-shape-tested through this operator on a Zipfian
+    corpus in tests/test_scale_ops.py). Broadcast joins never need it.
     """
     source_key = [source_key] if isinstance(source_key, str) else list(source_key)
     target_key = (
@@ -54,6 +89,8 @@ def join(
     rhs = source.select(*sel)
     if broadcast_source:
         rhs = F.broadcast(rhs)
+    elif stage_blocking_source and _aggregate_topped(rhs):
+        rhs = rhs.localCheckpoint(eager=False)
     cond = None
     for i, tk in enumerate(target_key):
         c = target[tk] == rhs[f"__jk{i}"]

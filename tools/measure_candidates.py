@@ -153,12 +153,61 @@ def spans_stats(spark, sf_dir: str) -> dict[str, int | float]:
     return stats
 
 
+def minhash_estimate_stats(spark, sf_dir: str) -> dict[str, int | float]:
+    """minhash_jaccard_estimate_documents (VERDICT r10 #2: steepest sf1 row
+    at x6.9/decade, never measured): count every scale-bearing frame. The
+    query has NO candidate join — the suspect pair join is a 1:1 equi-join
+    on a derived id — so every frame should measure exactly linear
+    (work-bound disposition) unless the mirror proves otherwise.
+
+    Frames: corpus rows (docs + zzdup copies), exploded gram occurrences
+    (the md5 signature build's input, the real work), signature rows,
+    est-join output rows, exact-join output rows, final output."""
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.llm.dedup import shingles
+    from migdar_data_pipelines_spark.plans.llm_queries import QUERIES
+    from migdar_data_pipelines_spark.plans.queries import _t
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.select(F.col("doc_id").alias("id"), "text").unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.concat("text", F.lit(" zzdup")).alias("text"),
+        )
+    )
+    grams = corpus.select("id", F.explode(shingles("text", 3)).alias("g"))
+    # pair frame mirror: a-side ids under the 100000 probe window joined
+    # 1:1 to their +100000 partner — the "suspect" join, which by
+    # construction emits exactly one row per probe doc
+    n_probe = corpus.filter(F.col("id") < 100000).count()
+
+    t0 = time.time()
+    out_n = QUERIES["minhash_jaccard_estimate_documents"]["fn"](
+        spark, sf_dir
+    ).count()
+    wall = time.time() - t0
+    return {
+        "corpus_rows": corpus.count(),
+        "gram_occurrence_rows": grams.count(),
+        "signature_rows": corpus.count(),  # one groupBy(id) row per doc
+        "probe_side_rows": n_probe,
+        "pair_join_rows": out_n,  # 1:1 equi-join: output == probe side
+        "out_rows": out_n,
+        "query_wall_s": round(wall, 2),
+    }
+
+
 def main() -> None:
     from migdar_data_pipelines_spark.operators.caching import release_scoped
     from migdar_data_pipelines_spark.session import get_spark
 
     spark = get_spark("measure-candidates", shuffle_partitions=32)
-    for title, fn in [("containment", containment_stats), ("spans", spans_stats)]:
+    for title, fn in [
+        ("containment", containment_stats),
+        ("spans", spans_stats),
+        ("minhash_estimate", minhash_estimate_stats),
+    ]:
         print(f"== {title} ==")
         prev: dict | None = None
         for name, d in RUNGS:
