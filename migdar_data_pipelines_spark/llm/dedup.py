@@ -14,6 +14,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -645,6 +647,7 @@ def connected_components(
 
     prev_sig = None
     rounds = 0
+    n_edges0 = 0
     for rounds in range(1, max_iter + 1):
         # localCheckpoint, not persist: each star references its input plan
         # FOUR times (both union arms of the neighbourhood view, the min
@@ -663,12 +666,37 @@ def connected_components(
             F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         ).collect()[0]
         sig = (row["n"], row["h"])
+        if rounds == 1:
+            n_edges0 = int(row["n"])
         if sig == prev_sig:
             break
         prev_sig = sig
     # driver-side diagnostic: the scale harness reports rounds next to wall
     # time (a CC rung that slowed down may simply have run more rounds)
     record("cc_rounds", rounds)
+    # Rounds budget (VERDICT r10 #5): alternating large-star/small-star
+    # converges in O(log n) rounds, so rounds materially past
+    # ceil(log2(n)) + 2 means the candidate graph's DIAMETER is growing
+    # with the corpus — the trend that multiplies every per-round shuffle
+    # at 100x scale and should surface as a loud warning long before a
+    # 100x run, not as a mysterious 3x wall regression. n is the round-1
+    # edge count (already computed for the convergence signature; no extra
+    # job). Mutual-kNN's 200k ANN rung measured 7 rounds vs a budget of
+    # 2 + log2(~550k edges) = 22 — headroom recorded, drift observable.
+    budget = 2 + max(1, math.ceil(math.log2(max(2, n_edges0))))
+    record("cc_rounds_budget", budget)
+    record("cc_edges_round1", n_edges0)
+    if rounds > budget:
+        import warnings
+
+        warnings.warn(
+            f"connected_components used {rounds} rounds for {n_edges0} "
+            f"round-1 edges (O(log n) budget {budget}) — the pair graph's "
+            "diameter is growing with the corpus; expect per-round shuffle "
+            "costs to multiply at scale",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # Converged: every edge is (node, component-min). Roots appear only on
     # the v side; the defensive min() collapses any duplicate child rows.

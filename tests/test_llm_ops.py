@@ -1745,3 +1745,57 @@ def test_lsh_hot_bucket_ceiling(spark):
     assert sorted(map(tuple, small.collect())) == sorted(
         map(tuple, unguarded.collect())
     )
+
+
+def test_cc_rounds_budget(spark):
+    """VERDICT r10 #5: every connected_components run records its round
+    count AND an O(log n) budget; measured shapes must sit inside it, and
+    exceeding it warns loudly (diameter growth must surface before a 100x
+    run, not as a wall regression)."""
+    import math
+    import warnings
+
+    from migdar_data_pipelines_spark.llm import connected_components
+    from migdar_data_pipelines_spark.operators import metrics
+
+    # clique (diameter 1), path (diameter n), random bridges — all converge
+    # within 2 + ceil(log2(edges))
+    shapes = {
+        "clique": [(i, j) for i in range(12) for j in range(i + 1, 12)],
+        "path": [(i, i + 1) for i in range(64)],
+        "bridged": [(i, i + 1) for i in range(0, 40, 2)]
+        + [(i, (i * 7) % 40) for i in range(40)],
+    }
+    for name, edges in shapes.items():
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            connected_components(pairs).collect()
+        rounds = metrics.LAST["cc_rounds"]
+        budget = metrics.LAST["cc_rounds_budget"]
+        n0 = metrics.LAST["cc_edges_round1"]
+        assert budget == 2 + max(1, math.ceil(math.log2(max(2, n0))))
+        assert rounds <= budget, (name, rounds, budget)
+
+    # the warning fires when rounds exceed the budget: monkey-tight budget
+    # via a 3-edge graph (budget = 2 + log2(2..3) = 4) is unreachable, so
+    # drive the check directly through the recorded path by patching math
+    # is overkill — instead verify the warning machinery with a shrunken
+    # budget formula on a long path whose round count is >= 3.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    import migdar_data_pipelines_spark.llm.dedup as dedup_mod
+
+    real_ceil = math.ceil
+    try:
+        dedup_mod.math = type(
+            "m", (), {"ceil": staticmethod(lambda x: 0), "log2": math.log2}
+        )()
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            connected_components(pairs).collect()
+        assert any("diameter" in str(x.message) for x in w)
+    finally:
+        dedup_mod.math = math
+        assert real_ceil is math.ceil

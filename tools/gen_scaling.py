@@ -183,19 +183,30 @@ def main() -> None:
         # ---- iteration-heavy family: wall + round count per rung
         from migdar_data_pipelines_spark.operators import metrics as _metrics
 
+        def _rounds_fmt(rounds_key: str | None) -> str:
+            """rounds next to the O(log n) budget connected_components now
+            records (VERDICT r10 #5) — a rounds column drifting toward its
+            budget flags diameter growth before a 100x run."""
+            if not rounds_key:
+                return "fixed"
+            r = _metrics.LAST.get(rounds_key, "?")
+            if rounds_key == "cc_rounds" and "cc_rounds_budget" in _metrics.LAST:
+                return f"{r} of <={_metrics.LAST['cc_rounds_budget']}"
+            return str(r)
+
         iter_rows: list[tuple[str, float, str, float, str]] = []
         for name, rounds_key in ITER_SF1:
             fn = QUERIES[name]["fn"]
             a = steady_median(fn, "/root/testdata/sf0.1")
-            ra = str(_metrics.LAST.get(rounds_key, "?")) if rounds_key else "fixed"
+            ra = _rounds_fmt(rounds_key)
             b = steady_median(fn, SCALE_DIR)
-            rb = str(_metrics.LAST.get(rounds_key, "?")) if rounds_key else "fixed"
+            rb = _rounds_fmt(rounds_key)
             iter_rows.append((name, a, ra, b, rb))
         # mutual_knn's CC pass: rounds at the 200k ANN rung (wall already in ann)
         _mutual_knn_auto(spark, SCALE_DIR).count()
         release_scoped()
         spark.catalog.clearCache()
-        mutual_rounds = str(_metrics.LAST.get("cc_rounds", "?"))
+        mutual_rounds = _rounds_fmt("cc_rounds")
 
         # ---- Zipfian skew rung: plain vs salted, AQE skew-join on/off
         # measure the rung's actual shape from the generated parquet instead
