@@ -1525,6 +1525,7 @@ def srp_lsh_near_dup(
     nbits: int = 128,
     bands: int = 8,
     dim: int | None = None,
+    max_bucket_size: int | None = MAX_LSH_BUCKET_SIZE,
 ) -> DataFrame:
     """Cosine near-dup pairs via signed random projections (Charikar 2002's
     simhash for real vectors): candidates from banded bit-signature
@@ -1602,22 +1603,22 @@ def srp_lsh_near_dup(
         )
     )
 
-    left = sig.select("band", "key", F.col("id").alias("id_a"))
-    right = sig.select(
-        F.col("band").alias("band_r"),
-        F.col("key").alias("key_r"),
-        F.col("id").alias("id_b"),
+    # (band, key) folded to ONE bucket long so the self-join shares the
+    # hot-bucket-guarded _band_candidates path with the minhash LSH: a
+    # cluster of near-identical embeddings collides in EVERY band, and the
+    # unguarded all-pairs join is O(M^2) in the cluster size (same failure
+    # as the shingle LSH — see MAX_LSH_BUCKET_SIZE). An xxhash64 fold can
+    # only MERGE buckets (extra candidates, pruned by the exact-cosine
+    # verify), never split them, so recall is unaffected.
+    band_rows = sig.select(
+        "id", F.xxhash64("band", "key").alias("bucket")
     )
-    cand = (
-        left.join(
-            right,
-            (F.col("band") == F.col("band_r"))
-            & (F.col("key") == F.col("key_r"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand, hot_stats = _band_candidates(band_rows, max_bucket_size, persist=True)
+    if hot_stats is not None:
+        from migdar_data_pipelines_spark.operators import metrics as _metrics
+
+        for k_, v_ in hot_stats.items():
+            _metrics.record(f"srp_{k_}", v_)
 
     vecs = df.select(
         F.col(id_col).alias("__vid"),

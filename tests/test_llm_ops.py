@@ -1799,3 +1799,41 @@ def test_cc_rounds_budget(spark):
     finally:
         dedup_mod.math = math
         assert real_ceil is math.ceil
+
+
+def test_srp_hot_bucket_ceiling(spark):
+    """The SRP band self-join shares the per-bucket cardinality guard: a
+    cluster of near-identical vectors collides in every band; above the
+    ceiling it emits linear star pairs and the verified near-dup GROUPS
+    are unchanged."""
+    from migdar_data_pipelines_spark.llm.dedup import (
+        canonical_groups,
+        srp_lsh_near_dup,
+    )
+    from migdar_data_pipelines_spark.operators import metrics
+
+    base = [1.0, 0.2, -0.5, 0.8]
+    rows = [(i, [x + 1e-4 * (i % 7) for x in base]) for i in range(30)] + [
+        (100 + i, [float(i + 1), -2.0, float(i), 0.5]) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    guarded = srp_lsh_near_dup(
+        df, "vec", "id", threshold=0.999, nbits=32, bands=4,
+        max_bucket_size=5,
+    )
+    got = guarded.collect()
+    assert metrics.LAST["srp_lsh_hot_buckets"] >= 1
+    assert len(got) < 30 * 29 // 2  # star form, never quadratic
+
+    plain = srp_lsh_near_dup(
+        df, "vec", "id", threshold=0.999, nbits=32, bands=4,
+        max_bucket_size=None,
+    )
+    ids = df.select("id")
+    g1 = {(r.id, r.canonical_id)
+          for r in canonical_groups(ids, guarded, "id").collect()}
+    g2 = {(r.id, r.canonical_id)
+          for r in canonical_groups(ids, plain, "id").collect()}
+    assert g1 == g2
+    assert sum(1 for _, c in g1 if c == 0) == 30

@@ -7,6 +7,12 @@ pickle-by-value serde acid test.
 Usage: python tools/driver_sim.py [name_filter ...]
 
 Env: SPARK_GRAFT_SIM_SF_DIR overrides the sf0.01 default.
+     SPARK_GRAFT_PARITY_OUT=<path> additionally writes the per-query status
+     map as a machine-diffable JSON artifact (VERDICT r10 #3: the driver's
+     own 50-name sample stopped rotating at 102/161 ever-checked, so the
+     full-registry result is committed per round as PARITY_r{N}.json).
+     Only written for UNFILTERED runs — a name-filtered run is not a
+     registry-wide record.
 """
 
 import json
@@ -95,13 +101,29 @@ def main():
 
     reds = [k for k, v in results.items() if v[0] == "RED"]
     rows_only = [k for k, v in results.items() if v[0].startswith("rows-only")]
-    print(json.dumps({
+    summary = {
         "total": len(results),
         "red": reds,
         "rows_only": rows_only,
         "sf_dir": SF_DIR,
         "date": time.strftime("%Y-%m-%d"),
-    }))
+    }
+    out_path = os.environ.get("SPARK_GRAFT_PARITY_OUT")
+    if out_path and not filters:
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "summary": summary,
+                    "queries": {
+                        k: {"status": v[0], "wall_s": v[1]}
+                        for k, v in sorted(results.items())
+                    },
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":
