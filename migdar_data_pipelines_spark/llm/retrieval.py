@@ -243,3 +243,90 @@ def hybrid_rrf(
         .filter(F.col("rank") <= topk)
         .select("query_id", "rank", "id", "rrf_score")
     )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    topk: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF — the keyword-extraction
+    companion to BM25 retrieval (same postings algebra, document-major
+    output): score(d, w) = tf(d, w) * (ln((N+1)/(df(w)+1)) + 1), the
+    sklearn-style smooth idf that never zeroes or divides by zero.
+
+    Execution shape (100 TB): one explode -> groupBy(id, w) postings build
+    (map-side combinable — a doc's exploded tokens stay contiguous in their
+    input partition), document frequency as a second groupBy over the
+    postings (never over raw tokens), N as a broadcast 1-row aggregate, and
+    the per-doc cut as a literal ``row_number() <= k`` window that Spark's
+    WindowGroupLimit rewrites into a map-side group limit below the
+    exchange — no doc's postings ever funnel through one task un-pruned.
+    Deterministic across engines: rank orders on (rounded score DESC, term
+    ASC) and (id, term) is unique, so row_number is total."""
+    from ..operators.caching import scoped_persist
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(words(text_col)).alias("w")
+    )
+    # pinned: the postings frame feeds BOTH the document-frequency rollup
+    # and the score join — unpersisted, the explode+groupBy would run twice
+    tf = scoped_persist(
+        toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("__n")))
+    scored = (
+        tf.join(dfreq, "w")
+        .join(n_docs)
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0))
+                    + 1.0
+                ),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("w"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select(
+            F.col("id"),
+            F.col("w").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("score"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+def tfidf_topk_terms_sql(
+    topk: int = 3,
+    docs_sql: str = "SELECT doc_id AS id, text FROM documents",
+) -> str:
+    """DuckDB mirror of ``tfidf_topk_terms`` over the same corpus, generated
+    from the same formula so the two can only drift together."""
+    w_expr = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+    return f"""
+WITH docs AS ({docs_sql}),
+toks AS (SELECT id, unnest({w_expr}) AS w FROM docs),
+tf AS (SELECT id, w, count(*) AS tf FROM toks GROUP BY id, w),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+nd AS (SELECT count(*) AS n FROM docs),
+s AS (
+  SELECT id, w,
+         round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS score, tf
+  FROM tf JOIN dfreq USING (w) CROSS JOIN nd
+)
+SELECT id AS doc_id, w AS term, CAST(tf AS BIGINT) AS tf, score,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, w ASC) AS rk
+      FROM s)
+WHERE rk <= {topk}
+"""

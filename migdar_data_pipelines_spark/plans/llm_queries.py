@@ -5432,3 +5432,92 @@ def edit_distance_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return edit_distance_pairs(corpus, "t", "id", max_dist=2)
+
+
+def _install_tfidf_sql() -> None:
+    from ..llm.retrieval import tfidf_topk_terms_sql
+
+    QUERIES["tfidf_topk_terms_documents"]["sql"] = tfidf_topk_terms_sql(topk=3)
+
+
+@register("tfidf_topk_terms_documents", sql=None)  # SQL installed below (generated)
+def tfidf_topk_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction (llm/retrieval.py::tfidf_topk_terms):
+    top-3 terms by smoothed TF-IDF — the document-major companion to BM25
+    (same postings algebra; sklearn-style smooth idf). Postings and document
+    frequency are two map-side-combinable groupBys; N broadcasts as a 1-row
+    aggregate; the per-doc cut is a literal row_number()<=k filter Spark
+    rewrites into a map-side WindowGroupLimit, so no doc's postings funnel
+    through one task un-pruned. The oracle SQL is generated from the same
+    formula (tfidf_topk_terms_sql) so Spark and DuckDB can only drift
+    together."""
+    from ..llm.retrieval import tfidf_topk_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk_terms(
+        d.select("doc_id", "text"), "text", "doc_id", topk=3
+    ).withColumnRenamed("id", "doc_id").select(
+        F.col("doc_id"), "term", "tf", "score", "rk"
+    )
+
+
+_install_tfidf_sql()
+
+
+@register(
+    "mad_outliers_events",
+    sql="""
+WITH q AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cv
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(cv, 0.5) AS m FROM q GROUP BY event_type
+),
+mad AS (
+  SELECT q.event_type, quantile_cont(abs(q.cv - med.m), 0.5) AS mad
+  FROM q JOIN med USING (event_type) GROUP BY q.event_type, med.m
+)
+SELECT q.event_id, q.event_type, round(q.cv / 100.0, 2) AS value,
+       round(0.6745 * (q.cv - med.m) / mad.mad, 4) AS robust_z
+FROM q JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE mad.mad > 0
+  AND abs(0.6745 * (q.cv - med.m) / mad.mad) > 3.5
+""",
+)
+def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier flagging via the modified z-score
+    (Iglewicz-Hoaglin 0.6745 * (x - median) / MAD, cut at 3.5) — the
+    quality gate that, unlike outliers_events_zscore, a single extreme
+    value cannot poison (mean/std break down exactly when outliers exist;
+    median/MAD have a 50% breakdown point). Values quantize to integer
+    cents first, so both engines interpolate medians over integers (exact
+    .0/.5 results — no float-median parity risk). Plan: two groupBy
+    aggregation passes (median, then MAD over the broadcast-joined
+    residuals) and one broadcast-back flag filter — three scans, zero
+    windows, no per-group row funnel."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cv"),
+    )
+    med = q.groupBy("event_type").agg(
+        F.percentile("cv", F.lit(0.5)).alias("m")
+    )
+    mad = (
+        q.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "m")
+        .agg(F.percentile(F.abs(F.col("cv") - F.col("m")), F.lit(0.5)).alias("mad"))
+    )
+    rz = 0.6745 * (F.col("cv") - F.col("m")) / F.col("mad")
+    return (
+        q.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.abs(rz) > 3.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("cv") / 100.0, 2).alias("value"),
+            F.round(rz, 4).alias("robust_z"),
+        )
+    )
