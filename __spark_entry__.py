@@ -18,8 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 # installed earlier (tools/build_wheel.py makes that likely) must not
 # silently shadow the code the harness thinks it is running (ADVICE r10).
 # The installed package remains the fallback for wheel-only environments.
+# Insert at position 0 UNCONDITIONALLY: a develop-install .pth puts the
+# checkout on sys.path AFTER site-packages, so "already present" does not
+# mean "wins the import race" — a duplicate front entry is harmless and is
+# the only way to actually enforce the preference.
 _here = os.path.dirname(os.path.abspath(__file__))
-if os.path.isdir(os.path.join(_here, "migdar_data_pipelines_spark")) and _here not in sys.path:
+if os.path.isdir(os.path.join(_here, "migdar_data_pipelines_spark")):
     sys.path.insert(0, _here)
 from migdar_data_pipelines_spark.plans import oracle_sqls, query_fns  # noqa: E402
 

@@ -268,9 +268,13 @@ def _band_candidates(
     the guard costs one aggregate job and nothing in the main plan. Only
     when a hot bucket actually exists does the guarded plan engage, with
     the size-annotated band rows pinned (read three times: small-side
-    left/right and the star branch). Without ``persist`` no eager job is
-    triggered and the guarded plan is always built (lazily correct either
-    way); telemetry is None."""
+    left/right and the star branch). Without ``persist`` the guard is
+    SKIPPED and the plain self-join returned: the guarded plan reads the
+    annotated band rows three times plus the histogram once, and with
+    nothing pinned each read would re-execute the whole shingle+signature
+    subtree (~5x the dominant cost) — worse than the quadratic risk it
+    hedges for the lazy-composition callers who opted out of persistence.
+    Telemetry is None on that path."""
 
     def plain(rows_df: DataFrame) -> DataFrame:
         left = rows_df.select("bucket", F.col("id").alias("id_a"))
@@ -287,7 +291,7 @@ def _band_candidates(
             .dropDuplicates(["id_a", "id_b"])
         )
 
-    if max_bucket_size is None:
+    if max_bucket_size is None or not persist:
         return plain(band_rows), None
     sizes = band_rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
     stats = None
@@ -358,7 +362,10 @@ def minhash_lsh_pairs(
     linear star pairs against the bucket's canonical (min-id) member
     instead of the quadratic all-pairs join — see the constant's comment
     for the exact semantics trade. Below the ceiling the output is
-    bit-identical to the unguarded plan (equality-tested).
+    bit-identical to the unguarded plan (equality-tested). The guard
+    requires the persisted path: with ``persist_shingles=False`` it is
+    skipped (the guarded plan would re-execute the unpinned signature
+    subtree ~5x) and the plain self-join is built.
 
     NOTE — eager construction: with ``persist_shingles=True`` (default),
     BUILDING this plan runs Spark jobs before the caller's first action:
@@ -1556,6 +1563,13 @@ def srp_lsh_near_dup(
     the (id, vector) frame (no forced broadcast — AQE picks the strategy
     from the runtime candidate count). Like every near-dup operator here:
     never all-pairs.
+
+    NOTE — eager construction (same policy as ``minhash_lsh_pairs``): with
+    ``max_bucket_size`` set (the default) BUILDING this plan runs one Spark
+    job — the bucket-size histogram over the persisted band frame that
+    decides whether the hot-bucket guard engages. Pass
+    ``max_bucket_size=None`` for fully lazy composition (unguarded plain
+    self-join, no eager jobs).
     """
     import numpy as np
     from pyspark.sql.functions import pandas_udf

@@ -71,11 +71,23 @@ def join(
     ``.distinct()`` or a rollup built right before joining) would silently
     disable OptimizeSkewedJoin: the rule only matches sort-merge children
     that are bare shuffle+sort. ``stage_blocking_source`` (default True)
-    detects that shape and stages the source through a LAZY
-    ``localCheckpoint`` — no job at plan time; on first execution the
-    source materializes once and the join reads it as a leaf, so the skew
-    rule can engage (plan-shape-tested through this operator on a Zipfian
-    corpus in tests/test_scale_ops.py). Broadcast joins never need it.
+    detects that shape and stages the source through a LAZY checkpoint —
+    no job at plan time; on first execution the source materializes once
+    and the join reads it as a leaf, so the skew rule can engage
+    (plan-shape-tested through this operator on a Zipfian corpus in
+    tests/test_scale_ops.py). Broadcast joins never need it.
+
+    Checkpoint tier: when the session has a RELIABLE checkpoint dir
+    configured (``sc.setCheckpointDir`` — the right setup on clusters with
+    executor churn), the stage uses ``checkpoint`` (replicated, survives
+    executor loss); otherwise ``localCheckpoint``, whose blocks are
+    UNREPLICATED — an executor lost mid-job fails the job permanently
+    (truncated lineage cannot recompute). ``persist()`` is NOT a
+    substitute: AQE declines to re-plan over cached subplans
+    (canChangeCachedPlanOutputPartitioning=false by default), so the skew
+    split never engages through a persisted dim — measured while building
+    this. On spot-instance fleets either set a checkpoint dir or pass
+    ``stage_blocking_source=False`` and materialize the dim yourself.
     """
     source_key = [source_key] if isinstance(source_key, str) else list(source_key)
     target_key = (
@@ -90,7 +102,11 @@ def join(
     if broadcast_source:
         rhs = F.broadcast(rhs)
     elif stage_blocking_source and _aggregate_topped(rhs):
-        rhs = rhs.localCheckpoint(eager=False)
+        sc = target.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            rhs = rhs.checkpoint(eager=False)
+        else:
+            rhs = rhs.localCheckpoint(eager=False)
     cond = None
     for i, tk in enumerate(target_key):
         c = target[tk] == rhs[f"__jk{i}"]

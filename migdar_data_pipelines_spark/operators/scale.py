@@ -69,11 +69,12 @@ def salted_key(primary: str | F.Column, n_salts: int, *entropy_cols: str) -> F.C
     return F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int")
 
 
-def _check_reserved(df: DataFrame, fn: str) -> None:
-    """Salting uses ``__salt``/``__rk`` as scratch columns; a pre-existing
-    column of either name would be silently clobbered and then dropped
-    (ADVICE r10). Fail loudly instead — callers rename first."""
-    clash = [c for c in ("__salt", "__rk") if c in df.columns]
+def _check_reserved(df: DataFrame, fn: str, *reserved: str) -> None:
+    """Salting uses scratch columns; a pre-existing column of the same name
+    would be silently clobbered and then dropped (ADVICE r10). Fail loudly
+    instead — callers rename first. Checked per-function: only the names
+    the operator actually writes are reserved."""
+    clash = [c for c in reserved if c in df.columns]
     if clash:
         raise ValueError(
             f"{fn}: input already has reserved scratch column(s) {clash}; "
@@ -106,7 +107,7 @@ def salted_aggregate(
     VALUE never depends on which salt a row lands on, only the spread does,
     so salt drift is harmless here.
     """
-    _check_reserved(df, "salted_aggregate")
+    _check_reserved(df, "salted_aggregate", "__salt")
     first_phase = []
     second_phase = []
     for out, (src, fn) in aggs.items():
@@ -171,7 +172,7 @@ def salted_topk(
     output) can change."""
     from pyspark.sql import Window
 
-    _check_reserved(df, "salted_topk")
+    _check_reserved(df, "salted_topk", "__salt", "__rk")
 
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
     ordered = oc.desc() if descending else oc.asc()

@@ -215,7 +215,15 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
 def minhash_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (16 hashes, 8 bands) verified by true
     Jaccard; the oracle is the exact blocking-free answer (the count-ratio
-    prefilter in the SQL is lossless for jaccard>=0.8 since jac <= min/max)."""
+    prefilter in the SQL is lossless for jaccard>=0.8 since jac <= min/max).
+    Exactness contract vs the hot-bucket guard: the engine runs with the
+    default per-bucket ceiling (MAX_LSH_BUCKET_SIZE=1000), whose plan is
+    bit-identical to the unguarded one whenever every band bucket stays
+    under the ceiling — true at every driver rung (max bucket here is the
+    2-member dup pair) and equality-tested in CI; on a corpus with a
+    >1000-member near-identical cluster the emitted pair list is rep-member
+    star pairs BY DESIGN (SCALING.md hot-cluster rung), where the exact
+    list is quadratic and unshippable."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(
         d.select(
@@ -270,7 +278,12 @@ def dedup_groups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair list and its transitive closure with a recursive CTE. 32 hashes /
     16 bands so a missed threshold-grade edge (which would split a group) has
     P < 1e-7. This is the operator that turns pair detection into the
-    deduplicated corpus a training-data pipeline consumes."""
+    deduplicated corpus a training-data pipeline consumes. Hot-bucket
+    guard contract: runs with the default MAX_LSH_BUCKET_SIZE ceiling —
+    bit-identical below it (all driver rungs; equality-tested), and above
+    it star-pair candidates preserve the connected-component GROUPS (the
+    surface this query checks) whenever cluster members verify against the
+    bucket's canonical member (mini-rung equality + unit test)."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(
         d.select(

@@ -121,10 +121,13 @@ class RestEsClient:
         delivered (refused / unreachable / DNS) — safe to replay on another
         host regardless of method. Timeouts and resets are ambiguous: the
         first host may already have processed the request."""
+        # ConnectionAbortedError deliberately NOT listed: ECONNABORTED can
+        # fire after the request body was delivered (proxy/OS aborts an
+        # established connection mid-response), so it is ambiguous, not
+        # provably pre-send.
         reason = getattr(err, "reason", err)
         return isinstance(
-            reason,
-            (ConnectionRefusedError, _socket.gaierror, ConnectionAbortedError),
+            reason, (ConnectionRefusedError, _socket.gaierror)
         ) or isinstance(err, (ConnectionRefusedError, _socket.gaierror))
 
     def _request(
@@ -187,22 +190,48 @@ class RestEsClient:
         except Exception:
             return False
 
+    @staticmethod
+    def _bulk_replay_safe(operations: list[dict]) -> bool:
+        """True iff every action in the NDJSON walk is an index/delete WITH
+        an explicit _id — the only shapes that converge under a
+        timeout-then-retry double-apply (overwrite/delete idempotence).
+        create (fails the second time or duplicates intent), update-with-
+        script (double-applies), and auto-id index (duplicates the doc) all
+        make the batch unsafe to replay on another host. Walked as the
+        protocol defines (action, then a source line unless delete), so a
+        SOURCE document that happens to contain an 'index' key can never be
+        misread as an action."""
+        i = 0
+        while i < len(operations):
+            action = operations[i]
+            if not (isinstance(action, dict) and len(action) == 1):
+                return False
+            op, meta = next(iter(action.items()))
+            if op not in ("index", "delete") or not (
+                isinstance(meta, dict) and meta.get("_id") is not None
+            ):
+                return False
+            i += 1 if op == "delete" else 2
+        return True
+
     def bulk(self, operations: list[dict], refresh: bool = False) -> dict:
         """NDJSON pairs — the exact ``client.bulk(operations=[action, source,
         ...])`` shape the sink emits and elasticsearch-py accepts."""
         nd = "".join(json.dumps(op, default=_json_default) + "\n" for op in operations)
         params = {"refresh": "true"} if refresh else None
-        # replay_safe: the sink emits only index-with-_id actions, which are
-        # overwrite-idempotent — a timeout-then-retry double-apply converges
-        # to the same documents. Callers pushing create/update ops through
-        # transport paths do NOT get this flag.
+        # replay safety is DERIVED from the batch, not assumed: the sink's
+        # own batches are all index-with-_id (replay-safe — a retry
+        # overwrites to the same documents), but this method is the public
+        # elasticsearch-py-compatible surface, and a caller's create /
+        # scripted-update / auto-id batch must NOT fail over after an
+        # ambiguous timeout (double-apply hazard).
         _, text = self._request(
             "POST",
             "/_bulk",
             data=nd.encode(),
             params=params,
             headers={"Content-Type": "application/x-ndjson"},
-            replay_safe=True,
+            replay_safe=self._bulk_replay_safe(operations),
         )
         out = json.loads(text)
         if out.get("errors"):
@@ -234,7 +263,9 @@ class RestEsClient:
         body: dict[str, Any] = {"size": size}
         if query:
             body["query"] = query
-        return self._json("POST", f"/{index}/_search", body)
+        # a search is a POST by convention but side-effect-free — always
+        # replay-safe, so multi-host failover applies on any failure
+        return self._json("POST", f"/{index}/_search", body, replay_safe=True)
 
 
 __all__ = ["RestEsClient", "EsRestError"]

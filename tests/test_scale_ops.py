@@ -175,6 +175,8 @@ def test_salting_rejects_reserved_scratch_columns(spark):
     df2 = spark.createDataFrame([("a", 1, 0)], "k string, v int, __rk int")
     with pytest.raises(ValueError, match="__rk"):
         salted_topk(df2, ["k"], "v", k=1)
+    # per-function: salted_aggregate never writes __rk, so it must ACCEPT it
+    assert salted_aggregate(df2, ["k"], {"s": ("v", "sum")}).count() == 1
 
 
 def test_engine_join_stages_skew_blocking_dim(spark):
