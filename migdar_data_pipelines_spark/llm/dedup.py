@@ -486,9 +486,23 @@ def incremental_dedup(
     k: int = 3,
     jaccard_threshold: float = 0.8,
     max_broadcast_candidates: int | None = None,
+    max_index_bucket: int | None = MAX_LSH_BUCKET_SIZE,
 ) -> DataFrame:
     """Dedup a NEW batch against a STANDING corpus — the production shape at
     100 TB: the corpus is never re-deduped; the daily increment probes it.
+
+    ``max_index_bucket`` closes the last unguarded band-join shape: a hot
+    INDEX bucket (a >ceiling near-identical template cluster in the
+    standing corpus) would otherwise emit batch-docs-in-bucket x M
+    candidates from one key. Per bucket, only the ``max_index_bucket``
+    smallest-id index members are probed — a literal ``row_number() <= k``
+    filter Spark rewrites to a map-side WindowGroupLimit below the
+    exchange, so the hot bucket's rows never funnel un-pruned. Semantics
+    above the ceiling: ``n_near_index`` becomes a LOWER BOUND (capped at
+    the ceiling) and ``is_new`` stays correct whenever the batch doc
+    verifies against any of the kept members — for a genuinely
+    near-identical cluster, all of them. Below the ceiling (every driver
+    rung; tested) output is bit-identical. None disables.
 
     Two tiers, neither of which shuffles the index:
       * exact — the batch's content md5 left-joins the index's distinct-hash
@@ -524,9 +538,19 @@ def incremental_dedup(
 
     b_base, b_bands = _shingle_band_frames(batch, text_col, id_col, n_hashes, bands, k)
     i_base, i_bands = _shingle_band_frames(index, text_col, id_col, n_hashes, bands, k)
+    i_sel = i_bands.select("bucket", F.col("id").alias("id_i"))
+    if max_index_bucket is not None:
+        from pyspark.sql import Window
+
+        w_bkt = Window.partitionBy("bucket").orderBy("id_i")
+        i_sel = (
+            i_sel.withColumn("__rk", F.row_number().over(w_bkt))
+            .filter(F.col("__rk") <= max_index_bucket)
+            .drop("__rk")
+        )
     cand = (
         F.broadcast(b_bands.select("bucket", F.col("id").alias("id_b")))
-        .join(i_bands.select("bucket", F.col("id").alias("id_i")), "bucket")
+        .join(i_sel, "bucket")
         .select("id_b", "id_i")
         .dropDuplicates(["id_b", "id_i"])
     )

@@ -779,3 +779,55 @@ SELECT id AS {id_out}, CAST(count(*) AS BIGINT) AS n_tokens,
          END)), 4) AS nll
 FROM j GROUP BY id
 """
+
+
+def char_entropy(df, text_col: str, id_col: str):
+    """Per-document Shannon entropy over the character distribution, in
+    bits/char — the repetitiveness/noise quality signal pretraining filters
+    cut on from both ends (near-0 = degenerate repetition, e.g. 'aaaa...';
+    near-log2(alphabet) with a big alphabet = random noise / binary
+    spillage). H = log2(n) - (sum over chars c of count_c*log2(count_c))/n,
+    evaluated in exactly that form so the generated SQL mirror reproduces
+    the IEEE result.
+
+    Execution shape: explode to characters (rows stay contiguous per doc in
+    their input partition), ONE groupBy(id, ch) whose counts combine
+    map-side, then a groupBy(id) over at most |alphabet| rows per doc —
+    both exchanges carry (id, char-count) rows, never text. Empty docs are
+    excluded (an empty split yields a single '' token whose entropy is
+    undefined — filter length > 0, mirrored in the SQL).
+
+    Unicode note: both Spark's split and DuckDB's string_split_regex split
+    on codepoints for BMP text; astral-plane characters (surrogate pairs in
+    the JVM) can split differently — for emoji-heavy corpora normalize
+    first."""
+    ch = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    )
+    counts = ch.groupBy("id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return counts.groupBy("id").agg(
+        n.cast("long").alias("n_chars"),
+        F.round(
+            F.log2(n.cast("double")) - F.sum(F.col("c") * F.log2("c")) / n, 4
+        ).alias("entropy_bits"),
+    )
+
+
+def char_entropy_sql(
+    docs_sql: str = "SELECT doc_id AS id, text FROM documents",
+) -> str:
+    """Generated DuckDB mirror of ``char_entropy`` (same formula, same
+    evaluation order)."""
+    return f"""
+WITH docs AS ({docs_sql}),
+ch AS (
+  SELECT id, unnest(string_split_regex(text, '')) AS ch
+  FROM docs WHERE length(text) > 0
+),
+c AS (SELECT id, ch, count(*) AS c FROM ch GROUP BY id, ch)
+SELECT id, CAST(sum(c) AS BIGINT) AS n_chars,
+       round(log2(CAST(sum(c) AS DOUBLE))
+             - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_bits
+FROM c GROUP BY id
+"""

@@ -5534,3 +5534,33 @@ def mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 4).alias("robust_z"),
         )
     )
+
+
+def _install_char_entropy_sql() -> None:
+    from ..llm.textanalysis import char_entropy_sql
+
+    QUERIES["char_entropy_documents"]["sql"] = (
+        "SELECT id AS doc_id, n_chars, entropy_bits FROM ("
+        + char_entropy_sql("SELECT doc_id AS id, text FROM documents")
+        + ")"
+    )
+
+
+@register("char_entropy_documents", sql=None)  # SQL installed below (generated)
+def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality signal
+    (llm/textanalysis.py::char_entropy): Shannon bits over the char
+    distribution — degenerate repetition scores near 0, noise/binary
+    spillage scores high; pretraining filters cut on both ends. Two
+    map-side-combinable groupBys; exchanges carry (id, char, count) rows
+    only, never text. Oracle generated from the same formula
+    (char_entropy_sql)."""
+    from ..llm.textanalysis import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    return char_entropy(d.select("doc_id", "text"), "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "n_chars", "entropy_bits"
+    )
+
+
+_install_char_entropy_sql()

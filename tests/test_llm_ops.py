@@ -1837,3 +1837,48 @@ def test_srp_hot_bucket_ceiling(spark):
           for r in canonical_groups(ids, plain, "id").collect()}
     assert g1 == g2
     assert sum(1 for _, c in g1 if c == 0) == 30
+
+
+def test_incremental_dedup_index_bucket_ceiling(spark):
+    """The batch-vs-index probe join's hot-INDEX-bucket guard: above the
+    ceiling only the k smallest-id index members are probed per bucket —
+    n_near_index becomes a lower bound capped near the ceiling, is_new
+    stays correct; below the ceiling output is bit-identical."""
+    from migdar_data_pipelines_spark.llm.dedup import incremental_dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    index = spark.createDataFrame(
+        [(i, f"{text} t{i}") for i in range(30)], "id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(100, f"{text} t999"), (200, "completely different words here")],
+        "id long, text string",
+    )
+
+    full = incremental_dedup(
+        batch, index, "text", "id", n_hashes=8, bands=4,
+        jaccard_threshold=0.5, max_index_bucket=None,
+    )
+    rows_full = {r.id: r for r in full.collect()}
+    assert rows_full[100].n_near_index == 30 and not rows_full[100].is_new
+    assert rows_full[200].n_near_index == 0 and rows_full[200].is_new
+
+    capped = incremental_dedup(
+        batch, index, "text", "id", n_hashes=8, bands=4,
+        jaccard_threshold=0.5, max_index_bucket=5,
+    )
+    rows_capped = {r.id: r for r in capped.collect()}
+    # lower bound: at most bands x ceiling distinct members survive, and
+    # the dup batch doc is still detected
+    assert 1 <= rows_capped[100].n_near_index <= 4 * 5
+    assert not rows_capped[100].is_new
+    assert rows_capped[200].is_new  # unique doc unaffected
+
+    # below the ceiling the guarded call is bit-identical
+    same = incremental_dedup(
+        batch, index, "text", "id", n_hashes=8, bands=4,
+        jaccard_threshold=0.5, max_index_bucket=1000,
+    )
+    assert sorted(map(tuple, same.collect())) == sorted(
+        map(tuple, full.collect())
+    )
