@@ -5564,3 +5564,70 @@ def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_char_entropy_sql()
+
+
+@register(
+    "streaming_simhash_near_dup_documents",
+    sql=f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zzdup' FROM documents
+), w AS (
+  SELECT id, unnest({_W}) AS word FROM corpus
+), h AS (
+  SELECT id, {md5_bucket_sql("word", 8)} AS hw FROM w
+), bits AS (
+  SELECT id, b.bit,
+         sum(CASE WHEN (hw >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(generate_series(0, 31)) AS bit) b
+  GROUP BY id, b.bit
+), sh AS (
+  SELECT id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS sh
+  FROM bits GROUP BY id
+)
+SELECT a.id AS doc_id,
+       coalesce(bool_or(bit_count(xor(a.sh, b.sh)) <= 3), FALSE) AS is_near_dup
+FROM sh a LEFT JOIN sh b
+  ON b.id < a.id AND bit_count(xor(a.sh, b.sh)) <= 3
+GROUP BY a.id
+""",
+)
+def streaming_simhash_near_dup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRUE-STREAMING near-dup flagging
+    (streaming/stateful.py::streaming_simhash_near_dup): documents arrive
+    as a stream (plus perturbed +100000 copies arriving 'later' by order),
+    each carrying its portable 32-bit simhash computed in the stream
+    projection; per (band, slice) bucket an applyInPandasWithState keeps
+    the earliest signatures and flags any arrival within hamming<=3 of an
+    EARLIER doc — lossless for the hamming ball by pigeonhole (4 bands,
+    <=3 flips leave one band untouched). The drained per-band rows OR into
+    one flag per doc. The oracle is the exact quadratic
+    earlier-within-hamming-3 answer over the identical md5-derived
+    signatures — no banding in the oracle at all, which is exactly the
+    losslessness claim under test."""
+    from ..llm.dedup import simhash_fast
+    from ..streaming import read_events_stream
+    from ..streaming.stateful import streaming_simhash_near_dup
+
+    stream = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    corpus = stream.select(
+        F.col("doc_id").alias("id"), F.col("text")
+    ).unionByName(
+        stream.select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.concat("text", F.lit(" zzdup")).alias("text"),
+        )
+    )
+    sig = corpus.select(
+        "id", F.col("id").alias("ord"), simhash_fast("text", 32).alias("sig")
+    )
+    flagged = streaming_simhash_near_dup(
+        sig, "id", "ord", "sig", bits=32, bands=4, max_hamming=3
+    )
+    drained = _drain_stream(spark, flagged, "t_simdup")
+    return drained.groupBy("id").agg(
+        F.expr("bool_or(dup)").alias("is_near_dup")
+    ).select(F.col("id").alias("doc_id"), "is_near_dup")

@@ -22,6 +22,7 @@ from collections.abc import Iterable
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 from .._serde import register_self_contained
@@ -138,7 +139,102 @@ def streaming_cdc(
     )
 
 
-__all__ = ["streaming_first_seen", "streaming_cdc"]
+def streaming_simhash_near_dup(
+    docs: DataFrame,
+    id_col: str,
+    order_col: str,
+    sig_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_state: int = 256,
+) -> DataFrame:
+    """STREAMING near-duplicate flagging — the LSH dedup family's unbounded
+    form: each arriving document (already carrying its portable simhash
+    ``sig_col``) is flagged ``dup=True`` iff some EARLIER document (strictly
+    smaller ``(order_col, id_col)``) within hamming distance
+    ``max_hamming`` has been seen. Banding makes the state tractable: the
+    signature splits into ``bands`` equal bit-slices, the stream is keyed by
+    (band, slice-value), and by pigeonhole any pair within ``max_hamming``
+    <= bands - 1 bit flips shares at least one untouched band — so
+    per-bucket comparison is LOSSLESS for the hamming ball while each
+    bucket's state holds only its own members (never the corpus).
+
+    State per bucket: up to ``max_state`` earliest (order, signature) pairs
+    — the same hot-bucket discipline as the batch guard
+    (MAX_LSH_BUCKET_SIZE): a template-cluster bucket past the cap stops
+    accumulating and ``dup`` becomes a lower bound against the kept
+    earliest members (for a genuinely near-identical cluster, still
+    correct — everything matches the first member). The per-bucket scan is
+    a Python loop over <= max_state ints per row: this is the
+    applyInPandasWithState custom-operator tier, sized by the cap, not by
+    the corpus.
+
+    Emits one row per (doc, band); the caller ORs bands per doc after the
+    drain (a doc is near-dup iff ANY band flagged it). Deterministic under
+    any micro-batch split: batches sort by (order, id) and only strictly
+    earlier rows (in-batch or in-state) can flag a row."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    bucket = F.array(
+        *[
+            (
+                F.shiftright(F.col(sig_col), b * width).bitwiseAND(F.lit(mask))
+                + F.lit(b * (mask + 1))
+            ).cast("long")
+            for b in range(bands)
+        ]
+    )
+    rows = docs.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(order_col).cast("long").alias("order"),
+        F.col(sig_col).cast("long").alias("sig"),
+        F.explode(bucket).alias("bucket"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("dup", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("orders", T.ArrayType(T.LongType())),
+            T.StructField("sigs", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            st_orders, st_sigs = state.get
+            st_orders, st_sigs = list(st_orders), list(st_sigs)
+        else:
+            st_orders, st_sigs = [], []
+        parts = [pdf for pdf in pdfs if not pdf.empty]
+        if not parts:
+            return
+        df = pd.concat(parts, ignore_index=True).sort_values(
+            ["order", "id"], kind="stable", ignore_index=True
+        )
+        flags = []
+        for _, row in df.iterrows():
+            s = int(row["sig"])
+            flags.append(
+                any(bin(s ^ int(p)).count("1") <= max_hamming for p in st_sigs)
+            )
+            if len(st_sigs) < max_state:
+                st_orders.append(int(row["order"]))
+                st_sigs.append(s)
+        state.update((st_orders, st_sigs))
+        yield pd.DataFrame({"id": df["id"], "dup": flags})
+
+    return rows.groupBy("bucket").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+__all__ = ["streaming_first_seen", "streaming_cdc", "streaming_simhash_near_dup"]
+
 
 
 

@@ -382,3 +382,48 @@ def test_streaming_cdc_restart_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+def test_streaming_simhash_near_dup_cross_batch_state(spark, tmp_path):
+    """A doc arriving in micro-batch 2 within hamming<=3 of a batch-1 doc
+    must be flagged from CARRIED state; unrelated docs stay clean; and the
+    flag is order-respecting (the earliest doc of a dup pair is clean)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.streaming.stateful import (
+        streaming_simhash_near_dup,
+    )
+
+    # hand-built signatures: ids 1 and 3 differ by 2 bits (dup pair across
+    # batches), id 2 is far from everything
+    rows1 = pd.DataFrame({"id": [1, 2], "ord": [1, 2],
+                          "sig": [0b1111000011110000, 0b0000111100001111 << 16]})
+    rows2 = pd.DataFrame({"id": [3, 4], "ord": [3, 4],
+                          "sig": [0b1111000011110011,  # 2 flips vs id 1
+                                  0b1010101010101010 << 12]})
+    src = str(tmp_path / "simdup_src")
+    spark.createDataFrame(rows1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, ord long, sig long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_simhash_near_dup(
+        stream, "id", "ord", "sig", bits=32, bands=4, max_hamming=3
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        run_available_now(out, ckpt, query_name="t_simdup_ut", output_mode="append")
+        drained = (
+            spark.table("t_simdup_ut")
+            .groupBy("id")
+            .agg(F.expr("bool_or(dup)").alias("d"))
+        )
+        got = {r["id"]: r["d"] for r in drained.collect()}
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    assert got == {1: False, 2: False, 3: True, 4: False}
