@@ -474,3 +474,138 @@ SELECT tot.n, round(mi.v, 6) AS mi, round(hx.v, 6) AS h_x,
        round(mi.v / sqrt(hx.v * hy.v), 6) AS nmi
 FROM tot CROSS JOIN mi CROSS JOIN hx CROSS JOIN hy
 """
+
+
+def js_divergence_by(
+    df: DataFrame, group_col: str, token_col: str
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits, symmetric, bounded [0, 1])
+    between the token distributions of every unordered pair of groups — the
+    corpus-comparison profile a mixing pipeline reads before blending
+    sources (JSD ~ 0: interchangeable; ~ 1: disjoint vocabularies; unlike
+    KL it is defined when a token appears on one side only).
+
+        JSD(P, Q) = 0.5 * sum_w [ p*log2(2p/(p+q)) + q*log2(2q/(p+q)) ]
+
+    with one-sided terms evaluated only where the count is > 0 (the
+    mathematical limit). Every probability is an exact rational of integer
+    counts; log2 is the float surface, one canonical evaluation order
+    mirrored verbatim in the generated SQL.
+
+    Shape at scale: ONE (group, token) groupBy over the corpus (map-side
+    combinable), totals derived from it; the G(G-1)/2 pair frame is
+    group-cardinality-sized and broadcast; the per-pair union of vocab rows
+    comes from a FULL OUTER join of the pair-tagged count frames on
+    (pair, token) — shuffles carry (group, token, count) rows only, never
+    text; the term sum is one aggregate per pair."""
+    c = df.groupBy(
+        F.col(group_col).alias("g"), F.col(token_col).alias("w")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    from ..operators.caching import scoped_persist
+
+    c = scoped_persist(c)
+    t = c.groupBy("g").agg(F.sum("c").cast("long").alias("n"))
+    pairs = (
+        t.select(F.col("g").alias("ga"), F.col("n").alias("na"))
+        .join(
+            t.select(F.col("g").alias("gb"), F.col("n").alias("nb")),
+            F.col("ga") < F.col("gb"),
+        )
+    )
+    wa = c.join(
+        F.broadcast(pairs), F.col("g") == F.col("ga")
+    ).select("ga", "gb", "na", "nb", "w", F.col("c").alias("ca"))
+    wb = c.join(
+        F.broadcast(pairs), F.col("g") == F.col("gb")
+    ).select(
+        F.col("ga").alias("gb_a"),
+        F.col("gb").alias("gb_b"),
+        F.col("w").alias("w_b"),
+        F.col("c").alias("cb"),
+    )
+    full = wa.join(
+        wb,
+        (F.col("ga") == F.col("gb_a"))
+        & (F.col("gb") == F.col("gb_b"))
+        & (F.col("w") == F.col("w_b")),
+        "full",
+    ).select(
+        F.coalesce("ga", "gb_a").alias("ga"),
+        F.coalesce("gb", "gb_b").alias("gb"),
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = (
+        t.select(F.col("g").alias("ga"), F.col("n").alias("na2"))
+    )
+    tot_b = t.select(F.col("g").alias("gb"), F.col("n").alias("nb2"))
+    full = full.join(F.broadcast(tot), "ga").join(F.broadcast(tot_b), "gb")
+    p = F.col("ca") / F.col("na2")
+    q = F.col("cb") / F.col("nb2")
+    term = F.when(
+        F.col("ca") > 0, p * F.log2(F.lit(2.0) * p / (p + q))
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("cb") > 0, q * F.log2(F.lit(2.0) * q / (p + q))
+    ).otherwise(F.lit(0.0))
+    return (
+        full.groupBy("ga", "gb")
+        .agg(
+            F.max("na2").cast("long").alias("n_a"),
+            F.max("nb2").cast("long").alias("n_b"),
+            F.round(F.lit(0.5) * F.sum(term), 6).alias("jsd_bits"),
+        )
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "n_a",
+            "n_b",
+            "jsd_bits",
+        )
+    )
+
+
+def js_divergence_by_sql(
+    rows_sql: str, group_expr: str = "g", token_expr: str = "w"
+) -> str:
+    """Generated DuckDB mirror of ``js_divergence_by`` — same counts, same
+    pair algebra, same canonical term order."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+c AS (SELECT {group_expr} AS g, {token_expr} AS w, count(*) AS c
+      FROM rows_in GROUP BY 1, 2),
+t AS (SELECT g, sum(c) AS n FROM c GROUP BY g),
+pairs AS (
+  SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+  FROM t a JOIN t b ON a.g < b.g
+),
+wa AS (SELECT p.ga, p.gb, c.w, c.c AS ca
+       FROM c JOIN pairs p ON c.g = p.ga),
+wb AS (SELECT p.ga, p.gb, c.w, c.c AS cb
+       FROM c JOIN pairs p ON c.g = p.gb),
+full_w AS (
+  SELECT coalesce(wa.ga, wb.ga) AS ga, coalesce(wa.gb, wb.gb) AS gb,
+         coalesce(wa.ca, 0) AS ca, coalesce(wb.cb, 0) AS cb
+  FROM wa FULL JOIN wb
+    ON wa.ga = wb.ga AND wa.gb = wb.gb AND wa.w = wb.w
+),
+terms AS (
+  SELECT f.ga, f.gb, ta.n AS na2, tb.n AS nb2,
+         (CASE WHEN f.ca > 0
+               THEN (f.ca / CAST(ta.n AS DOUBLE))
+                    * log2(2.0 * (f.ca / CAST(ta.n AS DOUBLE))
+                           / ((f.ca / CAST(ta.n AS DOUBLE))
+                              + (f.cb / CAST(tb.n AS DOUBLE))))
+               ELSE 0.0 END
+          + CASE WHEN f.cb > 0
+               THEN (f.cb / CAST(tb.n AS DOUBLE))
+                    * log2(2.0 * (f.cb / CAST(tb.n AS DOUBLE))
+                           / ((f.ca / CAST(ta.n AS DOUBLE))
+                              + (f.cb / CAST(tb.n AS DOUBLE))))
+               ELSE 0.0 END) AS term
+  FROM full_w f JOIN t ta ON f.ga = ta.g JOIN t tb ON f.gb = tb.g
+)
+SELECT ga AS group_a, gb AS group_b,
+       CAST(max(na2) AS BIGINT) AS n_a, CAST(max(nb2) AS BIGINT) AS n_b,
+       round(0.5 * sum(term), 6) AS jsd_bits
+FROM terms GROUP BY ga, gb
+"""

@@ -5631,3 +5631,109 @@ def streaming_simhash_near_dup_documents(
     return drained.groupBy("id").agg(
         F.expr("bool_or(dup)").alias("is_near_dup")
     ).select(F.col("id").alias("doc_id"), "is_near_dup")
+
+
+@register(
+    "ols_trend_events",
+    sql="""
+WITH q AS (
+  SELECT event_type,
+         (epoch_us(ts) - 1704067200000000) // 60000000 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS DECIMAL(19,0)) AS n,
+         CAST(sum(x) AS DECIMAL(19,0)) AS sx,
+         CAST(sum(y) AS DECIMAL(19,0)) AS sy,
+         CAST(sum(x * x) AS DECIMAL(19,0)) AS sxx,
+         CAST(sum(x * y) AS DECIMAL(19,0)) AS sxy
+  FROM q GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_min,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 4) AS intercept_cents
+FROM m
+""",
+)
+def ols_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS trend (is each event type's value drifting
+    over the month?): slope/intercept from the five classical moments, all
+    accumulated as EXACT integers — x quantized to minutes since the corpus
+    epoch, y to cents, sums in DECIMAL(19,0) so their cross products stay
+    exact in DECIMAL(38,0) in any accumulation order (the corr_pricing /
+    zscore parity discipline) — then ONE IEEE division per coefficient over
+    identical exact operands. Plan: a single map-side-combinable groupBy
+    over the scan (five algebraic sums), 5-row result; no window, no second
+    pass, nothing collected."""
+    ev = _t(spark, sf_dir, "events")
+    dec = "decimal(19,0)"
+    q = ev.select(
+        "event_type",
+        # ts loads as TIMESTAMP_NTZ; session TZ is pinned UTC so the cast
+        # is identity — the unix_micros(NTZ) trap from the verify notes
+        F.expr(
+            "(unix_micros(cast(ts as timestamp)) - 1704067200000000)"
+            " div 60000000"
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    m = q.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope_cents_per_min"),
+        F.round(intercept, 4).alias("intercept_cents"),
+    )
+
+
+def _install_jsd_sql() -> None:
+    from ..operators.profile import js_divergence_by_sql
+
+    QUERIES["js_divergence_sources"]["sql"] = js_divergence_by_sql(
+        f"SELECT source AS g, unnest({_W}) AS w FROM documents"
+    ).replace("group_a", "source_a").replace("group_b", "source_b")
+
+
+@register("js_divergence_sources", sql=None)  # SQL installed below (generated)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every pair of document
+    SOURCES' word distributions (operators/profile.py::js_divergence_by) —
+    the symmetric, always-defined corpus-comparison signal a mixing
+    pipeline reads before blending sources (KL blows up on one-sided
+    vocabulary; JSD is bounded [0,1] bits). One (source, word) groupBy over
+    the corpus; the pair frame is source-cardinality-sized and broadcast;
+    per-pair vocab union via FULL OUTER join on (pair, word). Oracle
+    generated from the same formula and evaluation order."""
+    from ..llm.textanalysis import words
+    from ..operators.profile import js_divergence_by
+
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select("source", F.explode(words("text")).alias("w"))
+    out = js_divergence_by(rows, "source", "w")
+    return out.select(
+        F.col("group_a").alias("source_a"),
+        F.col("group_b").alias("source_b"),
+        "n_a",
+        "n_b",
+        "jsd_bits",
+    )
+
+
+_install_jsd_sql()

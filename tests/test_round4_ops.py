@@ -1013,3 +1013,47 @@ def test_kmv_pairwise_overlap_matches_python_reference(spark):
     assert got[("s_a", "s_c")]["est_inter"] == 0.0
     assert got[("s_b", "s_c")]["est_inter"] == 0.0
     assert 400 < got[("s_a", "s_b")]["est_inter"] < 1800  # true 1000
+
+
+def test_js_divergence_bounds_and_symmetry(spark):
+    """Identical distributions -> 0; disjoint vocabularies -> 1 bit; value
+    is independent of which group sorts first (symmetry is structural —
+    pairs are unordered)."""
+    from migdar_data_pipelines_spark.operators.profile import js_divergence_by
+
+    rows = (
+        [("a", "x")] * 6 + [("a", "y")] * 2
+        + [("b", "x")] * 3 + [("b", "y")] * 1   # same distribution as a
+        + [("c", "zz")] * 4                      # disjoint vocab
+    )
+    df = spark.createDataFrame(rows, "g string, w string")
+    got = {(r.group_a, r.group_b): r.jsd_bits
+           for r in js_divergence_by(df, "g", "w").collect()}
+    assert got[("a", "b")] == 0.0
+    assert got[("a", "c")] == 1.0 and got[("b", "c")] == 1.0
+
+
+def test_ols_trend_matches_numpy(spark):
+    """The closed-form integer-moment slope/intercept equals numpy's
+    lstsq on the same quantized points."""
+    import numpy as np
+
+    from migdar_data_pipelines_spark.plans.llm_queries import QUERIES
+
+    out = {r.event_type: r for r in
+           QUERIES["ols_trend_events"]["fn"](spark, "/root/testdata/sf0.001").collect()}
+    import duckdb
+    pts = duckdb.sql("""
+      SELECT event_type,
+             (epoch_us(ts) - 1704067200000000) // 60000000 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+    """).fetchall()
+    by = {}
+    for et, x, y in pts:
+        by.setdefault(et, []).append((x, y))
+    for et, xy in by.items():
+        a = np.array(xy, dtype=np.float64)
+        slope, intercept = np.polyfit(a[:, 0], a[:, 1], 1)
+        assert abs(out[et].slope_cents_per_min - slope) < 1e-4, et
+        assert abs(out[et].intercept_cents - intercept) < 0.05, et
