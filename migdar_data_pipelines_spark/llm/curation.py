@@ -508,3 +508,51 @@ def stratified_fixed_n(
         .filter(F.col("__rk") <= n_per_group)
         .drop("__rk")
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, qi_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Privacy-risk audit over quasi-identifier columns — the re-identification
+    check a training-data release runs next to PII redaction: rows whose
+    quasi-identifier combination is shared by fewer than ``k`` records are
+    re-identifiable by linkage (Sweeney's k-anonymity). Returns the
+    equivalence-CLASS-SIZE histogram: one row per observed class size with
+    the number of classes, the rows they hold, and whether that size is
+    below the ``k`` threshold — the curve an anonymization reviewer reads
+    (the summary "x% of rows at risk" is one filtered sum over it).
+
+    Shape at scale: one groupBy over the quasi-identifiers (map-side
+    combinable) to size the classes, then a groupBy over the CLASS frame
+    (at most one row per distinct QI combination) to histogram the sizes —
+    the second pass never touches the corpus. No windows, nothing
+    collected."""
+    cls = df.groupBy(*qi_cols).agg(F.count(F.lit(1)).alias("__sz"))
+    return (
+        cls.groupBy(F.col("__sz").alias("class_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
+        .select(
+            F.col("class_size").cast("long").alias("class_size"),
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes"))
+            .cast("long")
+            .alias("n_rows"),
+            (F.col("class_size") < k).alias("below_k"),
+        )
+    )
+
+
+def k_anonymity_sql(
+    rows_sql: str, qi_exprs: list[str], k: int = 10
+) -> str:
+    """Generated DuckDB mirror of ``k_anonymity_report``."""
+    qi = ", ".join(qi_exprs)
+    return f"""
+WITH rows_in AS ({rows_sql}),
+cls AS (SELECT {qi}, count(*) AS sz FROM rows_in GROUP BY {qi})
+SELECT CAST(sz AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sz * count(*) AS BIGINT) AS n_rows,
+       sz < {k} AS below_k
+FROM cls GROUP BY sz
+"""

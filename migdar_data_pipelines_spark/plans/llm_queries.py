@@ -5737,3 +5737,36 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_jsd_sql()
+
+
+def _install_kanon_sql() -> None:
+    from ..llm.curation import k_anonymity_sql
+
+    QUERIES["k_anonymity_events"]["sql"] = k_anonymity_sql(
+        "SELECT event_type, CAST(ts AS DATE) AS day, user_id % 50 AS ubkt "
+        "FROM events",
+        ["event_type", "day", "ubkt"],
+        k=10,
+    )
+
+
+@register("k_anonymity_events", sql=None)  # SQL installed below (generated)
+def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (llm/curation.py::k_anonymity_report) over the
+    quasi-identifier combination (event_type, day, user-bucket): the
+    equivalence-class-size histogram with the below-k flag — the
+    re-identification risk curve a data release reviews next to PII
+    redaction. Two map-side-combinable groupBys; the second pass runs over
+    the class frame, never the corpus."""
+    from ..llm.curation import k_anonymity_report
+
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") % 50).alias("ubkt"),
+    )
+    return k_anonymity_report(q, ["event_type", "day", "ubkt"], k=10)
+
+
+_install_kanon_sql()

@@ -248,3 +248,39 @@ def test_kmv_pairwise_overlap_group_count_gate(spark):
         assert "BroadcastHashJoin" in _formatted_plan(fast)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tfidf_topk_uses_map_side_window_group_limit(spark, sf_dir):
+    """The per-doc cut must be a WindowGroupLimit with a Partial phase BELOW
+    the exchange — no doc's postings funnel through one task un-pruned."""
+    plan = _formatted_plan(query_fns()["tfidf_topk_terms_documents"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan  # the map-side phase
+
+
+def test_jsd_pair_frame_broadcasts_no_cartesian(spark, sf_dir):
+    """js_divergence's G(G-1)/2 pair frame is group-cardinality-sized: it
+    must reach the count frames by broadcast, and the only nested-loop
+    allowed is the tiny pair-generation inequality join — never a
+    CartesianProduct over data-sized frames."""
+    plan = _formatted_plan(query_fns()["js_divergence_sources"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ols_trend_is_one_aggregate_no_window(spark, sf_dir):
+    """Closed-form OLS is a single map-side-combinable aggregation over the
+    scan: exactly one exchange (the final groupBy), no Window, no join."""
+    plan = _formatted_plan(query_fns()["ols_trend_events"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # shuffle + AQE read at most
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial" in plan.lower()  # map-side combine present
+
+
+def test_mad_outliers_broadcasts_moments_no_window(spark, sf_dir):
+    """Median/MAD flagging: per-group medians broadcast back against the
+    scan; zero windows (no per-group row funnel)."""
+    plan = _formatted_plan(query_fns()["mad_outliers_events"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
