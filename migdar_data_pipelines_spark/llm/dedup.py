@@ -15,6 +15,7 @@ Design for 100 TB:
 from __future__ import annotations
 
 import math
+import warnings
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -252,7 +253,11 @@ MAX_LSH_BUCKET_SIZE = 1000
 
 
 def _band_candidates(
-    band_rows: DataFrame, max_bucket_size: int | None, persist: bool = False
+    band_rows: DataFrame,
+    max_bucket_size: int | None,
+    persist: bool = False,
+    payload_cols: tuple[str, ...] = (),
+    pair_filter: Column | None = None,
 ) -> tuple[DataFrame, dict[str, int] | None]:
     """(id_a < id_b) candidate pairs from (id, bucket) band rows, with the
     per-bucket cardinality ceiling above. One groupBy sizes the buckets
@@ -260,6 +265,18 @@ def _band_candidates(
     below-ceiling buckets take the exact all-pairs self-join, oversized
     ones the linear star form. The bucket-size frame and the guard cost
     O(band rows); nothing here is ever quadratic in an oversized bucket.
+
+    ``payload_cols`` names extra columns on ``band_rows`` (e.g. a simhash
+    signature) carried through to the pair output as ``{c}_a`` / ``{c}_b``
+    — on the star branch the representative's payload is taken with
+    ``min_by(c, id)``, exact because ids are unique per bucket.
+    ``pair_filter`` is an optional predicate over the joined pair columns
+    (ids + payloads), applied BEFORE the cross-band dropDuplicates so
+    Catalyst folds it into the join condition on the all-pairs branches —
+    the verification-in-the-join shape (e.g. hamming <= d) that keeps
+    failing pairs out of the dedup exchange. On the star branch it runs
+    against the representative: a member failing the filter vs the rep but
+    passing vs some nearer member is the documented recall trade.
 
     With ``persist`` the bucket-size histogram is aggregated EAGERLY (one
     cheap job over the already-persisted band rows, sketch-sized output)
@@ -275,63 +292,82 @@ def _band_candidates(
     subtree (~5x the dominant cost) — worse than the quadratic risk it
     hedges for the lazy-composition callers who opted out of persistence.
     Telemetry is None on that path."""
+    pay = list(payload_cols)
+    out_cols = ["id_a", "id_b"] + [f"{c}_a" for c in pay] + [f"{c}_b" for c in pay]
+
+    def left_sel(rows_df: DataFrame) -> DataFrame:
+        return rows_df.select(
+            "bucket",
+            F.col("id").alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in pay],
+        )
+
+    def right_sel(rows_df: DataFrame) -> DataFrame:
+        return rows_df.select(
+            F.col("bucket").alias("bucket_r"),
+            F.col("id").alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in pay],
+        )
+
+    def filtered(pairs: DataFrame) -> DataFrame:
+        return pairs if pair_filter is None else pairs.filter(pair_filter)
 
     def plain(rows_df: DataFrame) -> DataFrame:
-        left = rows_df.select("bucket", F.col("id").alias("id_a"))
-        right = rows_df.select(
-            F.col("bucket").alias("bucket_r"), F.col("id").alias("id_b")
-        )
-        return (
-            left.join(
-                right,
-                (F.col("bucket") == F.col("bucket_r"))
-                & (F.col("id_a") < F.col("id_b")),
-            )
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
-
-    if max_bucket_size is None or not persist:
-        return plain(band_rows), None
-    sizes = band_rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
-    stats = None
-    if persist:
-        over = (
-            sizes.filter(F.col("__bn") > max_bucket_size)
-            .agg(
-                F.count(F.lit(1)).alias("nb"),
-                F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
-            )
-            .collect()[0]
-        )
-        stats = {
-            "lsh_hot_buckets": int(over["nb"]),
-            "lsh_hot_bucket_rows": int(over["nr"]),
-        }
-        if stats["lsh_hot_buckets"] == 0:
-            return plain(band_rows), stats
-    rows = band_rows.join(sizes, "bucket")
-    if persist:
-        rows = scoped_persist(rows)
-    small = rows.filter(F.col("__bn") <= max_bucket_size)
-    pairs_small = (
-        small.select("bucket", F.col("id").alias("id_a"))
-        .join(
-            small.select(
-                F.col("bucket").alias("bucket_r"), F.col("id").alias("id_b")
-            ),
+        joined = left_sel(rows_df).join(
+            right_sel(rows_df),
             (F.col("bucket") == F.col("bucket_r"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b")
+        return filtered(joined).select(*out_cols).dropDuplicates(["id_a", "id_b"])
+
+    if max_bucket_size is None or not persist:
+        return plain(band_rows), None
+    # persist is True from here on — the early return above took the rest.
+    sizes = band_rows.groupBy("bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    over = (
+        sizes.filter(F.col("__bn") > max_bucket_size)
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("__bn"), F.lit(0)).alias("nr"),
+        )
+        .collect()[0]
+    )
+    stats = {
+        "lsh_hot_buckets": int(over["nb"]),
+        "lsh_hot_bucket_rows": int(over["nr"]),
+    }
+    if stats["lsh_hot_buckets"] == 0:
+        return plain(band_rows), stats
+    rows = scoped_persist(band_rows.join(sizes, "bucket"))
+    small = rows.filter(F.col("__bn") <= max_bucket_size)
+    pairs_small = (
+        filtered(
+            left_sel(small).join(
+                right_sel(small),
+                (F.col("bucket") == F.col("bucket_r"))
+                & (F.col("id_a") < F.col("id_b")),
+            )
+        )
+        .select(*out_cols)
     )
     big = rows.filter(F.col("__bn") > max_bucket_size)
-    reps = big.groupBy("bucket").agg(F.min("id").alias("__rep"))
+    reps = big.groupBy("bucket").agg(
+        F.min("id").alias("id_a"),
+        *[F.min_by(c, "id").alias(f"{c}_a") for c in pay],
+    )
     pairs_big = (
-        big.join(reps, "bucket")
-        .filter(F.col("id") != F.col("__rep"))
-        # rep = min(id), so the (id_a < id_b) pair convention holds
-        .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+        filtered(
+            big.join(reps, "bucket")
+            # rep = min(id), so the (id_a < id_b) pair convention holds
+            .filter(F.col("id") != F.col("id_a"))
+            .select(
+                "id_a",
+                F.col("id").alias("id_b"),
+                *[F.col(f"{c}_a") for c in pay],
+                *[F.col(c).alias(f"{c}_b") for c in pay],
+            )
+        )
+        .select(*out_cols)
     )
     return (
         pairs_small.unionByName(pairs_big).dropDuplicates(["id_a", "id_b"]),
@@ -851,6 +887,7 @@ def simhash_near_dup(
     id_col: str,
     max_hamming: int = 3,
     bits: int = 16,
+    max_bucket_size: int | None = MAX_LSH_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, found by BANDED bucketing
     — the candidate generator that turns SimHash signatures into an actual
@@ -864,53 +901,75 @@ def simhash_near_dup(
     (pairs agreeing on several bands) collapse with one dropDuplicates.
     Returns (id_a, id_b, hamming).
 
+    ``max_bucket_size`` is the per-band-bucket cardinality ceiling
+    (``MAX_LSH_BUCKET_SIZE``; None disables), shared with the minhash path
+    via :func:`_band_candidates`: a near-identical template cluster lands
+    in the same (band, value) bucket in EVERY band — O(M^2) pairs from one
+    key — and, worse than minhash, the band keyspace here is structurally
+    tiny (2^(bits/bands) values per band), so bucket occupancy grows
+    linearly with the corpus and the self-join trends quadratic even
+    without an adversarial cluster. Above the ceiling a bucket emits
+    linear star pairs hamming-verified against its min-id representative;
+    below it the output is bit-identical to the unguarded plan
+    (equality-tested). A member within ``max_hamming`` of some nearer
+    member but past it vs the representative is the documented recall
+    trade; a pair suppressed in one hot band is still found by any other
+    band where the two ids share a below-ceiling bucket.
+
     Scale notes: signatures are computed once (persisted — the bit-fold over
     every word occurrence is the expensive part) and the join shuffles
-    (band, 8-byte value, 8-byte signature) rows — never text. Bucket sizes
+    (band-bucket key, 8-byte signature) rows — never text. Bucket sizes
     shrink exponentially with band width, so at corpus scale use a wider
-    word hash + signature (e.g. 64-bit/8-band for hamming <= 7) — this
-    implementation keeps the reference 16-bit word-hash arithmetic so the
-    oracle reproduces it digit-for-digit."""
+    word hash + signature — e.g. ``bits=48`` keeps hamming <= 3 banding at
+    4096 values per band (the registered ``simhash_near_dup_pairs_wide``
+    variant); narrow defaults emit a RuntimeWarning below. The 16-bit
+    default keeps the reference word-hash arithmetic so the oracle
+    reproduces it digit-for-digit."""
     bands = max_hamming + 1
     assert bits % bands == 0, "bits must divide into max_hamming+1 bands"
     width = bits // bands
+    if (1 << width) <= 256:
+        warnings.warn(
+            f"simhash_near_dup: {bits}-bit signature / {bands} bands gives "
+            f"only {1 << width} distinct values per band — bucket occupancy "
+            "grows linearly with the corpus and the band join trends "
+            "quadratic at scale (the hot-bucket ceiling caps it to linear "
+            "star pairs, at a recall trade). For corpus-scale runs use a "
+            "wider signature, e.g. bits=48 for hamming<=3.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     mask = (1 << width) - 1
     base = scoped_persist(
         df.select(F.col(id_col).alias("id"), simhash_fast(text_col, bits).alias("sh"))
     )
-    band_arr = F.array(
+    # one long key per (band, value): band index folded into the high bits
+    bucket_arr = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("b"),
-                F.shiftright(F.col("sh"), width * i).bitwiseAND(mask).alias("v"),
-            )
+            (
+                F.shiftright(F.col("sh"), width * i).bitwiseAND(mask)
+                + F.lit(i * (mask + 1))
+            ).cast("long")
             for i in range(bands)
         ]
     )
-    banded = base.select("id", "sh", F.explode(band_arr).alias("bd")).select(
-        "id", "sh", F.col("bd.b").alias("b"), F.col("bd.v").alias("v")
-    )
-    a = banded.select(
-        F.col("b"), F.col("v"), F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
-    )
-    bb = banded.select(
-        F.col("b").alias("b2"),
-        F.col("v").alias("v2"),
-        F.col("id").alias("id_b"),
-        F.col("sh").alias("sh_b"),
+    band_rows = scoped_persist(
+        base.select("id", "sh", F.explode(bucket_arr).alias("bucket"))
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        a.join(
-            bb,
-            (F.col("b") == F.col("b2"))
-            & (F.col("v") == F.col("v2"))
-            & (F.col("id_a") < F.col("id_b"))
-            & (hamming <= max_hamming),
-        )
-        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
-        .dropDuplicates(["id_a", "id_b"])
+    cand, hot_stats = _band_candidates(
+        band_rows,
+        max_bucket_size,
+        persist=True,
+        payload_cols=("sh",),
+        pair_filter=hamming <= max_hamming,
     )
+    if hot_stats is not None:
+        from migdar_data_pipelines_spark.operators import metrics as _metrics
+
+        for k_, v_ in hot_stats.items():
+            _metrics.record(k_, v_)
+    return cand.select("id_a", "id_b", hamming.cast("long").alias("hamming"))
 
 
 def ngram_jaccard_pairs(

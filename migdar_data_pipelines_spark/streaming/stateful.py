@@ -160,20 +160,27 @@ def streaming_simhash_near_dup(
     per-bucket comparison is LOSSLESS for the hamming ball while each
     bucket's state holds only its own members (never the corpus).
 
-    State per bucket: up to ``max_state`` earliest (order, signature) pairs
-    — the same hot-bucket discipline as the batch guard
+    State per bucket: up to ``max_state`` first-arriving (order, id,
+    signature) triples — the same hot-bucket discipline as the batch guard
     (MAX_LSH_BUCKET_SIZE): a template-cluster bucket past the cap stops
     accumulating and ``dup`` becomes a lower bound against the kept
-    earliest members (for a genuinely near-identical cluster, still
-    correct — everything matches the first member). The per-bucket scan is
-    a Python loop over <= max_state ints per row: this is the
+    members (for a genuinely near-identical cluster, still correct —
+    everything matches the first member). The per-bucket scan is a Python
+    loop over <= max_state ints per row: this is the
     applyInPandasWithState custom-operator tier, sized by the cap, not by
     the corpus.
 
     Emits one row per (doc, band); the caller ORs bands per doc after the
-    drain (a doc is near-dup iff ANY band flagged it). Deterministic under
-    any micro-batch split: batches sort by (order, id) and only strictly
-    earlier rows (in-batch or in-state) can flag a row."""
+    drain (a doc is near-dup iff ANY band flagged it). Ordering contract
+    (ADVICE r11): state entries carry their (order, id) and a row is
+    flagged ONLY by entries strictly smaller in that ordering — a
+    straggler doc delivered in a later micro-batch than higher-ordered
+    neighbours is never flagged by them. So ``dup=True`` always witnesses
+    a genuinely earlier near-dup, under ANY delivery order; the flag is
+    additionally COMPLETE (equal to the batch earlier-within-hamming
+    answer) when delivery is order-monotonic across micro-batches below
+    the state cap — append mode cannot retro-flag a row that was emitted
+    before its earlier neighbour arrived."""
     width = bits // bands
     mask = (1 << width) - 1
     bucket = F.array(
@@ -200,16 +207,20 @@ def streaming_simhash_near_dup(
     state_schema = T.StructType(
         [
             T.StructField("orders", T.ArrayType(T.LongType())),
+            T.StructField("ids", T.ArrayType(T.LongType())),
             T.StructField("sigs", T.ArrayType(T.LongType())),
         ]
     )
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.exists:
-            st_orders, st_sigs = state.get
-            st_orders, st_sigs = list(st_orders), list(st_sigs)
+            st_orders, st_ids, st_sigs = state.get
+            st = [
+                (int(o), int(i), int(s))
+                for o, i, s in zip(st_orders, st_ids, st_sigs)
+            ]
         else:
-            st_orders, st_sigs = [], []
+            st = []
         parts = [pdf for pdf in pdfs if not pdf.empty]
         if not parts:
             return
@@ -218,14 +229,26 @@ def streaming_simhash_near_dup(
         )
         flags = []
         for _, row in df.iterrows():
-            s = int(row["sig"])
+            s, o, i = int(row["sig"]), int(row["order"]), int(row["id"])
+            # only STRICTLY earlier (order, id) entries may flag this row —
+            # state rows from a previous micro-batch can be later-ordered
+            # than a straggler arriving now (ADVICE r11)
             flags.append(
-                any(bin(s ^ int(p)).count("1") <= max_hamming for p in st_sigs)
+                any(
+                    (so, si) < (o, i)
+                    and bin(s ^ ss).count("1") <= max_hamming
+                    for so, si, ss in st
+                )
             )
-            if len(st_sigs) < max_state:
-                st_orders.append(int(row["order"]))
-                st_sigs.append(s)
-        state.update((st_orders, st_sigs))
+            if len(st) < max_state:
+                st.append((o, i, s))
+        state.update(
+            (
+                [o for o, _, _ in st],
+                [i for _, i, _ in st],
+                [s for _, _, s in st],
+            )
+        )
         yield pd.DataFrame({"id": df["id"], "dup": flags})
 
     return rows.groupBy("bucket").applyInPandasWithState(

@@ -657,6 +657,100 @@ def test_simhash_near_dup_banding_is_lossless(spark):
     assert got[(1, 2)] == 0
 
 
+def test_simhash_hot_bucket_ceiling(spark):
+    """VERDICT r11 #1: batch simhash's band self-join now rides the same
+    per-bucket cardinality ceiling as the minhash path. A near-identical
+    template cluster lands in the same (band, value) bucket in every band;
+    above ``max_bucket_size`` that bucket emits linear hamming-verified
+    star pairs against its min-id representative instead of O(M^2)
+    all-pairs; dedup GROUPS are preserved and below the ceiling the output
+    is bit-identical to the unguarded plan."""
+    from migdar_data_pipelines_spark.llm.dedup import (
+        canonical_groups,
+        simhash_near_dup,
+    )
+    from migdar_data_pipelines_spark.operators import metrics
+
+    body = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        # 30-doc identical-signature cluster (same text, distinct ids —
+        # hamming 0 vs the representative, so star verification keeps all)
+        [(i, body) for i in range(30)]
+        # + a near member (one word swapped: a few bits from the cluster)
+        + [(30, body.replace("w7", "q7"))]
+        # + unrelated docs
+        + [
+            (100 + i, " ".join(f"x{i}_{j}" for j in range(12)))
+            for i in range(5)
+        ],
+        "id long, text string",
+    )
+
+    metrics.LAST.pop("lsh_hot_buckets", None)
+    guarded = simhash_near_dup(
+        docs, "text", "id", max_hamming=3, bits=32, max_bucket_size=5
+    )
+    rows_guarded = guarded.collect()
+    assert metrics.LAST["lsh_hot_buckets"] >= 1
+    assert metrics.LAST["lsh_hot_bucket_rows"] >= 30
+    # star form: the 30-doc cluster contributes 29 pairs, never 435
+    cluster_pairs = [
+        r for r in rows_guarded if r.id_a < 30 and r.id_b < 30
+    ]
+    assert len(cluster_pairs) == 29
+    assert all(r.id_a == 0 and r.hamming == 0 for r in cluster_pairs)
+
+    unguarded = simhash_near_dup(
+        docs, "text", "id", max_hamming=3, bits=32, max_bucket_size=None
+    )
+    rows_unguarded = unguarded.collect()
+    assert (
+        sum(1 for r in rows_unguarded if r.id_a < 30 and r.id_b < 30) == 435
+    )
+    # CC dedup groups identical either way (hamming-0 cluster: every
+    # member verifies against the representative exactly)
+    ids = docs.select("id")
+    g1 = {
+        (r.id, r.canonical_id)
+        for r in canonical_groups(ids, guarded.select("id_a", "id_b"), "id").collect()
+    }
+    g2 = {
+        (r.id, r.canonical_id)
+        for r in canonical_groups(ids, unguarded.select("id_a", "id_b"), "id").collect()
+    }
+    assert g1 == g2
+
+    # below the ceiling: guarded == unguarded, bit for bit
+    small = simhash_near_dup(
+        docs, "text", "id", max_hamming=3, bits=32, max_bucket_size=10_000
+    )
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, rows_unguarded)
+    )
+
+
+def test_simhash_narrow_band_warns(spark):
+    """A band keyspace of <= 256 values (bits/bands <= 8) trends the band
+    join quadratic with corpus size — callers must get a RuntimeWarning
+    steering them to a wider signature (VERDICT r11 #6)."""
+    import warnings as _w
+
+    from migdar_data_pipelines_spark.llm.dedup import simhash_near_dup
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "id long, text string")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        simhash_near_dup(df, "text", "id", max_hamming=3, bits=32)
+    assert any(
+        issubclass(c.category, RuntimeWarning) and "wider signature" in str(c.message)
+        for c in caught
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        simhash_near_dup(df, "text", "id", max_hamming=3, bits=48)
+    assert not any(issubclass(c.category, RuntimeWarning) for c in caught)
+
+
 def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
     """llm/pipeline.py::curate_corpus — the five-stage composition: filter,
     exact dedup, near-dup collapse, split, shard write. Seeds exercise every

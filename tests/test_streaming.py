@@ -427,3 +427,50 @@ def test_streaming_simhash_near_dup_cross_batch_state(spark, tmp_path):
         shutil.rmtree(ckpt, ignore_errors=True)
 
     assert got == {1: False, 2: False, 3: True, 4: False}
+
+
+def test_streaming_simhash_near_dup_out_of_order_straggler(spark, tmp_path):
+    """ADVICE r11: a doc arriving in a LATER micro-batch with a SMALLER
+    (order, id) than rows already in state must NOT be flagged by those
+    strictly-later documents — dup=True must always witness a genuinely
+    earlier near-dup. Batch 1 carries the later-ordered twin, batch 2 the
+    earlier-ordered straggler."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.streaming.stateful import (
+        streaming_simhash_near_dup,
+    )
+
+    sig = 0b1111000011110000
+    # batch 1: id 10 at order 10; batch 2: id 1 at order 1 — same signature
+    rows1 = pd.DataFrame({"id": [10], "ord": [10], "sig": [sig]})
+    rows2 = pd.DataFrame({"id": [1, 11], "ord": [1, 11], "sig": [sig, sig]})
+    src = str(tmp_path / "simdup_ooo_src")
+    spark.createDataFrame(rows1).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(rows2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long, ord long, sig long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_simhash_near_dup(
+        stream, "id", "ord", "sig", bits=32, bands=4, max_hamming=3
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        run_available_now(out, ckpt, query_name="t_simdup_ooo", output_mode="append")
+        drained = (
+            spark.table("t_simdup_ooo")
+            .groupBy("id")
+            .agg(F.expr("bool_or(dup)").alias("d"))
+        )
+        got = {r["id"]: r["d"] for r in drained.collect()}
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    # id 1 is the global earliest — clean even though id 10 was seen first;
+    # id 11 is flagged (earlier 1 and 10 both in state); id 10 was emitted
+    # in batch 1 before its earlier twin arrived (append-mode caveat).
+    assert got == {1: False, 10: False, 11: True}

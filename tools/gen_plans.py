@@ -66,10 +66,40 @@ PICK = {
         "k-means final assignment: ArrowEvalPython over the persisted "
         "quantized frame, centroids in the closure, no join"
     ),
+    "simhash_near_dup_pairs": (
+        "Banded hamming search: band-bucket self-join with the exact "
+        "bit_count(xor) verify folded into the join condition, hot-bucket "
+        "ceiling in front (VERDICT r11 #1/#3)"
+    ),
 }
 
 
 from common import knn_graph_ivf as _knn_graph_ivf  # noqa: E402
+
+
+def _streaming_simhash_plan(spark, sf_dir):
+    """The stateful-streaming plan shape (VERDICT r11 #3): the not-yet-
+    started streaming frame, so explain() shows the
+    FlatMapGroupsInPandasWithState node over the bucket exchange instead of
+    the drained sink table."""
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.llm.dedup import simhash_fast
+    from migdar_data_pipelines_spark.streaming import read_events_stream
+    from migdar_data_pipelines_spark.streaming.stateful import (
+        streaming_simhash_near_dup,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/documents.parquet")
+    sig = stream.select(
+        F.col("doc_id").alias("id"),
+        F.col("doc_id").alias("ord"),
+        simhash_fast("text", 32).alias("sig"),
+    )
+    return streaming_simhash_near_dup(
+        sig, "id", "ord", "sig", bits=32, bands=4, max_hamming=3
+    )
+
 
 # non-registry plans: (title, callable, note)
 EXTRA = [
@@ -80,6 +110,14 @@ EXTRA = [
         "(no cross join, nothing corpus-sized broadcast) — the "
         "sub-quadratic production route next to the exact block "
         "cross-join gate",
+    ),
+    (
+        "streaming_simhash_near_dup (streaming, pre-start)",
+        _streaming_simhash_plan,
+        "applyInPandasWithState custom operator: ONE exchange on the "
+        "band-bucket key below FlatMapGroupsInPandasWithState; per-bucket "
+        "state capped at max_state signatures — nothing corpus-sized in "
+        "state or shuffle",
     ),
 ]
 

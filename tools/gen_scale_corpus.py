@@ -176,6 +176,125 @@ def gen_documents_hotcluster() -> None:
     )
 
 
+def gen_documents_simhash_hot() -> None:
+    """SimHash hot-cluster corpus (VERDICT r11 #1): 500k docs of which
+    EXACTLY 20% (doc_id % 5 == 0, so doc_id-prefix rungs keep the ratio)
+    form ONE boilerplate cluster — a shared 400-word template plus a
+    member-unique final word. The template must be LONG for simhash
+    specifically: a signature bit is free to flip between members only
+    where the 400-word template's +-1 bit sum is exactly +-1
+    (P ~ 2*sqrt(2/(pi*401)) ~ 0.08 per bit), so members sit within a few
+    hamming flips of each other (~3.8 expected free bits at 48-bit
+    signatures) — a genuine hamming<=3 near-dup cluster that funnels into
+    the same band buckets, while the 39-word hotcluster corpus's members
+    spread ~12 free bits apart (no simhash pairs at all). The other 80%
+    are token-disjoint unique docs: under the 48-bit/12-bit-band WIDE
+    parameterization they spread over 4096 values/band (below any sane
+    ceiling), while under the registered 32-bit/8-bit-band form the
+    256-value keyspace saturates from the background ALONE — the two
+    regimes the SCALING rung contrasts. Deterministic (no RNG)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 500_000
+    template = " ".join(f"sh{i}" for i in range(400))
+    texts = []
+    for i in range(n):
+        if i % 5 == 0:
+            texts.append(f"{template} tail{i}")
+        else:
+            texts.append(" ".join(f"u{i}w{j}" for j in range(30)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(
+        tbl, f"{OUT_DIR}/documents_simhash_hot.parquet", row_group_size=50_000
+    )
+
+
+def gen_embeddings_hotcluster() -> None:
+    """SRP hot-cluster corpus (VERDICT r11 #2): 200k unit vectors of which
+    EXACTLY 20% (vec_id % 5 == 0) are near-identical copies of ONE
+    template direction (sigma=0.005 noise, renormalized — member-member
+    cosine ~0.9999, far above the 0.99 near-dup threshold, yet no two
+    vectors are byte-identical so exact dedup can't collapse them). Every
+    member signs the same side of all 128 SRP hyperplanes with
+    overwhelming probability, so the whole cluster funnels into the same
+    (band, key) bucket in every band — the embedding-space analogue of
+    the boilerplate LSH failure. The other 80% follow the standard
+    clustered geometry (1,600 centers x 100 members, sigma=0.05,
+    member-member cosine ~0.86 — below threshold, so they add bucket
+    load but no true pairs). Deterministic (seed 11)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    n = 200_000
+    n_cluster = n // 5
+    template = rng.standard_normal(EMB_DIM).astype(np.float32)
+    template /= np.linalg.norm(template)
+    cluster = template[None, :] + 0.005 * rng.standard_normal(
+        (n_cluster, EMB_DIM)
+    ).astype(np.float32)
+    n_bg = n - n_cluster
+    centers = rng.standard_normal((1_600, EMB_DIM)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    bg = np.repeat(centers, n_bg // 1_600, axis=0)
+    bg = bg + 0.05 * rng.standard_normal(bg.shape).astype(np.float32)
+    vecs = np.empty((n, EMB_DIM), dtype=np.float32)
+    mask = np.arange(n) % 5 == 0
+    vecs[mask] = cluster
+    vecs[~mask] = bg
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), type=pa.float32()), EMB_DIM
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(
+        tbl, f"{OUT_DIR}/embeddings_hotcluster.parquet", row_group_size=20_000
+    )
+
+
+def gen_embeddings_1m() -> None:
+    """1M-vector rung (VERDICT r11 #5): one more ~decade for the CC-rounds
+    trend (200k -> 1M) under the same clustered geometry as the 200k
+    corpus (10,000 centers x 100 members, sigma=0.05) so mutual-kNN's
+    graph shape — and therefore its connected-component diameter — scales
+    the way a real embedding corpus does. Deterministic (seed 43)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(43)
+    n_centers, per = 10_000, 100
+    centers = rng.standard_normal((n_centers, EMB_DIM)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0)
+    vecs = vecs + 0.05 * rng.standard_normal(vecs.shape).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    n = len(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), type=pa.float32()), EMB_DIM
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(
+                np.repeat(np.arange(n_centers, dtype=np.int32), per)
+            ),
+        }
+    )
+    pq.write_table(tbl, f"{OUT_DIR}/embeddings_1m.parquet", row_group_size=50_000)
+
+
 def main() -> None:
     import duckdb
 
@@ -185,6 +304,9 @@ def main() -> None:
     gen_embeddings()
     gen_events_skewed()
     gen_documents_hotcluster()
+    gen_documents_simhash_hot()
+    gen_embeddings_hotcluster()
+    gen_embeddings_1m()
     print(
         "wrote",
         OUT_DIR,

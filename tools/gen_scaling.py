@@ -103,6 +103,13 @@ PAIR_SF1 = [
     "substring_dup_spans_documents",
     "minhash_jaccard_estimate_documents",
     "edit_distance_pairs_documents",
+    # the simhash family's sf1 rows (VERDICT r11 #1/#6): the registered
+    # 32-bit/8-bit-band form next to the corpus-scale 48-bit/12-bit-band
+    # variant — the narrow band keyspace (256 values) fills linearly with
+    # the corpus, so its growth factor is expected to run HOTTER than the
+    # wide form's at identical output semantics
+    "simhash_near_dup_pairs",
+    "simhash_near_dup_pairs_wide",
 ]
 
 # the ANN defaults, measured at BOTH sides of the auto gate: sf0.1 (2k rows
@@ -527,6 +534,172 @@ def main() -> None:
                 "",
                 f"(not measured this run: {hc_path} missing — run",
                 "`python tools/measure_hot_cluster.py`)",
+                "",
+            ]
+
+        # ---- simhash hot-cluster + tiny-keyspace rung (VERDICT r11 #1/#6):
+        # stats JSON written by tools/measure_simhash_hot.py (run separately)
+        sh_path = f"{SCALE_DIR}/simhash_hot_stats.json"
+        if os.path.exists(sh_path):
+            with open(sh_path) as f:
+                sh = json.load(f)
+            mini = sh.get("mini_5k", {})
+            lines += [
+                "## SimHash hot-cluster rung — band join guarded, keyspace contrasted",
+                "",
+                "Corpus: documents_simhash_hot.parquet (gen_scale_corpus.py) — 20% of",
+                "docs share a 400-word boilerplate template + a member-unique final",
+                "word (member signatures within a few free-bit flips: a genuine",
+                "hamming<=3 cluster that funnels into the same band buckets); 80%",
+                "token-disjoint unique docs. Accounting identical to the LSH rung",
+                "(implied quadratic COMPUTED from the bucket histogram, never",
+                "materialized). Two parameterizations of the SAME operator:",
+                "`wide` = 48-bit/12-bit bands (4,096 values/band — the corpus-scale",
+                "form, registered as simhash_near_dup_pairs_wide), `narrow` =",
+                "32-bit/8-bit bands (256 values/band — the reference-parity form,",
+                "now emitting a RuntimeWarning at this width).",
+                "",
+                "| rung | bits | max bucket | hot buckets | implied unguarded pairs | guarded candidates | cut | wall (guarded) |",
+                "|---|---|---|---|---|---|---|---|",
+            ]
+            for key, bits in (
+                ("wide_50k", 48), ("wide_500k", 48),
+                ("narrow_50k", 32), ("narrow_500k", 32),
+            ):
+                s = sh.get(key)
+                if s:
+                    wall = f"{s['wall_s']:.2f}s" if "wall_s" in s else "(histogram only)"
+                    lines.append(
+                        f"| {key.split('_')[1]} | {bits} | {s['max_bucket']:,} "
+                        f"| {s['hot_buckets']:,} | {s['implied_unguarded']:,} "
+                        f"| {s['guarded_candidates']:,} | x{s['cut_factor']:,} "
+                        f"| {wall} |"
+                    )
+            w50, w500 = sh.get("wide_50k", {}), sh.get("wide_500k", {})
+            wall_ratio = (
+                f"{w500['wall_s'] / w50['wall_s']:.1f}"
+                if "wall_s" in w50 and "wall_s" in w500
+                else "?"
+            )
+            lines += [
+                "",
+                f"Wide form, 10x rows -> x{wall_ratio} wall; the narrow form's",
+                "256-value keyspace saturates from the BACKGROUND alone at 500k",
+                f"docs (every bucket hot: {sh.get('narrow_500k', {}).get('hot_buckets', 0):,}",
+                f"of {sh.get('narrow_500k', {}).get('buckets', 0):,} buckets,",
+                f"{sh.get('narrow_500k', {}).get('implied_unguarded', 0):,} implied",
+                "pairs with NO adversarial cluster) — the structural tiny-keyspace",
+                "failure the guard caps to linear and the RuntimeWarning exists",
+                "for. Unlike minhash, the star form's hamming-vs-representative",
+                "verify has a real recall trade on a signature-spread cluster; the",
+                "5k mini-rung (1k-member cluster, unguarded run feasible) measures",
+                f"it: pair recall {mini.get('pair_recall', 0):.2%}",
+                f"({mini.get('guarded_pairs', 0):,} guarded vs",
+                f"{mini.get('unguarded_pairs', 0):,} unguarded pairs — star lists",
+                "rep-member pairs by design), rep-connected group",
+                f"{mini.get('guarded_rep_group', 0):,} guarded vs",
+                f"{mini.get('unguarded_rep_group', 0):,} unguarded of the",
+                f"{mini.get('cluster_size', 0):,}-member cluster. Guarded pairs are",
+                "asserted a SUBSET of the unguarded truth (the guard never invents",
+                "a pair); below the ceiling the plans are bit-identical",
+                "(tests/test_llm_ops.py::test_simhash_hot_bucket_ceiling).",
+                "",
+            ]
+        else:
+            lines += [
+                "## SimHash hot-cluster rung",
+                "",
+                f"(not measured this run: {sh_path} missing — run",
+                "`python tools/measure_simhash_hot.py`)",
+                "",
+            ]
+
+        # ---- SRP/cosine hot-cluster rung (VERDICT r11 #2)
+        srp_path = f"{SCALE_DIR}/srp_hot_stats.json"
+        if os.path.exists(srp_path):
+            with open(srp_path) as f:
+                srp = json.load(f)
+            mini = srp.get("mini_2k_equality", {})
+            lines += [
+                "## SRP/cosine hot-cluster rung — the embedding-space boilerplate shape",
+                "",
+                "Corpus: embeddings_hotcluster.parquet (gen_scale_corpus.py) — 20%",
+                "of vectors are near-identical copies of ONE template direction",
+                "(sigma=0.005, member-member cosine ~0.9999 >= the 0.99 threshold;",
+                "none byte-identical), so the cluster funnels into the same",
+                "(band, key) bucket in all 8 bands; the 80% background is the",
+                "standard clustered geometry (cosine ~0.86 — bucket load, no true",
+                "pairs). Default srp_lsh_near_dup params (128 bits / 8 bands).",
+                "",
+                "| rung | max bucket | hot buckets | implied unguarded pairs | guarded candidates | cut | wall (guarded) | cluster captured |",
+                "|---|---|---|---|---|---|---|---|",
+            ]
+            for rung in ("20k", "200k"):
+                s = srp.get(rung)
+                if s:
+                    lines.append(
+                        f"| {rung} | {s['max_bucket']:,} | {s['hot_buckets']:,} "
+                        f"| {s['implied_unguarded']:,} | {s['guarded_candidates']:,} "
+                        f"| x{s['cut_factor']:,} | {s['wall_s']:.2f}s "
+                        f"| {s['cluster_group_size']:,}/{s['cluster_expected']:,} |"
+                    )
+            wall_ratio = (
+                f"{srp['200k']['wall_s'] / srp['20k']['wall_s']:.1f}"
+                if "20k" in srp and "200k" in srp
+                else "?"
+            )
+            lines += [
+                "",
+                f"10x rows -> x{wall_ratio} wall with the implied quadratic growing",
+                "x100 per decade. No recall trade here, unlike simhash: exact-cosine",
+                "verification vs the representative passes for every member of a",
+                "genuinely near-identical cluster, so the 2k mini-rung asserts",
+                "guarded == unguarded dedup GROUPS outright",
+                f"({mini.get('guarded_pairs', 0):,} guarded vs",
+                f"{mini.get('unguarded_pairs', 0):,} unguarded PAIRS — star form by",
+                "design; groups identical). Run: `python tools/measure_srp_hot.py`.",
+                "",
+            ]
+        else:
+            lines += [
+                "## SRP/cosine hot-cluster rung",
+                "",
+                f"(not measured this run: {srp_path} missing — run",
+                "`python tools/measure_srp_hot.py`)",
+                "",
+            ]
+
+        # ---- CC-rounds trend, 1M rung (VERDICT r11 #5)
+        cc_path = f"{SCALE_DIR}/cc_trend_stats.json"
+        if os.path.exists(cc_path):
+            with open(cc_path) as f:
+                cc = json.load(f)
+            m = cc.get("1m", {})
+            lines += [
+                "## CC-rounds trend — 1M-vector rung",
+                "",
+                "The open question from the 200k rung (7 of <=19 rounds): does",
+                "mutual-kNN's connected-component round count flatten (clique-ish",
+                "graphs, diameter ~constant) or climb (diameter growth — the",
+                "multiplier a 100x run would pay)? Same default-argument call",
+                "(auto -> IVF branch) on the 1M-vector corpus",
+                "(gen_scale_corpus.py::gen_embeddings_1m, same clustered geometry,",
+                "10,000 centers x 100 members; steady-state second run).",
+                "",
+                "| rung | rows | wall | CC rounds |",
+                "|---|---|---|---|",
+                f"| 1M | {m.get('rows', 0):,} | {m.get('wall_s', 0):.2f}s "
+                f"| {m.get('cc_rounds', '?')} of <={m.get('cc_rounds_budget', '?')} |",
+                "",
+                "Run: `python tools/measure_cc_trend.py`.",
+                "",
+            ]
+        else:
+            lines += [
+                "## CC-rounds trend — 1M-vector rung",
+                "",
+                f"(not measured this run: {cc_path} missing — run",
+                "`python tools/measure_cc_trend.py`)",
                 "",
             ]
     else:
