@@ -556,3 +556,62 @@ SELECT CAST(sz AS BIGINT) AS class_size,
        sz < {k} AS below_k
 FROM cls GROUP BY sz
 """
+
+
+def l_diversity_report(
+    df: DataFrame, qi_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """The companion audit to :func:`k_anonymity_report` (Machanavajjhala's
+    l-diversity): a quasi-identifier class can be large enough for
+    k-anonymity yet still leak — if every record in the class shares the
+    SAME sensitive value, linkage reveals it without identifying the row
+    (the homogeneity attack). Per QI equivalence class this counts the
+    DISTINCT sensitive values; the output is the l-value histogram — one
+    row per observed distinct-count with the number of classes, the rows
+    they hold, and the below-``l`` flag (classes an anonymization reviewer
+    must generalize or suppress).
+
+    Shape at scale: three map-side-combinable groupBys, each over a frame
+    no larger than the previous one's output — (QI, sensitive) cells from
+    the corpus scan, classes from the cell frame, the histogram from the
+    class frame. No count_distinct expansion, no windows, nothing
+    collected."""
+    cells = df.groupBy(*qi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    cls = cells.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("__l"),
+        F.sum("__n").alias("__sz"),
+    )
+    return (
+        cls.groupBy(F.col("__l").alias("l_value"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("__sz").cast("long").alias("n_rows"),
+        )
+        .select(
+            F.col("l_value").cast("long").alias("l_value"),
+            "n_classes",
+            "n_rows",
+            (F.col("l_value") < l).alias("below_l"),
+        )
+    )
+
+
+def l_diversity_sql(
+    rows_sql: str, qi_exprs: list[str], sensitive_expr: str, l: int = 3
+) -> str:
+    """Generated DuckDB mirror of ``l_diversity_report``."""
+    qi = ", ".join(qi_exprs)
+    return f"""
+WITH rows_in AS ({rows_sql}),
+cells AS (SELECT {qi}, {sensitive_expr} AS sv, count(*) AS n
+          FROM rows_in GROUP BY {qi}, {sensitive_expr}),
+cls AS (SELECT {qi}, count(*) AS lv, sum(n) AS sz
+        FROM cells GROUP BY {qi})
+SELECT CAST(lv AS BIGINT) AS l_value,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(sz) AS BIGINT) AS n_rows,
+       lv < {l} AS below_l
+FROM cls GROUP BY lv
+"""

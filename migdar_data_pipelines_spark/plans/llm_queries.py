@@ -5841,3 +5841,39 @@ def k_anonymity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_kanon_sql()
+
+
+def _install_ldiv_sql() -> None:
+    from ..llm.curation import l_diversity_sql
+
+    QUERIES["l_diversity_events"]["sql"] = l_diversity_sql(
+        "SELECT event_type, CAST(ts AS DATE) AS day, user_id % 50 AS ubkt "
+        "FROM events",
+        ["day", "ubkt"],
+        "event_type",
+        l=3,
+    )
+
+
+@register("l_diversity_events", sql=None)  # SQL installed below (generated)
+def l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (llm/curation.py::l_diversity_report) — the
+    homogeneity-attack companion to ``k_anonymity_events``: per (day,
+    user-bucket) quasi-identifier class, how many DISTINCT event types
+    (the sensitive attribute) it contains; the l-value histogram with the
+    below-l flag. A class can pass k-anonymity yet leak its sensitive
+    value when l=1 (every record in the class shares one event type).
+    Three map-side-combinable groupBys, each over the previous pass's
+    (smaller) output — never a count_distinct expand."""
+    from ..llm.curation import l_diversity_report
+
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") % 50).alias("ubkt"),
+    )
+    return l_diversity_report(q, ["day", "ubkt"], "event_type", l=3)
+
+
+_install_ldiv_sql()

@@ -54,12 +54,31 @@ def value_hash(columns, rows):
     return h.hexdigest()
 
 
-def compare(spark_df, duck_con, sql, name="query"):
+def compare(spark_df, duck_con, sql, name="query", oracle_cap_s=None):
+    """``oracle_cap_s`` arms a watchdog that interrupts the DUCKDB side only
+    (the Spark side has already collected by then): at sf0.1 the handful of
+    deliberately-quadratic oracles run uncapped for tens of minutes each,
+    which would make the full-registry sf0.1 parity run (VERDICT r11 #4)
+    impractical. On interrupt DuckDB raises duckdb.InterruptException —
+    callers record the query as oracle-capped, distinct from green AND from
+    red. Pass a fresh single-use connection when capping: an interrupt that
+    fires between queries would otherwise poison the shared connection's
+    next statement."""
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
-    rel = duck_con.sql(sql)
-    d_cols = rel.columns
-    d_rows = rel.fetchall()
+    timer = None
+    if oracle_cap_s:
+        import threading
+
+        timer = threading.Timer(oracle_cap_s, duck_con.interrupt)
+        timer.start()
+    try:
+        rel = duck_con.sql(sql)
+        d_cols = rel.columns
+        d_rows = rel.fetchall()
+    finally:
+        if timer is not None:
+            timer.cancel()
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"

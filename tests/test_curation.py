@@ -295,3 +295,22 @@ def test_hashed_classifier_sum_exactness(spark):
         params=[words],
     ).fetchone()[0]
     assert sums[0] == duck
+
+
+def test_l_diversity_report_histogram(spark):
+    """l-diversity l-value histogram on a hand-built frame: a class that is
+    k-anonymous (3 rows) but homogeneous (l=1) must flag below_l — the
+    homogeneity attack k-anonymity alone misses."""
+    from migdar_data_pipelines_spark.llm.curation import l_diversity_report
+
+    rows = (
+        [("A", "x")] * 3          # l=1: 3 rows, one sensitive value
+        + [("B", "x"), ("B", "y")]  # l=2
+        + [("C", "x"), ("C", "y"), ("C", "z"), ("C", "z")]  # l=3, 4 rows
+    )
+    df = spark.createDataFrame(rows, "qi string, sv string")
+    got = {
+        r.l_value: (r.n_classes, r.n_rows, r.below_l)
+        for r in l_diversity_report(df, ["qi"], "sv", l=3).collect()
+    }
+    assert got == {1: (1, 3, True), 2: (1, 2, True), 3: (1, 4, False)}

@@ -13,6 +13,14 @@ Env: SPARK_GRAFT_SIM_SF_DIR overrides the sf0.01 default.
      full-registry result is committed per round as PARITY_r{N}.json).
      Only written for UNFILTERED runs — a name-filtered run is not a
      registry-wide record.
+     SPARK_GRAFT_SIM_ORACLE_CAP=<seconds> arms a per-query DUCKDB watchdog
+     (tests/parity.compare oracle_cap_s): needed for the sf0.1 run
+     (VERDICT r11 #4), where the deliberately-quadratic oracles would run
+     uncapped for tens of minutes each. Capped queries are recorded as
+     "oracle-capped(Ns)" — a disposition distinct from green and red (the
+     SPARK side still ran; only the DuckDB ground truth timed out). Uses a
+     fresh DuckDB connection per query so a late interrupt cannot poison
+     the next statement.
 """
 
 import json
@@ -71,11 +79,16 @@ def main():
     print(f"entry(): {n} rows, schema={[f.name for f in ent.schema.fields]}")
     assert n >= 0
 
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    def _fresh_con():
+        c = duckdb.connect()
+        for t in TABLES:
+            c.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        return c
+
+    cap = float(os.environ.get("SPARK_GRAFT_SIM_ORACLE_CAP", "0") or 0)
+    con = _fresh_con()
 
     qs = e.queries()
     oracles = e.oracle_sql()
@@ -87,8 +100,20 @@ def main():
         try:
             df = fn(spark, SF_DIR)
             if name in oracles:
-                parity.compare(df, con, oracles[name], name=name)
-                status = "green"
+                if cap:
+                    c2 = _fresh_con()
+                    try:
+                        parity.compare(
+                            df, c2, oracles[name], name=name, oracle_cap_s=cap
+                        )
+                        status = "green"
+                    except duckdb.InterruptException:
+                        status = f"oracle-capped({int(cap)}s)"
+                    finally:
+                        c2.close()
+                else:
+                    parity.compare(df, con, oracles[name], name=name)
+                    status = "green"
             else:
                 c = df.count()
                 status = f"rows-only({c})"
@@ -101,6 +126,7 @@ def main():
 
     reds = [k for k, v in results.items() if v[0] == "RED"]
     rows_only = [k for k, v in results.items() if v[0].startswith("rows-only")]
+    capped = [k for k, v in results.items() if v[0].startswith("oracle-capped")]
     summary = {
         "total": len(results),
         "red": reds,
@@ -108,6 +134,9 @@ def main():
         "sf_dir": SF_DIR,
         "date": time.strftime("%Y-%m-%d"),
     }
+    if cap:
+        summary["oracle_capped"] = capped
+        summary["oracle_cap_s"] = cap
     out_path = os.environ.get("SPARK_GRAFT_PARITY_OUT")
     if out_path and not filters:
         with open(out_path, "w") as f:

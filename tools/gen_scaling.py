@@ -584,14 +584,17 @@ def main() -> None:
             lines += [
                 "",
                 f"Wide form, 10x rows -> x{wall_ratio} wall; the narrow form's",
-                "256-value keyspace saturates from the BACKGROUND alone at 500k",
-                f"docs (every bucket hot: {sh.get('narrow_500k', {}).get('hot_buckets', 0):,}",
-                f"of {sh.get('narrow_500k', {}).get('buckets', 0):,} buckets,",
+                "256-value keyspace saturates at 500k docs",
+                f"({sh.get('narrow_500k', {}).get('hot_buckets', 0):,}",
+                f"of {sh.get('narrow_500k', {}).get('buckets', 0):,} band buckets",
+                "over the ceiling — the token-disjoint background pushes every",
+                "bucket's occupancy ~1.5k with no adversarial cluster needed,",
                 f"{sh.get('narrow_500k', {}).get('implied_unguarded', 0):,} implied",
-                "pairs with NO adversarial cluster) — the structural tiny-keyspace",
-                "failure the guard caps to linear and the RuntimeWarning exists",
+                "pairs) — the structural tiny-keyspace failure the guard caps to",
+                "linear and the RuntimeWarning exists",
                 "for. Unlike minhash, the star form's hamming-vs-representative",
-                "verify has a real recall trade on a signature-spread cluster; the",
+                "verify CAN trade recall on a signature-spread cluster (a member",
+                "within distance of a neighbour but past it vs the rep); the",
                 "5k mini-rung (1k-member cluster, unguarded run feasible) measures",
                 f"it: pair recall {mini.get('pair_recall', 0):.2%}",
                 f"({mini.get('guarded_pairs', 0):,} guarded vs",

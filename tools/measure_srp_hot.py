@@ -39,6 +39,10 @@ import os
 import sys
 import time
 
+# module-level on purpose: pandas_udf resolves 'pd.Series' type hints
+# against module globals under `from __future__ import annotations`
+import pandas as pd  # noqa: E402
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/migdar_scale")
@@ -49,7 +53,6 @@ NBITS, BANDS, THRESHOLD = 128, 8, 0.99  # srp_lsh_near_dup defaults
 def _band_rows(spark, limit: int):
     """(id, bucket) rows exactly as srp_lsh_near_dup builds them."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
