@@ -287,3 +287,137 @@ FROM {prev} l JOIN (
 ) s USING (label)
 """
     )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle census of an undirected graph — triangles, wedges,
+    and the transitivity (global clustering coefficient), the structural
+    summary read over similarity graphs (kNN / near-dup edge sets) to
+    judge how clique-like the neighbourhoods are before running community
+    or dedup-group algorithms on them.
+
+    Algorithm: degree-ordered orientation (the classic distributed-triangle
+    plan, cf. Suri & Vassilvitskii 2011 "Counting Triangles and the Curse
+    of the Last Reducer"). Each undirected edge is directed from its
+    lower-(degree, id) endpoint to the higher one; every triangle then has
+    EXACTLY one wedge node whose two out-edges span it, so
+
+        triangles = |{(u->v, u->w, v->w)}|    with rank(v) < rank(w)
+
+    counted once each, no deduplication pass. The orientation bounds each
+    node's out-degree by O(sqrt(m)) regardless of how skewed the raw degree
+    distribution is — the hub node that makes the naive neighbour self-join
+    quadratic has high degree and therefore LOSES the orientation against
+    almost all neighbours; its wedges are charged to the low-degree side.
+
+    Shape at scale: edge canonicalization (one distinct), one degree
+    groupBy, two broadcastable-or-shuffled joins of the degree frame onto
+    the edge list, the wedge self-join keyed on the wedge node, and one
+    semi-ish join of wedges against oriented edges on the (v, w) pair —
+    every shuffle carries id pairs only. Output is ONE row:
+    (n_nodes, n_edges, n_wedges, n_triangles, transitivity) with
+    transitivity = 3*T / wedges (NULL on a wedgeless graph) and
+    n_wedges = sum over nodes of deg*(deg-1)/2 on the UNDIRECTED graph."""
+    from ..operators.caching import scoped_persist
+
+    a, b = F.col(src), F.col(dst)
+    e = scoped_persist(
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    d = scoped_persist(
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ed = (
+        e.join(d.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a")
+        .join(d.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = scoped_persist(
+        ed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+        )
+    )
+    x = o.select(F.col("src"), F.col("dst").alias("v"), F.col("ddeg").alias("dv"))
+    y = o.select(F.col("src"), F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
+    wedges = x.join(y, "src").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedges.join(
+        o.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    stats = (
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(
+            d.agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                F.sum(
+                    (F.col("deg") * (F.col("deg") - 1) / 2).cast("long")
+                ).cast("long").alias("n_wedges"),
+            )
+        )
+        .crossJoin(tri)
+    )
+    trans = F.when(
+        F.col("n_wedges") > 0,
+        F.lit(3.0)
+        * F.col("n_triangles").cast("double")
+        / F.col("n_wedges").cast("double"),
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(trans, 6).alias("transitivity"),
+    )
+
+
+def triangle_count_sql(edges_sql: str) -> str:
+    """Generated DuckDB mirror of ``triangle_count``: ``edges_sql`` yields
+    (a, b); same canonicalization, orientation, and wedge-closing join."""
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      FROM e0 WHERE a <> b),
+d AS (SELECT n, count(*) AS deg
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      GROUP BY n),
+o AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS src,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS dst,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN db.deg ELSE da.deg END AS ddeg
+  FROM e JOIN d da ON e.a = da.n JOIN d db ON e.b = db.n
+),
+w AS (
+  SELECT x.src, x.dst AS v, y.dst AS w_
+  FROM o x JOIN o y ON x.src = y.src
+  WHERE x.ddeg < y.ddeg OR (x.ddeg = y.ddeg AND x.dst < y.dst)
+),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM w JOIN o ON w.v = o.src AND w.w_ = o.dst),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_nodes,
+         (SELECT CAST(sum(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT)
+          FROM d) AS n_wedges
+)
+SELECT s.n_nodes, s.n_edges, s.n_wedges, t.n_triangles,
+       round(CASE WHEN s.n_wedges > 0
+                  THEN 3.0 * CAST(t.n_triangles AS DOUBLE)
+                       / CAST(s.n_wedges AS DOUBLE) END, 6) AS transitivity
+FROM stats s CROSS JOIN tri t
+"""

@@ -609,3 +609,322 @@ SELECT ga AS group_a, gb AS group_b,
        round(0.5 * sum(term), 6) AS jsd_bits
 FROM terms GROUP BY ga, gb
 """
+
+
+def ks_two_sample_by(
+    df: DataFrame, group_col: str, value_col: str, side_col: str
+) -> DataFrame:
+    """Per-group two-sample Kolmogorov-Smirnov statistic — the exact,
+    nonparametric drift signal that complements the binned ``psi_drift_by``
+    (PSI is binning-sensitive; KS is the sup-norm distance between the two
+    EXACT empirical CDFs, invariant to any monotone rescaling of the value).
+
+        D = max over x of | ECDF_a(x) - ECDF_b(x) |
+
+    ``side_col`` is a boolean: false rows form sample A (baseline), true
+    rows sample B (current). Rows with NULL value or NULL side are excluded
+    (no ECDF position for them).
+
+    Cross-engine exactness: the sup is taken over the INTEGER quantity
+    ``| cum_a * n_b - cum_b * n_a |`` accumulated in DECIMAL(38,0)
+    (cum <= n, so the product is exact far past BIGINT range); the single
+    float division by n_a * n_b happens once on the group's maximum. Two
+    identical integer pipelines can't disagree, so the oracle matches to
+    the last bit before the final round(6).
+
+    Shape at scale: ONE (group, value) groupBy over the scan (map-side
+    combinable — the shuffle carries distinct values, not rows), totals
+    derived from it, then a per-group cumulative window over the DISTINCT
+    value frame. The window sort is per group over distinct values — the
+    inherent cost of an exact ECDF; for heavy groups the distinct-value
+    frame is already the compressed form. Output is one row per group.
+    A group with an empty side has no defined D: NULL via the n_a*n_b=0
+    guard."""
+    from pyspark.sql import Window
+
+    side = F.col(side_col)
+    c = (
+        df.where(F.col(value_col).isNotNull() & side.isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+        .agg(
+            F.sum(F.when(~side, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(side, 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dec = "decimal(38,0)"
+    cum = c.select(
+        "g",
+        F.sum("ca").over(w).cast(dec).alias("cum_a"),
+        F.sum("cb").over(w).cast(dec).alias("cum_b"),
+    )
+    t = c.groupBy("g").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    j = cum.join(F.broadcast(t), "g")
+    dnum = F.abs(
+        F.col("cum_a") * F.col("n_b").cast(dec)
+        - F.col("cum_b") * F.col("n_a").cast(dec)
+    )
+    agg = j.groupBy("g").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max(dnum).alias("dmax"),
+    )
+    den = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        F.col("n_a").cast("double") * F.col("n_b").cast("double"),
+    )
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.round(F.col("dmax").cast("double") / den, 6).alias("ks_d"),
+    )
+
+
+def ks_two_sample_by_sql(rows_sql: str) -> str:
+    """Generated DuckDB mirror of ``ks_two_sample_by``: expects ``rows_sql``
+    to yield (g, x, s) with s boolean; same exact-integer sup, same single
+    terminal division."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+c AS (
+  SELECT g, x,
+         sum(CASE WHEN NOT s THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN s THEN 1 ELSE 0 END) AS cb
+  FROM rows_in WHERE x IS NOT NULL AND s IS NOT NULL
+  GROUP BY g, x
+),
+cum AS (
+  SELECT g,
+         CAST(sum(ca) OVER (PARTITION BY g ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cum_a,
+         CAST(sum(cb) OVER (PARTITION BY g ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0)) AS cum_b
+  FROM c
+),
+t AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+      FROM c GROUP BY g),
+j AS (
+  SELECT cum.g, t.n_a, t.n_b,
+         abs(cum.cum_a * CAST(t.n_b AS DECIMAL(38,0))
+             - cum.cum_b * CAST(t.n_a AS DECIMAL(38,0))) AS dnum
+  FROM cum JOIN t ON cum.g = t.g
+)
+SELECT g, max(n_a) AS n_a, max(n_b) AS n_b,
+       round(CAST(max(dnum) AS DOUBLE)
+             / (CASE WHEN max(n_a) > 0 AND max(n_b) > 0
+                     THEN CAST(max(n_a) AS DOUBLE) * CAST(max(n_b) AS DOUBLE)
+                END), 6) AS ks_d
+FROM j GROUP BY g
+"""
+
+
+def chi_square_independence(df: DataFrame, x: str, y: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V — the significance-bearing companion to
+    ``mutual_information`` (MI says how dependent; chi2/V say whether the
+    dependence exceeds sampling noise and on what effect scale).
+
+    Zero cells are handled by algebra, not enumeration: a cell with
+    observed 0 contributes (0-e)^2/e = e, and the expecteds over ALL R*C
+    cells sum to n, so
+
+        chi2 = sum_observed (o-e)^2/e + (n - sum_observed e)
+
+    — the full-grid statistic from the observed cells alone. No R*C
+    cross-join materializes, which matters when both sides are
+    high-cardinality at corpus scale.
+
+    Shape: one (x, y) groupBy over the scan (map-side combinable), two
+    marginal groupBys over the CELL frame (never the corpus), broadcast
+    joins of the marginals back onto the cells, one scalar aggregate.
+    Rows with a NULL on either side are excluded (no cell). Float surface:
+    e = rx*cy/n and the term sum run in DOUBLE in one canonical order,
+    mirrored in the generated SQL; the handful-of-cells sum is rounded at
+    6 decimals."""
+    from ..operators.caching import scoped_persist
+
+    o = scoped_persist(
+        df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+        .groupBy(F.col(x).alias("xv"), F.col(y).alias("yv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rx = o.groupBy("xv").agg(F.sum("o").cast("long").alias("rx"))
+    cy = o.groupBy("yv").agg(F.sum("o").cast("long").alias("cy"))
+    tot = o.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    j = (
+        o.join(F.broadcast(rx), "xv")
+        .join(F.broadcast(cy), "yv")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = (
+        F.col("rx").cast("double")
+        * F.col("cy").cast("double")
+        / F.col("n").cast("double")
+    )
+    od = F.col("o").cast("double")
+    stats = j.agg(
+        F.max("n").alias("n"),
+        F.sum((od - e) * (od - e) / e).alias("chi2_obs"),
+        F.sum(e).alias("e_obs"),
+    )
+    card = rx.agg(F.count(F.lit(1)).cast("long").alias("n_x")).crossJoin(
+        cy.agg(F.count(F.lit(1)).cast("long").alias("n_y"))
+    )
+    out = stats.crossJoin(F.broadcast(card))
+    chi2 = F.col("chi2_obs") + (F.col("n").cast("double") - F.col("e_obs"))
+    mindim = F.least(F.col("n_x") - 1, F.col("n_y") - 1)
+    v = F.when(
+        mindim > 0,
+        F.sqrt(chi2 / (F.col("n").cast("double") * mindim.cast("double"))),
+    )
+    return out.select(
+        F.col("n"),
+        "n_x",
+        "n_y",
+        ((F.col("n_x") - 1) * (F.col("n_y") - 1)).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def chi_square_independence_sql(rows_sql: str) -> str:
+    """Generated DuckDB mirror of ``chi_square_independence``: expects
+    ``rows_sql`` to yield (xv, yv); same observed-cells-only algebra."""
+    return """
+WITH rows_in AS ({rows_sql}),
+o AS (SELECT xv, yv, count(*) AS o FROM rows_in
+      WHERE xv IS NOT NULL AND yv IS NOT NULL GROUP BY xv, yv),
+rx AS (SELECT xv, sum(o) AS rx FROM o GROUP BY xv),
+cy AS (SELECT yv, sum(o) AS cy FROM o GROUP BY yv),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+terms AS (
+  SELECT t.n,
+         (CAST(o.o AS DOUBLE)
+            - CAST(rx.rx AS DOUBLE) * CAST(cy.cy AS DOUBLE)
+              / CAST(t.n AS DOUBLE))
+         * (CAST(o.o AS DOUBLE)
+            - CAST(rx.rx AS DOUBLE) * CAST(cy.cy AS DOUBLE)
+              / CAST(t.n AS DOUBLE))
+         / (CAST(rx.rx AS DOUBLE) * CAST(cy.cy AS DOUBLE)
+            / CAST(t.n AS DOUBLE)) AS term,
+         CAST(rx.rx AS DOUBLE) * CAST(cy.cy AS DOUBLE)
+           / CAST(t.n AS DOUBLE) AS e
+  FROM o JOIN rx ON o.xv = rx.xv JOIN cy ON o.yv = cy.yv CROSS JOIN tot t
+),
+stats AS (SELECT max(n) AS n, sum(term) AS chi2_obs, sum(e) AS e_obs
+          FROM terms),
+card AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM rx) AS n_x,
+                (SELECT CAST(count(*) AS BIGINT) FROM cy) AS n_y)
+SELECT s.n, c.n_x, c.n_y,
+       CAST((c.n_x - 1) * (c.n_y - 1) AS BIGINT) AS dof,
+       round(s.chi2_obs + (CAST(s.n AS DOUBLE) - s.e_obs), 6) AS chi2,
+       round(CASE WHEN least(c.n_x - 1, c.n_y - 1) > 0 THEN
+               sqrt((s.chi2_obs + (CAST(s.n AS DOUBLE) - s.e_obs))
+                    / (CAST(s.n AS DOUBLE)
+                       * CAST(least(c.n_x - 1, c.n_y - 1) AS DOUBLE)))
+             END, 6) AS cramers_v
+FROM stats s CROSS JOIN card c
+""".format(rows_sql=rows_sql)
+
+
+# Benford expected first-digit proportions log10(1 + 1/d): emitted as literal
+# doubles so both engines consume the SAME constant instead of each calling
+# its own log10 (equal to the last ulp in practice, but a literal removes
+# even that surface).
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_report(df: DataFrame, amount_col: str, cents: bool = True) -> DataFrame:
+    """First-significant-digit distribution of a positive amount column vs
+    Benford's law — the classic fabricated-data / unit-mixing audit signal
+    for financial or measurement columns. Output: one row per digit 1-9
+    with observed count, observed and expected proportions, and the
+    per-digit chi-square contribution n*(obs-exp)^2/exp.
+
+    The digit is extracted EXACTLY: the amount is quantized to integer
+    cents (``cents=True``; else used as an integer already), and the first
+    digit is the first character of the integer's decimal string — integer
+    -> string is identical cross-engine, where float log10-based digit
+    extraction is not. Non-positive and NULL amounts are excluded (Benford
+    is defined on positive magnitudes). One groupBy over the scan on a
+    9-value key; the digit frame joins a 9-row literal expectation table."""
+    amt = F.col(amount_col)
+    c = (
+        F.round(amt * 100).cast("long")
+        if cents
+        else amt.cast("long")
+    )
+    rows = df.where(amt.isNotNull()).select(c.alias("c")).where(F.col("c") > 0)
+    d = rows.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    spark = df.sparkSession
+    expected = spark.createDataFrame(
+        [(k, v) for k, v in _BENFORD_P.items()], "digit int, exp_p double"
+    )
+    tot = counts.agg(F.sum("n_d").cast("long").alias("n"))
+    j = (
+        F.broadcast(expected)
+        .join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_d", F.lit(0)).cast("long").alias("n_d"),
+            "exp_p",
+            "n",
+        )
+    )
+    obs = F.col("n_d").cast("double") / F.col("n").cast("double")
+    chi = (
+        F.col("n").cast("double")
+        * (obs - F.col("exp_p"))
+        * (obs - F.col("exp_p"))
+        / F.col("exp_p")
+    )
+    return j.select(
+        "digit",
+        "n_d",
+        F.round(obs, 6).alias("obs_p"),
+        F.round("exp_p", 6).alias("exp_p"),
+        F.round(chi, 6).alias("chi2_term"),
+    )
+
+
+def benford_report_sql(amount_sql: str, cents: bool = True) -> str:
+    """Generated DuckDB mirror of ``benford_report``: ``amount_sql`` yields
+    a single column ``amt``; the 9-row expectation table is emitted as the
+    SAME double literals the Spark side uses."""
+    quant = "CAST(round(amt * 100) AS BIGINT)" if cents else "CAST(amt AS BIGINT)"
+    values = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD_P.items())
+    return f"""
+WITH amounts AS ({amount_sql}),
+c AS (SELECT {quant} AS c FROM amounts WHERE amt IS NOT NULL),
+d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM c WHERE c > 0),
+counts AS (SELECT digit, count(*) AS n_d FROM d GROUP BY digit),
+expected (digit, exp_p) AS (VALUES {values}),
+tot AS (SELECT CAST(sum(n_d) AS BIGINT) AS n FROM counts)
+SELECT e.digit, CAST(coalesce(c.n_d, 0) AS BIGINT) AS n_d,
+       round(CAST(coalesce(c.n_d, 0) AS DOUBLE) / CAST(t.n AS DOUBLE), 6)
+         AS obs_p,
+       round(e.exp_p, 6) AS exp_p,
+       round(CAST(t.n AS DOUBLE)
+             * (CAST(coalesce(c.n_d, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+                - e.exp_p)
+             * (CAST(coalesce(c.n_d, 0) AS DOUBLE) / CAST(t.n AS DOUBLE)
+                - e.exp_p)
+             / e.exp_p, 6) AS chi2_term
+FROM expected e LEFT JOIN counts c ON e.digit = c.digit CROSS JOIN tot t
+"""

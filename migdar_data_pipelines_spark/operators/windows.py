@@ -630,3 +630,57 @@ SELECT * EXCLUDE (fl),
          6) AS ewma
 FROM fa
 """
+
+
+def interpolate_linear(
+    df: DataFrame,
+    col: str,
+    x_col: str,
+    partition_by: list[str],
+    order_by: list[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Per-key LINEAR interpolation of NULL gaps — the numeric companion to
+    ``forward_fill`` (W1): an interior NULL is replaced by the value on the
+    straight line between its nearest non-null neighbours, weighted by the
+    numeric ``x_col`` (typically epoch time), not by row position.
+
+        v = v_prev + (v_next - v_prev) * (x - x_prev) / (x_next - x_prev)
+
+    Contract: only INTERIOR gaps fill — leading/trailing NULLs (no
+    neighbour on one side) stay NULL; a degenerate bracket with
+    x_next = x_prev (duplicate x) holds the previous value (the limit from
+    the left). Non-null rows pass through bit-unchanged.
+
+    Shape at scale: two frames over ONE per-key sort (last-non-null
+    looking back, first-non-null looking forward share the same window
+    ordering, so Spark plans a single exchange + sort); the interpolation
+    itself is one IEEE-double expression in a canonical order, mirrored
+    verbatim by DuckDB's IGNORE NULLS window mirror in the registered
+    oracle. No joins, nothing collected."""
+    order = [F.col(c) for c in (order_by or [x_col])]
+    wprev = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wnext = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v = F.col(col)
+    x = F.col(x_col).cast("double")
+    xn = F.when(v.isNotNull(), F.col(x_col)).cast("double")
+    pv = F.last(v, ignorenulls=True).over(wprev)
+    px = F.last(xn, ignorenulls=True).over(wprev)
+    nv = F.first(v, ignorenulls=True).over(wnext)
+    nx = F.first(xn, ignorenulls=True).over(wnext)
+    den = nx - px
+    interp = pv + (nv - pv) * ((x - px) / den)
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNotNull() & nv.isNotNull() & (den != 0), interp)
+        .when(pv.isNotNull() & nv.isNotNull(), pv)
+    )
+    return df.withColumn(out_col or col, filled)

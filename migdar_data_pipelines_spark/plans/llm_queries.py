@@ -5877,3 +5877,239 @@ def l_diversity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_ldiv_sql()
+
+
+def _install_ks_sql() -> None:
+    from ..operators.profile import ks_two_sample_by_sql
+
+    inner = ks_two_sample_by_sql(
+        "SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x, "
+        "ts >= TIMESTAMP '2024-01-16' AS s FROM events"
+    )
+    QUERIES["ks_drift_events"]["sql"] = (
+        f"SELECT g AS event_type, n_a, n_b, ks_d FROM ({inner}) ks"
+    )
+
+
+@register("ks_drift_events", sql=None)  # SQL installed below (generated)
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type two-sample Kolmogorov-Smirnov drift between the first
+    and second half of the month (operators/profile.py::ks_two_sample_by) —
+    the exact, binning-free companion to ``psi_drift_documents``: PSI moves
+    with the bin edges; KS is the sup distance between the two exact ECDFs.
+    The sup is taken over EXACT integers (cum_a*n_b - cum_b*n_a in
+    DECIMAL(38,0)); the single float division happens once per group, so
+    both engines agree to the bit before round(6). One (group, value)
+    map-side-combinable groupBy + one per-group cumulative window over
+    distinct values."""
+    from ..operators.profile import ks_two_sample_by
+
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        (F.col("ts").cast("timestamp") >= F.lit("2024-01-16").cast("timestamp"))
+        .alias("is_b"),
+    )
+    return ks_two_sample_by(q, "event_type", "v_cents", "is_b")
+
+
+_install_ks_sql()
+
+
+def _install_chi2_sql() -> None:
+    from ..operators.profile import chi_square_independence_sql
+
+    QUERIES["chi_square_orders"]["sql"] = chi_square_independence_sql(
+        "SELECT o_orderstatus AS xv, o_orderpriority AS yv FROM orders"
+    )
+
+
+@register("chi_square_orders", sql=None)  # SQL installed below (generated)
+def chi_square_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of order status vs priority
+    (operators/profile.py::chi_square_independence) with Cramér's V — the
+    significance companion to ``mutual_information_documents``. Zero cells
+    are handled by algebra (chi2 = sum_obs (o-e)^2/e + (n - sum_obs e)),
+    so no R*C grid ever materializes: one cell groupBy, two marginal
+    groupBys over the CELL frame, broadcast joins, one scalar aggregate."""
+    from ..operators.profile import chi_square_independence
+
+    o = _t(spark, sf_dir, "orders")
+    return chi_square_independence(o, "o_orderstatus", "o_orderpriority")
+
+
+_install_chi2_sql()
+
+
+def _install_benford_sql() -> None:
+    from ..operators.profile import benford_report_sql
+
+    QUERIES["benford_orders_totalprice"]["sql"] = benford_report_sql(
+        "SELECT o_totalprice AS amt FROM orders"
+    )
+
+
+@register("benford_orders_totalprice", sql=None)  # SQL installed below
+def benford_orders_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals
+    (operators/profile.py::benford_report): observed vs expected
+    first-significant-digit distribution with per-digit chi-square terms —
+    the fabricated-data / unit-mixing screen for financial columns. The
+    digit is extracted EXACTLY (integer cents -> decimal string -> first
+    char; no float log10), and the 9-row expectation table is the same
+    double literals on both engines. One 9-key groupBy over the scan."""
+    from ..operators.profile import benford_report
+
+    o = _t(spark, sf_dir, "orders")
+    return benford_report(o, "o_totalprice", cents=True)
+
+
+_install_benford_sql()
+
+
+@register(
+    "interpolate_events_value",
+    sql="""
+WITH m AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v,
+         epoch_us(ts) AS xo
+  FROM events
+), w AS (
+  SELECT event_id, user_id, v, CAST(xo AS DOUBLE) AS x,
+         last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY xo, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN v IS NOT NULL THEN CAST(xo AS DOUBLE) END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY xo, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+         first_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY xo, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN v IS NOT NULL THEN CAST(xo AS DOUBLE) END
+                     IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY xo, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+  FROM m
+)
+SELECT event_id, user_id,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                       AND (nx - px) <> 0
+                    THEN pv + (nv - pv) * ((x - px) / (nx - px))
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv
+             END, 4) AS value_i
+FROM w
+""",
+)
+def interpolate_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear interpolation of a deterministically-masked gap set
+    (operators/windows.py::interpolate_linear): every 7th event's value is
+    NULLed, then refilled on the straight line between its nearest non-null
+    neighbours weighted by event-time micros — the numeric gap-repair
+    companion to ``forward_fill_events`` (W1). Interior gaps only:
+    leading/trailing NULLs stay NULL; a duplicate-x bracket holds the
+    previous value. Two frames over ONE per-user sort; the interpolation is
+    a single canonical IEEE-double expression, mirrored by DuckDB's IGNORE
+    NULLS windows."""
+    from ..operators.windows import interpolate_linear
+
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("xus"),
+    )
+    out = interpolate_linear(
+        m, "value", "xus", ["user_id"], order_by=["xus", "event_id"],
+        out_col="value_i",
+    )
+    return out.select("event_id", "user_id", F.round("value_i", 4).alias("value_i"))
+
+
+def _install_triangle_sql() -> None:
+    from ..operators.graph import triangle_count_sql
+
+    knn_edges = f"""
+WITH e AS (SELECT vec_id AS id, embedding FROM embeddings),
+cx AS (
+  SELECT a.id AS qid, b.id AS cid,
+         round({_COS.replace('qv', 'a.embedding').replace('cv', 'b.embedding')},
+               4) AS c
+  FROM e a, e b WHERE a.id <> b.id
+),
+ranked AS (
+  SELECT qid, cid, c,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rk
+  FROM cx
+)
+SELECT qid AS a, cid AS b FROM ranked WHERE rk <= 3
+"""
+    QUERIES["triangle_count_knn_embeddings"]["sql"] = triangle_count_sql(knn_edges)
+
+
+@register("triangle_count_knn_embeddings", sql=None)  # SQL installed below
+def triangle_count_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the exact top-3 cosine kNN graph
+    (operators/graph.py::triangle_count): triangles, wedges, and
+    transitivity via degree-ordered orientation (Suri & Vassilvitskii
+    2011) — each node's out-degree is O(sqrt(m)) after orientation, so the
+    wedge join survives hub vectors that would make the naive neighbour
+    self-join quadratic. The edge set reuses the exact kNN kernel that
+    ``knn_graph_embeddings`` gates (production swaps in the IVF graph at
+    identical downstream shape); the census itself shuffles id pairs only."""
+    from ..llm.similarity import knn_graph
+    from ..operators.graph import triangle_count
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edges = knn_graph(e, "vec_id", "embedding", k=3, strategy="exact")
+    return triangle_count(edges, "query_id", "neighbour_id")
+
+
+_install_triangle_sql()
+
+
+@register(
+    "streaming_topk_events",
+    sql="""
+WITH c AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+         event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT window_start, event_type, n_events,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rnk
+  FROM c
+)
+SELECT window_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 3
+""",
+)
+def streaming_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 streaming top-k: hourly tumbling counts per event type computed
+    as a TRUE watermarked stream (the heavy, state-bounded aggregation),
+    drained AvailableNow in complete mode, then ranked top-3-per-window in
+    one batch window pass over the WINDOWED COUNT frame — the foreachBatch
+    shape a production leaderboard uses (ranking is not incrementally
+    maintainable in append mode; the post-pass input is window-count-sized,
+    never event-sized). Ties break on event_type, so the rank is
+    deterministic under any micro-batch split."""
+    from ..streaming import read_events_stream
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    counts = tumbling_agg(stream, "1 hour", watermark="1 hour")
+    drained = _drain_stream(spark, counts, "t_topk", output_mode="complete")
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        drained.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )
