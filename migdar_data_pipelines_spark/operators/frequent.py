@@ -182,3 +182,142 @@ SELECT value, n, rank FROM (
 
 
 __all__ = ["frequent_items", "frequent_items_sql", "DEFAULT_CAPACITY"]
+
+
+def copurchase_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_item_support: int = 2,
+    min_pair_support: int = 2,
+    max_basket_size: int | None = 1000,
+) -> DataFrame:
+    """Frequent co-occurring item pairs with lift — the market-basket /
+    co-occurrence miner (a-priori pruned to pairs): which items appear in
+    the same basket more often than their individual popularities predict.
+
+    Per pair (a < b): n_ab baskets containing both, n_a/n_b individual
+    basket counts, lift = n * n_ab / (n_a * n_b) (computed as an exact
+    integer ratio then one float division), jaccard = n_ab/(n_a+n_b-n_ab)
+    (exact rational). Pairs and items below their support floors drop.
+
+    Scale shape: the basket self-join is keyed on the basket id, so the
+    pair blow-up is bounded by the LARGEST BASKET squared, not the corpus:
+    sum_b |b|^2 total join rows. Two guards keep that honest at 100 TB —
+    (1) a-priori: items below ``min_item_support`` are pruned BEFORE the
+    pair join (no pair can reach min_pair_support >= min_item_support
+    through an infrequent member, so the output is unchanged — the classic
+    downward-closure cut); (2) ``max_basket_size``: baskets larger than the
+    ceiling are EXCLUDED entirely (a 10^5-item basket is a crawler/bot
+    cart, not a co-purchase signal, and would alone contribute 10^10 join
+    rows; exclusion is deterministic and engine-independent — set None to
+    disable). Item counts are taken AFTER both guards so lift's n_a/n_b
+    stay consistent with the surviving pair universe. Everything else is
+    map-side-combinable groupBys plus one broadcast-or-shuffled support
+    join back onto the pair frame."""
+    from ..operators.caching import scoped_persist
+
+    items = (
+        baskets.select(
+            F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
+        )
+        .where(F.col("bk").isNotNull() & F.col("it").isNotNull())
+        .distinct()
+    )
+    if max_basket_size is not None:
+        sizes = items.groupBy("bk").agg(F.count(F.lit(1)).alias("__bsz"))
+        items = items.join(
+            sizes.where(F.col("__bsz") <= max_basket_size).select("bk"), "bk"
+        )
+    # a-priori prune: infrequent items can't appear in a frequent pair
+    freq = items.groupBy("it").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    keep = freq.where(F.col("c") >= min_item_support)
+    items = scoped_persist(
+        items.join(keep.select("it"), "it").select("bk", "it")
+    )
+    supports = items.groupBy("it").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_baskets = items.select("bk").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = items.select("bk", F.col("it").alias("ia"))
+    b = items.select("bk", F.col("it").alias("ib"))
+    pairs = (
+        a.join(b, "bk")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_support)
+    )
+    out = (
+        pairs.join(supports.select(F.col("it").alias("ia"), F.col("c").alias("n_a")), "ia")
+        .join(supports.select(F.col("it").alias("ib"), F.col("c").alias("n_b")), "ib")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    dec = "decimal(38,0)"
+    lift_num = F.col("n").cast(dec) * F.col("n_ab").cast(dec)
+    lift_den = F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
+    return out.select(
+        F.col("ia").alias("item_a"),
+        F.col("ib").alias("item_b"),
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.round(lift_num.cast("double") / lift_den.cast("double"), 6).alias("lift"),
+        F.round(
+            F.col("n_ab").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_ab")).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def copurchase_pairs_sql(
+    rows_sql: str,
+    min_item_support: int = 2,
+    min_pair_support: int = 2,
+    max_basket_size: int | None = 1000,
+) -> str:
+    """Generated DuckDB mirror of ``copurchase_pairs``: expects ``rows_sql``
+    to yield (bk, it); same guards, same exact-integer lift algebra."""
+    size_filter = (
+        f"""
+, sized AS (SELECT bk FROM items0 GROUP BY bk
+            HAVING count(*) <= {max_basket_size})
+, items1 AS (SELECT items0.bk, items0.it FROM items0
+             JOIN sized ON items0.bk = sized.bk)
+"""
+        if max_basket_size is not None
+        else ", items1 AS (SELECT bk, it FROM items0)"
+    )
+    return f"""
+WITH rows_in AS ({rows_sql}),
+items0 AS (SELECT DISTINCT bk, it FROM rows_in
+           WHERE bk IS NOT NULL AND it IS NOT NULL)
+{size_filter},
+keep AS (SELECT it FROM items1 GROUP BY it
+         HAVING count(*) >= {min_item_support}),
+items AS (SELECT items1.bk, items1.it FROM items1
+          JOIN keep ON items1.it = keep.it),
+supports AS (SELECT it, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY it),
+nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM items),
+pairs AS (
+  SELECT a.it AS ia, b.it AS ib, CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b ON a.bk = b.bk AND a.it < b.it
+  GROUP BY a.it, b.it
+  HAVING count(*) >= {min_pair_support}
+)
+SELECT p.ia AS item_a, p.ib AS item_b, p.n_ab,
+       sa.c AS n_a, sb.c AS n_b,
+       round(CAST(CAST(nb.n AS DECIMAL(38,0)) * CAST(p.n_ab AS DECIMAL(38,0))
+                  AS DOUBLE)
+             / CAST(CAST(sa.c AS DECIMAL(38,0)) * CAST(sb.c AS DECIMAL(38,0))
+                    AS DOUBLE), 6) AS lift,
+       round(CAST(p.n_ab AS DOUBLE)
+             / CAST(sa.c + sb.c - p.n_ab AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN supports sa ON p.ia = sa.it
+JOIN supports sb ON p.ib = sb.it
+CROSS JOIN nb
+"""

@@ -289,6 +289,56 @@ FROM {prev} l JOIN (
     )
 
 
+def _canonical_oriented(edges: DataFrame, src: str, dst: str):
+    """Shared internals of ``triangle_count`` (and the SCALING hub rung,
+    which measures THESE frames, not a re-derivation): canonical undirected
+    edge set ``e`` (a < b, no self-loops, distinct), degree frame ``d``,
+    and the degree-ordered oriented edge frame ``o`` (src -> dst with
+    rank(src) < rank(dst) under the (deg, id) order; ddeg carries dst's
+    degree for the wedge-ordering comparison)."""
+    from ..operators.caching import scoped_persist
+
+    a, b = F.col(src), F.col(dst)
+    e = scoped_persist(
+        edges.where(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    d = scoped_persist(
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    ed = (
+        e.join(d.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a")
+        .join(d.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = scoped_persist(
+        ed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
+        )
+    )
+    return e, d, o
+
+
+def _oriented_wedges(o: DataFrame) -> DataFrame:
+    """Wedge frame of the oriented graph: pairs of out-edges per wedge node,
+    ordered v before w under (deg, id) so the closing edge is exactly the
+    oriented v -> w."""
+    x = o.select(F.col("src"), F.col("dst").alias("v"), F.col("ddeg").alias("dv"))
+    y = o.select(F.col("src"), F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
+    return x.join(y, "src").where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Global triangle census of an undirected graph — triangles, wedges,
     and the transitivity (global clustering coefficient), the structural
@@ -318,40 +368,8 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     (n_nodes, n_edges, n_wedges, n_triangles, transitivity) with
     transitivity = 3*T / wedges (NULL on a wedgeless graph) and
     n_wedges = sum over nodes of deg*(deg-1)/2 on the UNDIRECTED graph."""
-    from ..operators.caching import scoped_persist
-
-    a, b = F.col(src), F.col(dst)
-    e = scoped_persist(
-        edges.where(a != b)
-        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .distinct()
-    )
-    d = scoped_persist(
-        e.select(F.col("a").alias("n"))
-        .unionAll(e.select(F.col("b").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
-    ed = (
-        e.join(d.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a")
-        .join(d.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
-    )
-    a_first = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
-    )
-    o = scoped_persist(
-        ed.select(
-            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("ddeg"),
-        )
-    )
-    x = o.select(F.col("src"), F.col("dst").alias("v"), F.col("ddeg").alias("dv"))
-    y = o.select(F.col("src"), F.col("dst").alias("w"), F.col("ddeg").alias("dw"))
-    wedges = x.join(y, "src").where(
-        (F.col("dv") < F.col("dw"))
-        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
-    )
+    e, d, o = _canonical_oriented(edges, src, dst)
+    wedges = _oriented_wedges(o)
     tri = wedges.join(
         o.select(F.col("src").alias("v"), F.col("dst").alias("w")),
         ["v", "w"],

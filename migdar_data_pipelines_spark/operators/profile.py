@@ -642,8 +642,10 @@ def ks_two_sample_by(
     guard."""
     from pyspark.sql import Window
 
+    from ..operators.caching import scoped_persist
+
     side = F.col(side_col)
-    c = (
+    c = scoped_persist(
         df.where(F.col(value_col).isNotNull() & side.isNotNull())
         .groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
         .agg(
@@ -927,4 +929,108 @@ SELECT e.digit, CAST(coalesce(c.n_d, 0) AS BIGINT) AS n_d,
                 - e.exp_p)
              / e.exp_p, 6) AS chi2_term
 FROM expected e LEFT JOIN counts c ON e.digit = c.digit CROSS JOIN tot t
+"""
+
+
+def cusum_by(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    target: int,
+    slack_k: int = 0,
+    threshold_h: int | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-group one-sided (upward) CUSUM changepoint scan — the classic
+    sequential drift detector (Page 1954): the statistic
+
+        S_i = max(0, S_{i-1} + (x_i - target - k)),   S_0 = 0
+
+    alarms when S crosses h. PSI/KS/JSD compare two FIXED windows; CUSUM
+    localizes WHEN a persistent shift began, which is the question a
+    pipeline monitor actually asks.
+
+    The recurrence is not a window frame — but its closed form is:
+
+        S_i = P_i - min(0, min_{j<=i} P_j)
+
+    with P the running prefix sum of (x - target - k). Two stacked window
+    functions over ONE per-group sort (prefix sum, running min), both in
+    EXACT integer arithmetic (``value_col`` must be integral — quantize to
+    cents upstream; ``target``/``slack_k``/``threshold_h`` are integers),
+    so both engines agree to the bit with no float surface at all.
+
+    Output: one row per group — n, max_cusum (the peak statistic),
+    n_alarms (rows with S > h), first_alarm_id (min ``id_col`` among alarm
+    rows in scan order; NULL when no alarm or no id_col). Shape at scale:
+    one exchange + sort per group (inherent to an ordered scan), then one
+    map-side-combinable groupBy; nothing collected, no joins."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (F.col(value_col) - F.lit(target) - F.lit(slack_k)).cast("long")
+    # window-over-window must be staged: the prefix sum lands as a real
+    # column first, then the running min reads it (same partition/order, so
+    # Spark plans both frames over one exchange + sort)
+    staged = df.withColumn("__p", F.sum(d).over(w)).withColumn(
+        "__s", F.col("__p") - F.least(F.lit(0).cast("long"), F.min("__p").over(w))
+    )
+    alarm = (
+        (F.col("__s") > F.lit(threshold_h))
+        if threshold_h is not None
+        else F.lit(False)
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("__s").cast("long").alias("max_cusum"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarms"),
+    ]
+    if id_col is not None:
+        aggs.append(F.min(F.when(alarm, F.col(id_col))).alias("first_alarm_id"))
+    return staged.groupBy(group_col).agg(*aggs)
+
+
+def cusum_by_sql(
+    rows_sql: str,
+    target: int,
+    slack_k: int = 0,
+    threshold_h: int | None = None,
+    with_id: bool = True,
+) -> str:
+    """Generated DuckDB mirror of ``cusum_by``: expects ``rows_sql`` to
+    yield (g, ord1, ord2, x[, rid]); same exact-integer closed form."""
+    h = "NULL" if threshold_h is None else str(threshold_h)
+    alarm = f"s > {h}" if threshold_h is not None else "FALSE"
+    first_alarm = (
+        f", min(CASE WHEN {alarm} THEN rid END) AS first_alarm_id"
+        if with_id
+        else ""
+    )
+    rid = ", rid" if with_id else ""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+p AS (
+  SELECT g{rid}, ord1, ord2,
+         sum(x - {target} - {slack_k}) OVER (
+           PARTITION BY g ORDER BY ord1, ord2
+           ROWS UNBOUNDED PRECEDING) AS p
+  FROM rows_in
+),
+s AS (
+  SELECT g{rid},
+         p - least(0, min(p) OVER (
+           PARTITION BY g ORDER BY ord1, ord2
+           ROWS UNBOUNDED PRECEDING)) AS s
+  FROM p
+)
+SELECT g, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(s) AS BIGINT) AS max_cusum,
+       CAST(sum(CASE WHEN {alarm} THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms
+       {first_alarm}
+FROM s GROUP BY g
 """

@@ -6113,3 +6113,91 @@ def streaming_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("window_start", "event_type", "n_events", "rnk")
     )
+
+
+def _install_cusum_sql() -> None:
+    from ..operators.profile import cusum_by_sql
+
+    inner = cusum_by_sql(
+        "SELECT event_type AS g, epoch_us(ts) AS ord1, event_id AS ord2, "
+        "CAST(round(value * 100) AS BIGINT) AS x, event_id AS rid FROM events",
+        target=5000,
+        slack_k=50,
+        threshold_h=20000,
+        with_id=True,
+    )
+    QUERIES["cusum_drift_events"]["sql"] = (
+        f"SELECT g AS event_type, n, max_cusum, n_alarms, first_alarm_id "
+        f"FROM ({inner}) c"
+    )
+
+
+@register("cusum_drift_events", sql=None)  # SQL installed below (generated)
+def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type one-sided CUSUM changepoint scan
+    (operators/profile.py::cusum_by, Page 1954): where PSI/KS/JSD compare
+    two fixed windows, CUSUM localizes WHEN a persistent upward shift in
+    value began. The max(0, ...) recurrence is evaluated through its
+    closed form S_i = P_i - min(0, running_min(P)) — two stacked window
+    functions over ONE per-group sort, ALL in exact integer cents (no
+    float surface at all), so both engines agree to the bit. Output: per
+    group n / peak statistic / alarm count / first alarming event id."""
+    from ..operators.profile import cusum_by
+
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("xus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    return cusum_by(
+        q,
+        "event_type",
+        ["xus", "event_id"],
+        "v_cents",
+        target=5000,
+        slack_k=50,
+        threshold_h=20000,
+        id_col="event_id",
+    )
+
+
+_install_cusum_sql()
+
+
+def _install_copurchase_sql() -> None:
+    from ..operators.frequent import copurchase_pairs_sql
+
+    QUERIES["copurchase_parts_orders"]["sql"] = copurchase_pairs_sql(
+        "SELECT l_orderkey AS bk, l_partkey AS it FROM lineitem",
+        min_item_support=3,
+        min_pair_support=3,
+        max_basket_size=1000,
+    )
+
+
+@register("copurchase_parts_orders", sql=None)  # SQL installed below
+def copurchase_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part co-occurrence across orders
+    (operators/frequent.py::copurchase_pairs): pairs of parts bought in the
+    same order with support >= 3, their lift (exact DECIMAL(38,0) integer
+    ratio, one terminal float division) and basket-jaccard. The pair join
+    is keyed on the ORDER id so the blow-up is bounded by max basket size
+    squared, with two scale guards: a-priori item pruning (downward
+    closure — output unchanged) and a 1000-item basket ceiling (bot carts
+    excluded deterministically)."""
+    from ..operators.frequent import copurchase_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return copurchase_pairs(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        min_item_support=3,
+        min_pair_support=3,
+        max_basket_size=1000,
+    )
+
+
+_install_copurchase_sql()

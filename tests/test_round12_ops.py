@@ -225,3 +225,118 @@ def test_benford_plan_pruned(spark, sf_dir):
     plan = _formatted_plan(query_fns()["benford_orders_totalprice"](spark, sf_dir))
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_totalprice" in read and "o_orderdate" not in read
+
+
+# ----------------------------------------------------------------- CUSUM
+
+
+def test_cusum_matches_recurrence(spark):
+    import random
+
+    from migdar_data_pipelines_spark.operators.profile import cusum_by
+
+    rng = random.Random(7)
+    rows = [("g", i, rng.randint(0, 100)) for i in range(200)]
+    # reference: the literal Page recurrence
+    s = 0
+    max_s, alarms, first_alarm = 0, 0, None
+    for _, i, x in rows:
+        s = max(0, s + (x - 40 - 5))
+        max_s = max(max_s, s)
+        if s > 300:
+            alarms += 1
+            if first_alarm is None:
+                first_alarm = i
+    df = spark.createDataFrame(rows, "g string, i int, x long")
+    r = cusum_by(
+        df, "g", ["i"], "x", target=40, slack_k=5, threshold_h=300, id_col="i"
+    ).collect()[0]
+    assert r["n"] == 200
+    assert r["max_cusum"] == max_s
+    assert r["n_alarms"] == alarms
+    assert r["first_alarm_id"] == first_alarm
+
+
+def test_cusum_flat_series_zero(spark):
+    from migdar_data_pipelines_spark.operators.profile import cusum_by
+
+    rows = [("g", i, 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, i int, x long")
+    r = cusum_by(df, "g", ["i"], "x", target=10, slack_k=0,
+                 threshold_h=1, id_col="i").collect()[0]
+    assert r["max_cusum"] == 0 and r["n_alarms"] == 0
+    assert r["first_alarm_id"] is None
+
+
+def test_cusum_single_sort(spark):
+    from migdar_data_pipelines_spark.operators.profile import cusum_by
+
+    rows = [("g", i, 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, i int, x long")
+    plan = _formatted_plan(
+        cusum_by(df, "g", ["i"], "x", target=10, threshold_h=1)
+    )
+    n_exchanges = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and line.split(") ", 1)[-1].startswith("Exchange")
+    )
+    # one exchange for the window partition + one for the final groupBy
+    assert n_exchanges <= 2, plan
+
+
+# ------------------------------------------------------------ co-purchase
+
+
+def test_copurchase_hand_case(spark):
+    from migdar_data_pipelines_spark.operators.frequent import copurchase_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "c"),
+        (4, "c"),  # duplicate line collapses
+    ]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in copurchase_pairs(
+            df, "bk", "it", min_item_support=2, min_pair_support=2,
+            max_basket_size=None,
+        ).collect()
+    }
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert r["n_ab"] == 3 and r["n_a"] == 3 and r["n_b"] == 3
+    # lift = n * n_ab / (n_a*n_b) = 4*3/9
+    assert r["lift"] == pytest.approx(4 * 3 / 9, abs=1e-6)
+    assert r["jaccard"] == pytest.approx(3 / 3, abs=1e-6)
+
+
+def test_copurchase_apriori_prune_preserves_output(spark):
+    from migdar_data_pipelines_spark.operators.frequent import copurchase_pairs
+
+    rows = [(b, it) for b in range(6) for it in ("x", "y")] + [(0, "rare")]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    full = copurchase_pairs(df, "bk", "it", min_item_support=1,
+                            min_pair_support=3, max_basket_size=None)
+    pruned = copurchase_pairs(df, "bk", "it", min_item_support=3,
+                              min_pair_support=3, max_basket_size=None)
+    a = {(r["item_a"], r["item_b"], r["n_ab"]) for r in full.collect()}
+    b = {(r["item_a"], r["item_b"], r["n_ab"]) for r in pruned.collect()}
+    # downward closure: pruning items below the PAIR floor can't change
+    # which pairs survive
+    assert a == b and ("x", "y", 6) in a
+
+
+def test_copurchase_basket_ceiling_excludes(spark):
+    from migdar_data_pipelines_spark.operators.frequent import copurchase_pairs
+
+    # one bot cart with 50 items, two real baskets with a shared pair
+    rows = [(99, f"i{k}") for k in range(50)]
+    rows += [(1, "p"), (1, "q"), (2, "p"), (2, "q")]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    out = copurchase_pairs(df, "bk", "it", min_item_support=2,
+                           min_pair_support=2, max_basket_size=10).collect()
+    assert {(r["item_a"], r["item_b"]) for r in out} == {("p", "q")}

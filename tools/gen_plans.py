@@ -71,6 +71,23 @@ PICK = {
         "bit_count(xor) verify folded into the join condition, hot-bucket "
         "ceiling in front (VERDICT r11 #1/#3)"
     ),
+    "ks_drift_events": (
+        "Two-sample KS: one map-side-combinable (group, value) groupBy, "
+        "per-group cumulative window over DISTINCT values, totals broadcast"
+    ),
+    "chi_square_orders": (
+        "Chi-square: cell groupBy + marginals over the CELL frame, "
+        "zero-cell algebra — no R*C grid node anywhere in the plan"
+    ),
+    "triangle_count_knn_embeddings": (
+        "Triangle census: degree-ordered orientation, wedge join keyed on "
+        "the wedge node, closing join on id pairs (edge kernel is the "
+        "exact-kNN oracle gate; production swaps the IVF graph)"
+    ),
+    "interpolate_events_value": (
+        "Linear interpolation: both IGNORE NULLS frames share ONE "
+        "exchange+sort per key"
+    ),
 }
 
 

@@ -62,6 +62,9 @@ PICK = [
     ("mutual_information_documents", "documents", "one joint groupBy + broadcast term sum"),
     ("edit_distance_pairs_documents", "documents + 1-del copy", "PASS-JOIN segment join + banded levenshtein"),
     ("source_overlap_matrix", "documents by source", "grouped k-min + all-pairs sketch algebra"),
+    ("ks_drift_events", "events rows", "(group, value) agg + distinct-value cumsum window"),
+    ("interpolate_events_value", "events rows", "one per-key sort, two shared frames"),
+    ("triangle_count_knn_embeddings", "embedding corpus", "exact-kNN gate edges + oriented wedge join"),
 ]
 
 
@@ -709,6 +712,49 @@ def main() -> None:
         lines += [
             f"(Synthetic rungs skipped: {SCALE_DIR} not generated — run",
             "`python tools/gen_scale_corpus.py` first.)",
+            "",
+        ]
+
+    # ---- triangle-census hub rung (needs no scale corpus: the graph is
+    # generated from spark.range by tools/measure_triangle_hub.py)
+    th_path = f"{SCALE_DIR}/triangle_hub_stats.json"
+    if os.path.exists(th_path):
+        with open(th_path) as f:
+            th = json.load(f)
+        lines += [
+            "## Triangle census — hub-graph rung (degree-ordered orientation)",
+            "",
+            "The graph analogue of the LSH hot-bucket shape: one node adjacent",
+            "to the whole corpus. A wedge enumeration keyed on the center pays",
+            "sum deg*(deg-1)/2 join rows — the hub alone is ~n^2/2. The",
+            "orientation (Suri & Vassilvitskii 2011) directs every edge toward",
+            "the higher (deg, id) rank, so the hub ends with OUT-degree 0 and",
+            "wedges are charged to the bounded spokes. `naive` is COMPUTED from",
+            "the degree frame (never materialized); `oriented` is the actual",
+            "row count of the engine's own wedge join; triangle counts asserted",
+            "against the analytic ground truth (3n-5) at every rung.",
+            "",
+            "| spokes | edges | naive wedge rows | oriented wedge rows | cut | hub out-deg | wall |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for n in sorted(th, key=int):
+            s = th[n]
+            lines.append(
+                f"| {int(n):,} | {s['n_edges']:,} | {s['naive_wedge_rows']:,} "
+                f"| {s['oriented_wedge_rows']:,} | x{s['cut_factor']:,.0f} "
+                f"| {s['hub_out_degree']} | {s['wall_s']:.2f}s |"
+            )
+        lines += [
+            "",
+            "Run: `python tools/measure_triangle_hub.py`.",
+            "",
+        ]
+    else:
+        lines += [
+            "## Triangle census — hub-graph rung",
+            "",
+            f"(not measured this run: {th_path} missing — run",
+            "`python tools/measure_triangle_hub.py`)",
             "",
         ]
     path = os.path.join(
