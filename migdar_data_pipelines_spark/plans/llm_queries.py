@@ -6201,3 +6201,55 @@ def copurchase_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_copurchase_sql()
+
+
+@register(
+    "streaming_cusum_events",
+    sql="""
+WITH m AS (
+  SELECT event_type AS g, epoch_us(ts) AS ord1, event_id,
+         CAST(round(value * 100) AS BIGINT) AS x
+  FROM events
+), p AS (
+  SELECT g, ord1, event_id,
+         sum(x - 5050) OVER (PARTITION BY g ORDER BY ord1, event_id
+                             ROWS UNBOUNDED PRECEDING) AS p
+  FROM m
+)
+SELECT g AS event_type, event_id,
+       CAST(p - least(0, min(p) OVER (PARTITION BY g ORDER BY ord1, event_id
+                                      ROWS UNBOUNDED PRECEDING))
+            AS BIGINT) AS cusum
+FROM p
+""",
+)
+def streaming_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 the CUSUM changepoint monitor as a TRUE stateful stream
+    (streaming/stateful.py::streaming_cusum): two int64 per key in the
+    state store (running prefix sum + its running min), every arithmetic
+    step exact integer — the drained stream must match the batch
+    closed-form window oracle BIT-FOR-BIT, which is the strongest parity
+    claim the streaming tier makes (ewma's is round-6 float). Same
+    order-monotonic delivery contract as streaming_ewma; per-row emission
+    in append mode (no watermark needed — state is O(1) per key)."""
+    from ..streaming import read_events_stream
+    from ..streaming.stateful import streaming_cusum
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    feed = stream.select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("xus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    out = streaming_cusum(
+        feed,
+        ["event_type"],
+        "v_cents",
+        target=5000,
+        slack_k=50,
+        order_cols=["xus", "event_id"],
+    )
+    return _drain_stream(spark, out, "t_cusum").select(
+        "event_type", "event_id", "cusum"
+    )

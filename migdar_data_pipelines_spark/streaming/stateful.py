@@ -335,3 +335,84 @@ def streaming_ewma(
     from pyspark.sql import functions as F  # noqa: F811
 
     return out.withColumn("ewma", F.round("ewma", 6))
+
+
+def streaming_cusum(
+    events: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    target: int,
+    slack_k: int = 0,
+    order_cols: list[str] | None = None,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """The CUSUM recurrence (operators/profile.py::cusum_by) as a stateful
+    stream — the live form of the changepoint monitor:
+
+        S_i = max(0, S_{i-1} + (x_i - target - k))
+
+    folded EXACTLY in int64 via the same closed form the batch operator
+    uses (S = P - min(0, running_min(P))): the state store holds TWO longs
+    per key — the running prefix sum P and its running minimum M — nothing
+    grows with the stream, and every arithmetic step is integer, so the
+    drained stream matches the batch window oracle bit-for-bit.
+    ``val_col`` must be integral (quantize to cents upstream); rows are
+    processed in ``order_cols`` order within each micro-batch, with the
+    fold carrying across batches/restarts via the checkpointed state (the
+    same order-monotonic delivery contract as ``streaming_ewma``).
+
+    Emits every input row as (key..., order..., value, cusum) with the
+    int64 statistic; alarming/thresholding is a stateless filter the
+    caller composes downstream."""
+    order_cols = order_cols or ["ts"]
+    out_fields = [
+        f
+        for f in events.schema.fields
+        if f.name in set(key_cols) | set(order_cols) | {val_col}
+    ]
+    out_schema = T.StructType(
+        out_fields + [T.StructField("cusum", T.LongType())]
+    )
+    state_schema = T.StructType(
+        [T.StructField("p", T.LongType()), T.StructField("m", T.LongType())]
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    cols = [f.name for f in out_fields]
+    shift = int(target) + int(slack_k)
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            p, m = int(state.get[0]), int(state.get[1])
+            have = True
+        else:
+            p, m = 0, 0
+            have = False
+        parts = [pdf for pdf in pdfs if not pdf.empty]
+        if not parts:
+            if state_ttl_ms and state.exists:
+                state.setTimeoutDuration(state_ttl_ms)
+            return
+        batch = pd.concat(parts).sort_values(order_cols, kind="mergesort")
+        out = []
+        for x in batch[val_col].astype("int64"):
+            p += int(x) - shift
+            m = min(m, p) if have else p
+            have = True
+            out.append(p - min(0, m))
+        batch = batch[cols].copy()
+        batch["cusum"] = pd.array(out, dtype="int64")
+        state.update((p, m))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield batch
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )

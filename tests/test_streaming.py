@@ -474,3 +474,50 @@ def test_streaming_simhash_near_dup_out_of_order_straggler(spark, tmp_path):
     # id 11 is flagged (earlier 1 and 10 both in state); id 10 was emitted
     # in batch 1 before its earlier twin arrived (append-mode caveat).
     assert got == {1: False, 10: False, 11: True}
+
+
+def test_streaming_cusum_matches_recurrence_cross_batch(spark, tmp_path):
+    """streaming_cusum drained == the literal Page recurrence per key —
+    exact int64, with state (prefix sum + running min) carried across
+    micro-batches (two files -> two batches exercises the handoff)."""
+    import pandas as pd
+
+    from migdar_data_pipelines_spark.streaming.stateful import streaming_cusum
+
+    rows = [
+        ("u1", i, v)
+        for i, v in enumerate([10, 80, 90, 5, 100, 100, 0, 50])
+    ] + [("u2", i, 40 + i) for i in range(6)]
+    pdf = pd.DataFrame(rows, columns=["k", "i", "v"])
+    src = str(tmp_path / "cusum_src")
+    spark.createDataFrame(pdf[: len(rows) // 2]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(pdf[len(rows) // 2 :]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, i long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_cusum(stream, ["k"], "v", target=40, slack_k=5,
+                          order_cols=["i"])
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        run_available_now(out, ckpt, query_name="t_cusum_ut",
+                          output_mode="append")
+        got = {
+            (r["k"], r["i"]): r["cusum"]
+            for r in spark.table("t_cusum_ut").collect()
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    for k in ("u1", "u2"):
+        s = 0
+        for _, row in pdf[pdf["k"] == k].sort_values("i").iterrows():
+            s = max(0, s + (int(row["v"]) - 45))
+            assert got[(k, row["i"])] == s, (k, row["i"], got[(k, row["i"])], s)
+    assert len(got) == len(rows)
