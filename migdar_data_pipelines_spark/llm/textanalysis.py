@@ -44,35 +44,113 @@ def token_stats(col: Column | str) -> dict[str, Column]:
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 
+# quality_score: counts are clamped at this ceiling so every intermediate
+# of the exact basis-point arithmetic fits int64 (a = 2e4*P + D <= 8.0004e18
+# < 2^63-1); a >1 MB single document's quality is saturated anyway
+QUALITY_CLAMP = 1_000_000
+
+
 def quality_score(col: Column | str) -> Column:
     """Heuristic quality in [0,1]: blends length, mean word length, stopword
     ratio and punctuation ratio (the classic Gopher/C4-style filters folded
-    into one score). Deterministic, SQL-expressible, rounded to 4dp."""
+    into one score). Deterministic, SQL-expressible, 4 decimal places.
+
+    The score is computed in EXACT INTEGER basis points (the sf0.1 parity
+    gate caught the old float form diverging cross-engine, PARITY r12): the
+    four terms share the common denominator D = 400*n*c, so
+
+        P = n*c*min(n,100) + (100 if 3n <= c <= 10n else 50)*n*c
+            + 100*c*min(5*stop, n) + 100*n*max(0, c - 5*punct)
+        bp = floor((2*10^4*P + D) / (2*D))        # exact half-up round
+        quality = bp / 10^4
+
+    with n words / c chars clamped at QUALITY_CLAMP so a = 2e4*P + D stays
+    inside int64. The floor division is evaluated as (a - pmod(a, b)) / b
+    with the final division in DECIMAL(38,0) — the quotient is an exact
+    integer there, so decimal rounding can't bite. The mean-word-length
+    band test is the exact integer comparison 3n <= c <= 10n. Two engines
+    doing identical integer arithmetic can't disagree — unlike the old
+    round(double, 4), which flipped on exact .00005 boundaries (dyadic
+    weights over rational terms make those REACHABLE, and sf0.1 reached
+    them). Empty docs keep the old limits: no chars -> 0.375; words-free
+    text -> 0.25*(0.5 + punct term)."""
     c = F.col(col) if isinstance(col, str) else col
     ws = words(c)
-    n_words = F.size(ws).cast("double")
-    n_chars = F.length(c).cast("double")
-    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
-    stop_ratio = F.when(
-        n_words > 0,
-        F.size(F.filter(ws, lambda x: F.lower(x).isin(*STOPWORDS))).cast("double") / n_words,
-    ).otherwise(F.lit(0.0))
-    punct_ratio = F.when(
-        n_chars > 0,
-        # explicit RE2 \s set (no \x0b) — keeps punct_ratio engine-identical
-        F.size(
-            F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9 \t\n\f\r]"), 0)
-        ).cast("double")
-        / n_chars,
-    ).otherwise(F.lit(0.0))
-    length_term = F.least(n_words / F.lit(100.0), F.lit(1.0))
-    word_len_term = F.when(
-        (mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0)
-    ).otherwise(F.lit(0.5))
-    stop_term = F.least(stop_ratio * 5.0, F.lit(1.0))
-    punct_term = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio * 5.0)
-    score = 0.25 * (length_term + word_len_term + stop_term + punct_term)
-    return F.round(score, 4)
+    clamp = F.lit(QUALITY_CLAMP).cast("long")
+    n = F.least(F.size(ws).cast("long"), clamp)
+    ch = F.least(F.length(c).cast("long"), clamp)
+    st = F.size(F.filter(ws, lambda x: F.lower(x).isin(*STOPWORDS))).cast("long")
+    # explicit RE2 \s set (no \x0b) — keeps punct count engine-identical
+    pu = F.size(
+        F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9 \t\n\f\r]"), 0)
+    ).cast("long")
+
+    def half_up_div(a: Column, b: Column) -> Column:
+        # floor((a)/(b)) for positive longs via pmod; the decimal division's
+        # quotient is an exact integer, so its scale rounding is inert
+        dec = "decimal(38,0)"
+        exact = a - F.pmod(a, b)
+        return (exact.cast(dec) / b.cast(dec)).cast("long")
+
+    t2w = F.when(
+        (F.lit(3) * n <= ch) & (ch <= F.lit(10) * n), F.lit(100)
+    ).otherwise(F.lit(50)).cast("long")
+    punct_num = F.greatest(F.lit(0).cast("long"), ch - F.lit(5) * pu)
+    p_gen = (
+        n * ch * F.least(n, F.lit(100).cast("long"))
+        + t2w * n * ch
+        + F.lit(100).cast("long") * ch * F.least(F.lit(5) * st, n)
+        + F.lit(100).cast("long") * n * punct_num
+    )
+    d_gen = F.lit(400).cast("long") * n * ch
+    # words-free text (n = 0): terms collapse to 0 + 1/2 + 0 + punct/c
+    p_nw = F.lit(50).cast("long") * ch + F.lit(100).cast("long") * punct_num
+    d_nw = F.lit(400).cast("long") * ch
+    bp = (
+        F.when(c.isNull(), F.lit(None).cast("long"))  # least() skips NULLs
+        .when(ch == 0, F.lit(3750).cast("long"))
+        .when(
+            n == 0,
+            half_up_div(F.lit(20000).cast("long") * p_nw + d_nw, F.lit(2) * d_nw),
+        )
+        .otherwise(
+            half_up_div(F.lit(20000).cast("long") * p_gen + d_gen, F.lit(2) * d_gen)
+        )
+    )
+    return bp.cast("double") / F.lit(10000.0)
+
+
+def quality_bp_sql(words_expr: str, text_expr: str = "text") -> str:
+    """DuckDB mirror of ``quality_score``'s exact basis points as a single
+    scalar expression over a words-list expression and the text column —
+    the single source of truth every oracle inlines (four queries carry
+    this formula; hand-divergence is how the old float form rotted)."""
+    n = f"least(len({words_expr}), {QUALITY_CLAMP})"
+    ch = f"least(len({text_expr}), {QUALITY_CLAMP})"
+    st = (
+        f"len(list_filter({words_expr}, x -> lower(x) IN "
+        "('the','a','of','and','to','in','is','it')))"
+    )
+    pu = f"len(regexp_extract_all({text_expr}, '[^A-Za-z0-9 \\t\\n\\f\\r]'))"
+    punct_num = f"greatest(0, {ch} - 5 * {pu})"
+    t2w = f"(CASE WHEN 3 * {n} <= {ch} AND {ch} <= 10 * {n} THEN 100 ELSE 50 END)"
+    p_gen = (
+        f"({n} * {ch} * least({n}, 100) + {t2w} * {n} * {ch}"
+        f" + 100 * {ch} * least(5 * {st}, {n}) + 100 * {n} * {punct_num})"
+    )
+    p_nw = f"(50 * {ch} + 100 * {punct_num})"
+    return (
+        f"(CASE WHEN {ch} = 0 THEN CAST(3750 AS BIGINT) "
+        f"WHEN {n} = 0 THEN CAST((20000 * {p_nw} + 400 * {ch}) "
+        f"// (2 * 400 * {ch}) AS BIGINT) "
+        f"ELSE CAST((CAST(20000 AS BIGINT) * {p_gen} + 400 * {n} * {ch}) "
+        f"// (CAST(2 AS BIGINT) * 400 * {n} * {ch}) AS BIGINT) END)"
+    )
+
+
+def quality_sql(words_expr: str, text_expr: str = "text") -> str:
+    """The 4dp quality as DuckDB DOUBLE (bp / 10^4 — exact, no round())."""
+    return f"(CAST({quality_bp_sql(words_expr, text_expr)} AS DOUBLE) / 10000.0)"
 
 
 # tiny per-language marker lists (n-gram heuristic reduced to word unigrams —

@@ -585,7 +585,17 @@ def ewma_by(
         df.withColumn("__arr", arr)
         # try_divide: an all-NULL frame gives m=0 -> den=0; ANSI division
         # would throw, NULL is the contract (see docstring)
-        .withColumn("ewma", F.round(F.try_divide(num, den), 6))
+        .withColumn(
+            # explicit IEEE half-up (floor(x*1e6 + 0.5)/1e6), NOT
+            # F.round(double, 6): Spark rounds the double's shortest decimal
+            # repr, so an ...xxxxxx5 shortest repr reads as an exact half and
+            # rounds up while DuckDB's multiply sees the true binary just
+            # below it — the ~1e-7/row flip the sf0.1 parity gate measured
+            # on streaming_ewma (PARITY r12); same contract both operators
+            "ewma",
+            F.floor(F.try_divide(num, den) * F.lit(1000000.0) + F.lit(0.5))
+            / F.lit(1000000.0),
+        )
         .drop("__arr")
     )
 
@@ -621,13 +631,13 @@ fa AS (
   FROM a
 )
 SELECT * EXCLUDE (fl),
-       round(
+       floor(
          list_sum(list_transform(list_zip(fl, generate_series(1, len(fl))),
            t -> t[1] * power(CAST({q} AS DOUBLE),
                              CAST(len(fl) - t[2] AS DOUBLE))))
          / nullif((1 - power(CAST({q} AS DOUBLE), CAST(len(fl) AS DOUBLE)))
-                  / CAST({repr(1.0 - (1.0 - alpha))} AS DOUBLE), 0),
-         6) AS ewma
+                  / CAST({repr(1.0 - (1.0 - alpha))} AS DOUBLE), 0)
+         * 1000000.0 + 0.5) / 1000000.0 AS ewma
 FROM fa
 """
 

@@ -36,6 +36,7 @@ from ..llm.textanalysis import (
     doc_fingerprint,
     language_id,
     quality_score,
+    quality_sql,
     token_stats,
 )
 from ..streaming.windows import sessionize, session_window_agg, sliding_agg, tumbling_agg
@@ -43,6 +44,10 @@ from .queries import QUERIES, _t, register
 
 # DuckDB fragment: whitespace words of text (parity with textanalysis.words)
 _W = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+# DuckDB fragment: exact-basis-point quality over a `words` column + `text`
+# (parity with textanalysis.quality_score — single source of truth, four
+# oracles inline it)
+_QUALITY_W = quality_sql("words")
 # DuckDB fragment: word 3-shingles (parity with dedup.shingles k=3)
 _SH3 = (
     "CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
@@ -93,36 +98,40 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_langid_documents",
-    sql=r"""
+    sql=None,  # SQL installed below (generated quality fragment)
+)
+def quality_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/punct/stopword blend) + marker-word language
+    ID. Quality is EXACT integer basis points on both engines
+    (llm/textanalysis.py::quality_score / quality_sql — the sf0.1 parity
+    gate caught the old round(double, 4) flipping on exact .00005
+    boundaries, PARITY r12)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        language_id("text").alias("lang_pred"),
+    )
+
+
+def _install_quality_langid_sql() -> None:
+    from ..llm.textanalysis import quality_sql
+
+    QUERIES["quality_langid_documents"]["sql"] = rf"""
 WITH w AS (
   SELECT doc_id, text,
          list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
   FROM documents
 ), m AS (
   SELECT doc_id,
-         CAST(len(text) AS DOUBLE) AS n_chars,
-         CAST(len(words) AS DOUBLE) AS n_words,
-         CASE WHEN len(words) > 0
-              THEN CAST(len(list_filter(words, x -> lower(x) IN
-                   ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(words)
-              ELSE 0.0 END AS stop_ratio,
-         CASE WHEN len(text) > 0
-              THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(text)
-              ELSE 0.0 END AS punct_ratio,
-         CASE WHEN len(words) > 0 THEN CAST(len(text) AS DOUBLE) / len(words) ELSE 0.0 END AS mwl,
+         {quality_sql("words")} AS quality,
          len(list_filter(words, x -> lower(x) IN ('the','and','of','is'))) AS s_en,
          len(list_filter(words, x -> lower(x) IN ('el','la','de','que'))) AS s_es,
          len(list_filter(words, x -> lower(x) IN ('le','la','et','les'))) AS s_fr,
          len(list_filter(words, x -> lower(x) IN ('der','die','und','das'))) AS s_de
   FROM w
 )
-SELECT doc_id,
-       round(0.25 * (
-         least(n_words / 100.0, 1.0)
-         + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END
-         + least(stop_ratio * 5.0, 1.0)
-         + greatest(0.0, 1.0 - punct_ratio * 5.0)
-       ), 4) AS quality,
+SELECT doc_id, quality,
        CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
             WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
             WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
@@ -130,16 +139,10 @@ SELECT doc_id,
             WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
             ELSE 'und' END AS lang_pred
 FROM m
-""",
-)
-def quality_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring (length/punct/stopword blend) + marker-word language ID."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        quality_score("text").alias("quality"),
-        language_id("text").alias("lang_pred"),
-    )
+"""
+
+
+_install_quality_langid_sql()
 
 
 @register(
@@ -707,19 +710,7 @@ WITH corpus AS (
   GROUP BY doc_id
 ), m AS (
   SELECT w.doc_id,
-         round(0.25 * (
-           least(len(words) / 100.0, 1.0)
-           + CASE WHEN len(words) > 0 AND CAST(len(text) AS DOUBLE) / len(words) >= 3
-                       AND CAST(len(text) AS DOUBLE) / len(words) <= 10
-                  THEN 1.0 ELSE 0.5 END
-           + least(CASE WHEN len(words) > 0
-                        THEN CAST(len(list_filter(words, x -> lower(x) IN
-                             ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-                             / len(words) ELSE 0.0 END * 5.0, 1.0)
-           + greatest(0.0, 1.0 - CASE WHEN len(text) > 0
-                 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-                      / len(text) ELSE 0.0 END * 5.0)
-         ), 4) AS quality,
+         {_QUALITY_W} AS quality,
          CAST(len(words) AS BIGINT) AS n_words,
          CASE WHEN len(lines) > 0
               THEN round((len(lines) - len(list_distinct(lines)))
@@ -1674,7 +1665,15 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("text", F.lit(" zzdup")).alias("text"),
         )
     )
-    return simhash_near_dup(corpus, "text", "doc_id", max_hamming=3, bits=32)
+    # max_bucket_size=None: this query IS the oracle-parity surface, and the
+    # exact quadratic oracle knows nothing of the production ceiling — at
+    # sf0.1 the narrow 256-value bands grow hot buckets and the guard's
+    # star-pair subset diverged from the exact answer (PARITY r12 sf0.1
+    # gate). The guarded default is the production path, measured on the
+    # SCALING hot-cluster rung; the gate pins the exact form at every SF.
+    return simhash_near_dup(
+        corpus, "text", "doc_id", max_hamming=3, bits=32, max_bucket_size=None
+    )
 
 
 @register(
@@ -1724,7 +1723,12 @@ def simhash_near_dup_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat("text", F.lit(" zzdup")).alias("text"),
         )
     )
-    return simhash_near_dup(corpus, "text", "doc_id", max_hamming=3, bits=48)
+    # max_bucket_size=None for the same reason as simhash_near_dup_pairs:
+    # the parity surface is the exact form (even 4096-value bands grew one
+    # hot bucket at sf0.1); the production ceiling is SCALING-measured
+    return simhash_near_dup(
+        corpus, "text", "doc_id", max_hamming=3, bits=48, max_bucket_size=None
+    )
 
 
 @register(
@@ -3586,22 +3590,10 @@ _install_hll_by_sql()
 @register(
     "quality_threshold_sweep_documents",
     sql=f"""
-WITH q AS (
-  SELECT doc_id,
-         round(0.25 * (
-           least(len({_W}) / 100.0, 1.0)
-           + CASE WHEN len({_W}) > 0 AND CAST(len(text) AS DOUBLE) / len({_W}) >= 3
-                       AND CAST(len(text) AS DOUBLE) / len({_W}) <= 10
-                  THEN 1.0 ELSE 0.5 END
-           + least(CASE WHEN len({_W}) > 0
-                        THEN CAST(len(list_filter({_W}, x -> lower(x) IN
-                             ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-                             / len({_W}) ELSE 0.0 END * 5.0, 1.0)
-           + greatest(0.0, 1.0 - CASE WHEN len(text) > 0
-                 THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
-                      / len(text) ELSE 0.0 END * 5.0)
-         ), 4) AS quality
-  FROM documents
+WITH w0 AS (
+  SELECT doc_id, text, {_W} AS words FROM documents
+), q AS (
+  SELECT doc_id, {_QUALITY_W} AS quality FROM w0
 ),
 b AS (
   SELECT CAST(floor(quality / 0.05) AS BIGINT) * 5 AS bucket_pct,
@@ -4611,16 +4603,7 @@ WITH RECURSIVE w AS (
   FROM documents
 ), m AS (
   SELECT doc_id, text, words,
-         CAST(len(text) AS DOUBLE) AS n_chars,
-         CAST(len(words) AS DOUBLE) AS n_words,
-         CASE WHEN len(words) > 0
-              THEN CAST(len(list_filter(words, x -> lower(x) IN
-                   ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(words)
-              ELSE 0.0 END AS stop_ratio,
-         CASE WHEN len(text) > 0
-              THEN CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / len(text)
-              ELSE 0.0 END AS punct_ratio,
-         CASE WHEN len(words) > 0 THEN CAST(len(text) AS DOUBLE) / len(words) ELSE 0.0 END AS mwl,
+         {_QUALITY_W} AS quality,
          len(list_filter(words, x -> lower(x) IN ('the','and','of','is'))) AS s_en,
          len(list_filter(words, x -> lower(x) IN ('el','la','de','que'))) AS s_es,
          len(list_filter(words, x -> lower(x) IN ('le','la','et','les'))) AS s_fr,
@@ -4629,12 +4612,7 @@ WITH RECURSIVE w AS (
 ), f AS (
   SELECT doc_id, text, words FROM m
   WHERE len(words) >= 10
-    AND round(0.25 * (
-          least(n_words / 100.0, 1.0)
-          + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END
-          + least(stop_ratio * 5.0, 1.0)
-          + greatest(0.0, 1.0 - punct_ratio * 5.0)
-        ), 4) >= 0.5
+    AND quality >= 0.5
     AND (CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
               WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
               WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
@@ -5357,9 +5335,9 @@ WITH o AS (
   FROM events
 )
 SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, v,
-       round(list_reduce(pre,
-         (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc),
-         6) AS ewma
+       floor(list_reduce(pre,
+         (acc, x) -> CAST(0.3 AS DOUBLE) * x + CAST(0.7 AS DOUBLE) * acc)
+         * 1000000.0 + 0.5) / 1000000.0 AS ewma
 FROM o
 """,
 )
@@ -5387,8 +5365,14 @@ def streaming_ewma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alpha=0.3, NOT the 0.25 default: dyadic weights (2^-2) keep the fold
     # in exact binary arithmetic over cent inputs, which lands on exact
     # decimal .5 boundaries where Spark's BigDecimal half-up and DuckDB's
-    # multiply-based round disagree; a non-dyadic alpha makes exact halves
-    # measure-zero
+    # multiply-based round disagree; a non-dyadic alpha makes exact
+    # ARITHMETIC halves measure-zero. It does NOT protect against
+    # SHORTEST-REPR halves (a double whose shortest decimal repr ends
+    # ...5, ~1e-7 of rows): the sf0.1 gate caught 5 of those (PARITY r12),
+    # so the contract rounding is now the explicit IEEE
+    # floor(x*1e6 + 0.5)/1e6 on BOTH engines (streaming_ewma + oracle).
+    # (1.0 - 0.3 == double(0.7) exactly — the subtraction ties to even —
+    # so the complement weight literal is safe here.)
     out = streaming_ewma(
         stream, ["user_id"], "v", order_cols=["ts", "event_id"], alpha=0.3
     )
@@ -5674,8 +5658,15 @@ def streaming_simhash_near_dup_documents(
     sig = corpus.select(
         "id", F.col("id").alias("ord"), simhash_fast("text", 32).alias("sig")
     )
+    # max_state lifted to corpus size for the PARITY surface: the exact
+    # quadratic oracle knows nothing of the production state ceiling, and
+    # at sf0.1 skewed (band, value) buckets overflowed the 256 default —
+    # dup became the documented lower bound and the gate went red (PARITY
+    # r12 sf0.1). Production keeps the bounded default; the ceiling
+    # semantics are pinned by the state-cap unit test instead.
     flagged = streaming_simhash_near_dup(
-        sig, "id", "ord", "sig", bits=32, bands=4, max_hamming=3
+        sig, "id", "ord", "sig", bits=32, bands=4, max_hamming=3,
+        max_state=200_000,
     )
     drained = _drain_stream(spark, flagged, "t_simdup")
     return drained.groupBy("id").agg(

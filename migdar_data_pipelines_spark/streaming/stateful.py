@@ -331,10 +331,22 @@ def streaming_ewma(
         fn, out_schema, state_schema, "append", timeout
     )
     # stateless projection after the stateful op: contract rounding happens
-    # JVM-side (F.round is half-up like DuckDB's round; python's is half-even)
+    # JVM-side as the EXPLICIT IEEE sequence floor(x*1e6 + 0.5)/1e6, mirrored
+    # verbatim in the oracle. F.round(double, 6) is NOT portable: Spark
+    # rounds the double's SHORTEST DECIMAL REPR (BigDecimal.valueOf), so a
+    # double whose shortest repr ends ...xxxxxx5 reads as an exact half and
+    # rounds up, while DuckDB multiplies the true binary value (just below
+    # the half) and rounds down — a ~1e-7/row cross-engine flip that the
+    # sf0.1 parity gate measured on 5 of 100k rows (PARITY r12; non-dyadic
+    # alpha does NOT protect against shortest-repr halves). floor and the
+    # two multiplies are correctly-rounded IEEE ops identical everywhere.
     from pyspark.sql import functions as F  # noqa: F811
 
-    return out.withColumn("ewma", F.round("ewma", 6))
+    return out.withColumn(
+        "ewma",
+        F.floor(F.col("ewma") * F.lit(1000000.0) + F.lit(0.5))
+        / F.lit(1000000.0),
+    )
 
 
 def streaming_cusum(

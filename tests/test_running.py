@@ -194,7 +194,9 @@ def test_ewma_by_matches_python_reference(spark):
         vals = xs[t - m + 1 : t + 1]
         num = sum(x * q ** (m - 1 - j) for j, x in enumerate(vals))
         den = sum(q**j for j in range(m))
-        return round(num / den, 6)
+        import math as _m
+        # contract rounding: explicit IEEE floor(x*1e6 + 0.5)/1e6
+        return _m.floor((num / den) * 1e6 + 0.5) / 1e6
 
     rows = [
         (u, i, x) for u, xs in series.items() for i, x in enumerate(xs)

@@ -201,7 +201,10 @@ def test_streaming_ewma_matches_pandas_recurrence(spark, tmp_path):
         series = pdf[pdf["k"] == k].sort_values("i")["v"]
         want = series.ewm(alpha=0.3, adjust=False).mean()
         for (i, w) in zip(pdf[pdf["k"] == k].sort_values("i")["i"], want):
-            assert got[(k, i)] == round(w, 6), (k, i, got[(k, i)], w)
+            # contract rounding is the explicit IEEE floor(x*1e6+0.5)/1e6
+            import math as _m
+            assert got[(k, i)] == _m.floor(w * 1e6 + 0.5) / 1e6, (
+                k, i, got[(k, i)], w)
     assert len(got) == len(rows)
 
 
