@@ -909,3 +909,83 @@ SELECT id, CAST(sum(c) AS BIGINT) AS n_chars,
              - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4) AS entropy_bits
 FROM c GROUP BY id
 """
+
+
+def oov_rate(docs, id_col: str = "doc_id", text_col: str = "text",
+             min_count: int = 5):
+    """Per-document out-of-vocabulary rate in EXACT basis points — the
+    tokenizer-coverage / gibberish screen: build the corpus vocabulary
+    (whitespace terms occurring >= min_count times corpus-wide), then
+    report, per document, how many of its token OCCURRENCES fall outside
+    it. High OOV flags boilerplate-stripped junk, OCR noise, and wrong-
+    tokenizer corpora before a training run pays for them.
+
+        oov_bp = half_up(10^4 * n_oov / n_tokens)
+
+    computed with the exact integer half-up division (no float surface —
+    the sf0.1 parity lesson from quality_score). Documents with zero
+    tokens have no rate and are absent from the output (they vanish at
+    the explode; the oracle mirrors that).
+
+    Shape at scale: explode -> (doc, term) groupBy (map-side combinable —
+    the shuffle carries distinct doc-term pairs), term totals via a second
+    groupBy over the PAIR frame (never the corpus), then a shuffle join of
+    pairs against the term frame on the term key (AQE broadcast-converts
+    it when the above-threshold vocabulary is small; with min_count >= 5
+    the term frame is a vanishing fraction of the pair frame) and one
+    final per-doc groupBy. Skew note: the heaviest natural-language term
+    joins against a single term-frame row — the pair frame side is
+    pre-aggregated, so the hot key carries one row per document AT MOST,
+    the same bound the PMI/TF-IDF operators rely on."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    from ..operators.caching import scoped_persist
+
+    dt = scoped_persist(
+        docs.select(F.col(id_col).alias("id"), F.explode(words(text_col)).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    terms = dt.groupBy("term").agg(F.sum("cnt").cast("long").alias("freq"))
+    j = dt.join(terms, "term")
+    agg = j.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("freq") < min_count, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+    )
+    a = F.lit(10000).cast("long") * F.col("n_oov")
+    b = F.col("n_tokens")
+    num = F.lit(2).cast("long") * a + b
+    exact = num - F.pmod(num, F.lit(2).cast("long") * b)
+    dec = "decimal(38,0)"
+    bp = (exact.cast(dec) / (F.lit(2).cast("long") * b).cast(dec)).cast("long")
+    return agg.select(
+        F.col("id").alias(id_col), "n_tokens", "n_oov", bp.alias("oov_bp")
+    )
+
+
+def oov_rate_sql(words_expr: str, min_count: int = 5,
+                 id_col: str = "doc_id", table: str = "documents") -> str:
+    """Generated DuckDB mirror of ``oov_rate`` over a words-list expression
+    (pass the registry's _W fragment): same pair/term frames, same exact
+    half-up integer division."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS id, unnest({words_expr}) AS term FROM {table}
+),
+dt AS (SELECT id, term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY id, term),
+terms AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS freq FROM dt GROUP BY term),
+agg AS (
+  SELECT dt.id,
+         CAST(sum(dt.cnt) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN t.freq < {min_count} THEN dt.cnt ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM dt JOIN terms t ON dt.term = t.term
+  GROUP BY dt.id
+)
+SELECT id AS {id_col}, n_tokens, n_oov,
+       CAST((CAST(2 AS BIGINT) * 10000 * n_oov + n_tokens)
+            // (CAST(2 AS BIGINT) * n_tokens) AS BIGINT) AS oov_bp
+FROM agg
+"""

@@ -1034,3 +1034,714 @@ SELECT g, CAST(count(*) AS BIGINT) AS n,
        {first_alarm}
 FROM s GROUP BY g
 """
+
+
+def welch_ttest_by(
+    df: DataFrame, group_col: str, value_col: str, side_col: str
+) -> DataFrame:
+    """Per-group Welch (unequal-variance) two-sample t-test — the A/B-test
+    significance primitive: given an integer-quantized metric and a boolean
+    cohort flag, report per group the cohort means, Welch t statistic, and
+    Welch-Satterthwaite degrees of freedom. KS (``ks_two_sample_by``) asks
+    "did the distribution move anywhere"; Welch asks the experiment
+    question "did the MEAN move, relative to sampling noise".
+
+    ``side_col`` is boolean: false = control (A), true = treatment (B).
+    Rows with NULL value or NULL side are excluded.
+
+    Cross-engine exactness: per side we accumulate only n, sum(x), and
+    sum(x^2) as exact integers (DECIMAL(38,0) — x is required integer, e.g.
+    cents). Every float quantity then derives from those three integers in
+    one canonical double chain mirrored verbatim in the generated SQL:
+    mean = sum/n, and the sample variance uses the exact integer numerator
+    n*sum_xx - sum_x^2 (never the catastrophic-cancellation float form):
+    var = (n*sum_xx - sum_x^2) / (n * (n-1)). Identical integer inputs +
+    identical double expression tree = bit-equal outputs before the final
+    round(6).
+
+    Guards: a side with n < 2 has no variance — t/df are NULL (n_a/n_b
+    still reported). Zero pooled standard error (both sides constant)
+    yields NULL t/df via the se2 > 0 guard, not inf.
+
+    Shape at scale: ONE map-side-combinable groupBy over the scan (the
+    shuffle carries 6 integers per group), one row per group out. No
+    window, no join, no second pass."""
+    side = F.col(side_col)
+    dec = "decimal(38,0)"
+    x = F.col(value_col).cast(dec)
+    g = (
+        df.where(F.col(value_col).isNotNull() & side.isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.sum(F.when(~side, 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(~side, x).otherwise(F.lit(0).cast(dec))).alias("sa"),
+            F.sum(F.when(~side, x * x).otherwise(F.lit(0).cast(dec))).alias("ssa"),
+            F.sum(F.when(side, 1).otherwise(0)).cast("long").alias("n_b"),
+            F.sum(F.when(side, x).otherwise(F.lit(0).cast(dec))).alias("sb"),
+            F.sum(F.when(side, x * x).otherwise(F.lit(0).cast(dec))).alias("ssb"),
+        )
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    mean_a = F.col("sa").cast("double") / na
+    mean_b = F.col("sb").cast("double") / nb
+    # exact integer variance numerators (n*sum_xx - sum_x^2)
+    va_num = (
+        F.col("n_a").cast(dec) * F.col("ssa") - F.col("sa") * F.col("sa")
+    ).cast("double")
+    vb_num = (
+        F.col("n_b").cast(dec) * F.col("ssb") - F.col("sb") * F.col("sb")
+    ).cast("double")
+    var_a = F.when(F.col("n_a") >= 2, va_num / (na * (na - F.lit(1.0))))
+    var_b = F.when(F.col("n_b") >= 2, vb_num / (nb * (nb - F.lit(1.0))))
+    sea = var_a / na
+    seb = var_b / nb
+    se2 = sea + seb
+    t = F.when(se2 > 0, (mean_b - mean_a) / F.sqrt(se2))
+    dfw = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (
+            sea * sea / (na - F.lit(1.0))
+            + seb * seb / (nb - F.lit(1.0))
+        ),
+    )
+    return g.select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dfw, 6).alias("df_welch"),
+    )
+
+
+def welch_ttest_by_sql(rows_sql: str) -> str:
+    """Generated DuckDB mirror of ``welch_ttest_by``: expects ``rows_sql``
+    to yield (g, x, s) with x integer-valued and s boolean; same exact
+    integer moments, same canonical double chain."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+a AS (
+  SELECT g,
+         CAST(sum(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         sum(CASE WHEN NOT s THEN CAST(x AS DECIMAL(38,0))
+                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS sa,
+         sum(CASE WHEN NOT s THEN CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))
+                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS ssa,
+         CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN s THEN CAST(x AS DECIMAL(38,0))
+                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS sb,
+         sum(CASE WHEN s THEN CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))
+                  ELSE CAST(0 AS DECIMAL(38,0)) END) AS ssb
+  FROM rows_in WHERE x IS NOT NULL AND s IS NOT NULL
+  GROUP BY g
+),
+d AS (
+  SELECT g, n_a, n_b,
+         CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+         CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+         CASE WHEN n_a >= 2 THEN
+           CAST(CAST(n_a AS DECIMAL(38,0)) * ssa - sa * sa AS DOUBLE)
+             / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0)) END AS var_a,
+         CASE WHEN n_b >= 2 THEN
+           CAST(CAST(n_b AS DECIMAL(38,0)) * ssb - sb * sb AS DOUBLE)
+             / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)) END AS var_b
+  FROM a
+),
+e AS (
+  SELECT g, n_a, n_b, mean_a, mean_b,
+         var_a / CAST(n_a AS DOUBLE) AS sea,
+         var_b / CAST(n_b AS DOUBLE) AS seb
+  FROM d
+)
+SELECT g, n_a, n_b,
+       round(mean_a, 6) AS mean_a,
+       round(mean_b, 6) AS mean_b,
+       round(CASE WHEN sea + seb > 0
+                  THEN (mean_b - mean_a) / sqrt(sea + seb) END, 6) AS t_stat,
+       round(CASE WHEN sea + seb > 0 THEN
+               ((sea + seb) * (sea + seb))
+               / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+                  + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)) END, 6) AS df_welch
+FROM e
+"""
+
+
+def gini_by(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group Gini concentration coefficient over a non-negative
+    integer-quantized value — the single-number inequality summary that
+    complements ``pareto_revenue_customers``'s full curve (Pareto answers
+    "how many units cover 80%"; Gini is the area-based scalar you can
+    threshold and trend).
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    with x sorted ascending within the group and i the 1-based rank.
+    Tie-safety: permuting equal values never changes sum(i * x_i) (the
+    tied block contributes the same consecutive-rank sum either way), so
+    the statistic is deterministic without a tiebreaker column.
+
+    Cross-engine exactness: the numerator and denominator are EXACT
+    integers (DECIMAL(38,0) — rank <= n and x is integer cents), one
+    terminal double division per group, then round(6).
+
+    Shape at scale: one per-group sort window (row_number + running state
+    folded into a single exchange+sort) and one groupBy. The window sort
+    is the inherent cost of an exact rank statistic; groups are
+    independent so the sort parallelizes per group."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("g").orderBy("x")
+    r = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("long").alias("x"),
+        )
+        .withColumn("i", F.row_number().over(w).cast(dec))
+    )
+    agg = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("i") * F.col("x").cast(dec)).alias("six"),
+    )
+    ndec = F.col("n").cast(dec)
+    num = (F.lit(2).cast(dec) * F.col("six") - (ndec + F.lit(1).cast(dec)) * F.col("sx"))
+    den = ndec * F.col("sx")
+    gini = F.when(den > 0, num.cast("double") / den.cast("double"))
+    return agg.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.col("sx").cast("double").alias("total"),
+        F.round(gini, 6).alias("gini"),
+    )
+
+
+def gini_by_sql(rows_sql: str) -> str:
+    """Generated DuckDB mirror of ``gini_by``: expects ``rows_sql`` to
+    yield (g, x) with x a non-negative integer; same exact integer
+    numerator/denominator, one terminal division."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+r AS (
+  SELECT g, CAST(x AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY g ORDER BY x) AS DECIMAL(38,0)) AS i
+  FROM rows_in WHERE x IS NOT NULL
+),
+agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(i * CAST(x AS DECIMAL(38,0))) AS six
+  FROM r GROUP BY g
+)
+SELECT g, n, CAST(sx AS DOUBLE) AS total,
+       round(CASE WHEN CAST(n AS DECIMAL(38,0)) * sx > 0 THEN
+               CAST(CAST(2 AS DECIMAL(38,0)) * six
+                    - (CAST(n AS DECIMAL(38,0)) + 1) * sx AS DOUBLE)
+               / CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE) END, 6) AS gini
+FROM agg
+"""
+
+
+def acf_by(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    lags: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Per-group lag-k autocorrelation of an integer-quantized series — the
+    "does yesterday predict today" screen that complements the monotone
+    story of ``ols_trend_events`` (OLS finds drift; ACF finds persistence /
+    periodicity at specific lags, e.g. acf_7 on daily data = weekly
+    seasonality).
+
+        acf(k) = sum_{t>k} (x_t - mu)(x_{t-k} - mu) / sum_t (x_t - mu)^2
+
+    Cross-engine exactness: both sides are evaluated from exact integer
+    moments only. With sxy_k = sum x_t*x_{t-k}, head/tail partial sums
+    sh_k/st_k, and full-series n, sx, sxx, multiply numerator and
+    denominator by n^2:
+
+        num_k = n^2*sxy_k - n*sx*(sh_k + st_k) + (n-k)*sx^2
+        den   = n^2*sxx   - n*sx^2
+
+    — all DECIMAL(38,0); ONE double division per (group, lag), then
+    round(6). Intended for AGGREGATED series (daily/hourly rollups: n in
+    the thousands), where n^2 * sum|x*y| sits far inside 38 digits; it is
+    not meant to run over raw event streams, and that is the right tool
+    boundary anyway (ACF of unaggregated irregular events is not a
+    defined quantity).
+
+    Shape at scale: ONE per-group exchange+sort computes every lag column
+    (same window spec => Catalyst folds them into a single Window node),
+    then one map-side-combinable groupBy; one row per group out, lags as
+    columns. NULL values are excluded before ordering (ACF needs a gap-free
+    ranked series; interpolate first if gaps matter)."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("g").orderBy("o")
+    r = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    for k in lags:
+        r = r.withColumn(f"xl{k}", F.lag("x", k).over(w))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+    ]
+    for k in lags:
+        lk = F.col(f"xl{k}")
+        has = lk.isNotNull()
+        z = F.lit(0).cast(dec)
+        aggs += [
+            F.sum(F.when(has, F.col("x").cast(dec) * lk.cast(dec)).otherwise(z))
+            .alias(f"sxy{k}"),
+            F.sum(F.when(has, lk.cast(dec)).otherwise(z)).alias(f"sh{k}"),
+            F.sum(F.when(has, F.col("x").cast(dec)).otherwise(z)).alias(f"st{k}"),
+        ]
+    a = r.groupBy("g").agg(*aggs)
+    n = F.col("n").cast(dec)
+    sx = F.col("sx")
+    den = n * n * F.col("sxx") - n * sx * sx
+    out = [F.col("g").alias(group_col), F.col("n")]
+    for k in lags:
+        num = (
+            n * n * F.col(f"sxy{k}")
+            - n * sx * (F.col(f"sh{k}") + F.col(f"st{k}"))
+            + (n - F.lit(k).cast(dec)) * sx * sx
+        )
+        acf = F.when(
+            (den > 0) & (F.col("n") > k), num.cast("double") / den.cast("double")
+        )
+        out.append(F.round(acf, 6).alias(f"acf_{k}"))
+    return a.select(*out)
+
+
+def acf_by_sql(rows_sql: str, lags: tuple[int, ...] = (1, 2, 3)) -> str:
+    """Generated DuckDB mirror of ``acf_by``: expects ``rows_sql`` to yield
+    (g, o, x) with x integer; same exact integer moments and single
+    terminal division per lag."""
+    lag_cols = ",\n         ".join(
+        f"lag(x, {k}) OVER (PARTITION BY g ORDER BY o) AS xl{k}" for k in lags
+    )
+    momenta = []
+    for k in lags:
+        momenta.append(
+            f"sum(CASE WHEN xl{k} IS NOT NULL THEN CAST(x AS DECIMAL(38,0))"
+            f" * CAST(xl{k} AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END)"
+            f" AS sxy{k}"
+        )
+        momenta.append(
+            f"sum(CASE WHEN xl{k} IS NOT NULL THEN CAST(xl{k} AS DECIMAL(38,0))"
+            f" ELSE CAST(0 AS DECIMAL(38,0)) END) AS sh{k}"
+        )
+        momenta.append(
+            f"sum(CASE WHEN xl{k} IS NOT NULL THEN CAST(x AS DECIMAL(38,0))"
+            f" ELSE CAST(0 AS DECIMAL(38,0)) END) AS st{k}"
+        )
+    momenta_sql = ",\n         ".join(momenta)
+    acf_terms = ",\n       ".join(
+        f"""round(CASE WHEN CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * sxx
+                    - CAST(n AS DECIMAL(38,0)) * sx * sx > 0 AND n > {k} THEN
+         CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * sxy{k}
+              - CAST(n AS DECIMAL(38,0)) * sx * (sh{k} + st{k})
+              + (CAST(n AS DECIMAL(38,0)) - {k}) * sx * sx AS DOUBLE)
+         / CAST(CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)) * sxx
+                - CAST(n AS DECIMAL(38,0)) * sx * sx AS DOUBLE) END, 6) AS acf_{k}"""
+        for k in lags
+    )
+    return f"""
+WITH rows_in AS ({rows_sql}),
+r AS (
+  SELECT g, o, CAST(x AS BIGINT) AS x,
+         {lag_cols}
+  FROM rows_in WHERE x IS NOT NULL
+),
+a AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+         {momenta_sql}
+  FROM r GROUP BY g
+)
+SELECT g, n,
+       {acf_terms}
+FROM a
+"""
+
+
+def seasonal_index_by(
+    df: DataFrame, group_col: str, slot_col: str, value_col: str
+) -> DataFrame:
+    """Per-(group, slot) seasonal index in EXACT basis points — the
+    calendar-profile operator (slot = hour-of-day, day-of-week, ...):
+
+        index = mean(x | slot) / mean(x)     (per group)
+
+    10000 = the slot runs at the group's average; 15000 = 1.5x. The exact
+    rational form is (sum_s * n_t) / (n_s * sum_t); the basis points are
+    computed by EXACT half-up integer division ((2*10^4*A + B) div (2*B)
+    with A = 10^4-scaled numerator, B = denominator, both DECIMAL(38,0))
+    so there is NO float anywhere — the same boundary-proofing that fixed
+    ``quality_score`` at sf0.1 (a reachable .00005 boundary flips round()
+    per engine; integer division cannot).
+
+    Shape at scale: one (group, slot) map-side-combinable groupBy over the
+    scan, one group-level groupBy over the SLOT frame (never the corpus),
+    broadcast join of the totals back on. Output is one row per
+    (group, slot) — bounded by |groups| * |slots|."""
+    dec = "decimal(38,0)"
+    s = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(slot_col).alias("slot"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_s"),
+            F.sum(F.col(value_col).cast(dec)).alias("sum_s"),
+        )
+    )
+    t = s.groupBy("g").agg(
+        F.sum("n_s").cast("long").alias("n_t"),
+        F.sum("sum_s").alias("sum_t"),
+    )
+    j = s.join(F.broadcast(t), "g")
+    a = F.lit(10000).cast(dec) * F.col("sum_s") * F.col("n_t").cast(dec)
+    b = F.col("n_s").cast(dec) * F.col("sum_t")
+    exact = (F.lit(2).cast(dec) * a + b) - F.pmod(
+        F.lit(2).cast(dec) * a + b, F.lit(2).cast(dec) * b
+    )
+    bp = F.when(b > 0, (exact / (F.lit(2).cast(dec) * b)).cast("long"))
+    return j.select(
+        F.col("g").alias(group_col),
+        "slot",
+        "n_s",
+        F.col("sum_s").cast("double").alias("slot_total"),
+        bp.alias("index_bp"),
+    )
+
+
+def seasonal_index_by_sql(rows_sql: str) -> str:
+    """Generated DuckDB mirror of ``seasonal_index_by``: expects
+    ``rows_sql`` to yield (g, slot, x) with x integer; same exact half-up
+    integer division (a - a % b) / b on positive DECIMAL(38,0)."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+s AS (
+  SELECT g, slot, CAST(count(*) AS BIGINT) AS n_s,
+         sum(CAST(x AS DECIMAL(38,0))) AS sum_s
+  FROM rows_in WHERE x IS NOT NULL GROUP BY g, slot
+),
+t AS (SELECT g, CAST(sum(n_s) AS BIGINT) AS n_t, sum(sum_s) AS sum_t
+      FROM s GROUP BY g),
+j AS (
+  SELECT s.g, s.slot, s.n_s, s.sum_s,
+         CAST(10000 AS HUGEINT) * CAST(s.sum_s AS HUGEINT)
+           * CAST(t.n_t AS HUGEINT) AS a,
+         CAST(s.n_s AS HUGEINT) * CAST(t.sum_t AS HUGEINT) AS b
+  FROM s JOIN t ON s.g = t.g
+)
+SELECT g, slot, n_s, CAST(sum_s AS DOUBLE) AS slot_total,
+       CASE WHEN b > 0 THEN CAST(
+         (CAST(2 AS HUGEINT) * a + b) // (CAST(2 AS HUGEINT) * b)
+         AS BIGINT) END AS index_bp
+FROM j
+"""
+
+
+def rank_sum_auc_by(
+    df: DataFrame, group_col: str, value_col: str, side_col: str
+) -> DataFrame:
+    """Per-group Mann-Whitney U / exact ROC-AUC — one statistic, two
+    readings: U is the nonparametric location test (the rank-sum
+    companion to ``welch_ttest_by`` when means are the wrong summary),
+    and AUC = U / (n_a * n_b) is the probability a random positive
+    (side=true) scores above a random negative — the standard classifier
+    ranking metric, computed EXACTLY with midrank tie handling.
+
+    Cross-engine exactness: everything until the final division is
+    integer. Per distinct value, the doubled midrank is
+    2*mid = 2*cum_end - cnt + 1 (cum_end the cumulative count through
+    this value, cnt its tie count), so
+
+        2*R_b = sum_b cb * (2*cum_end - cnt + 1)     (doubled rank sum)
+        2*U_b = 2*R_b - n_b * (n_b + 1)
+        auc   = 2*U_b / (2 * n_a * n_b)
+
+    all in DECIMAL(38,0); ONE double division per group, then round(6).
+
+    Shape at scale: identical to ``ks_two_sample_by`` — one map-side-
+    combinable (group, value) groupBy (the shuffle carries DISTINCT
+    values), one per-group cumulative window over the distinct-value
+    frame, totals broadcast back, one row per group out."""
+    from pyspark.sql import Window
+
+    from ..operators.caching import scoped_persist
+
+    side = F.col(side_col)
+    dec = "decimal(38,0)"
+    c = scoped_persist(
+        df.where(F.col(value_col).isNotNull() & side.isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+        .agg(
+            F.sum(F.when(~side, 1).otherwise(0)).cast("long").alias("ca"),
+            F.sum(F.when(side, 1).otherwise(0)).cast("long").alias("cb"),
+        )
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnt = (F.col("ca") + F.col("cb")).cast(dec)
+    cum_end = F.sum(F.col("ca") + F.col("cb")).over(w).cast(dec)
+    r2_term = F.col("cb").cast(dec) * (
+        F.lit(2).cast(dec) * cum_end - cnt + F.lit(1).cast(dec)
+    )
+    t = c.groupBy("g").agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    r2 = (
+        c.withColumn("r2_term", r2_term)
+        .groupBy("g")
+        .agg(F.sum("r2_term").alias("r2b"))
+    )
+    j = r2.join(F.broadcast(t), "g")
+    u2 = F.col("r2b") - F.col("n_b").cast(dec) * (F.col("n_b").cast(dec) + 1)
+    den = (
+        F.lit(2).cast(dec) * F.col("n_a").cast(dec) * F.col("n_b").cast(dec)
+    )
+    auc = F.when(den > 0, u2.cast("double") / den.cast("double"))
+    return j.select(
+        F.col("g").alias(group_col),
+        "n_a",
+        "n_b",
+        (u2.cast("double") / F.lit(2.0)).alias("u_stat"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+def rank_sum_auc_by_sql(rows_sql: str) -> str:
+    """Generated DuckDB mirror of ``rank_sum_auc_by``: expects ``rows_sql``
+    to yield (g, x, s) with s boolean; same doubled-midrank integer
+    algebra, one terminal division."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+c AS (
+  SELECT g, x,
+         sum(CASE WHEN NOT s THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN s THEN 1 ELSE 0 END) AS cb
+  FROM rows_in WHERE x IS NOT NULL AND s IS NOT NULL
+  GROUP BY g, x
+),
+cum AS (
+  SELECT g, ca, cb,
+         CAST(ca + cb AS DECIMAL(38,0)) AS cnt,
+         CAST(sum(ca + cb) OVER (PARTITION BY g ORDER BY x
+                                 ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,0))
+           AS cum_end
+  FROM c
+),
+r AS (
+  SELECT g,
+         sum(CAST(cb AS DECIMAL(38,0))
+             * (CAST(2 AS DECIMAL(38,0)) * cum_end - cnt
+                + CAST(1 AS DECIMAL(38,0)))) AS r2b
+  FROM cum GROUP BY g
+),
+t AS (SELECT g, CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+      FROM c GROUP BY g),
+j AS (
+  SELECT r.g, t.n_a, t.n_b,
+         r.r2b - CAST(t.n_b AS DECIMAL(38,0))
+               * (CAST(t.n_b AS DECIMAL(38,0)) + 1) AS u2
+  FROM r JOIN t ON r.g = t.g
+)
+SELECT g, n_a, n_b,
+       CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+       round(CASE WHEN CAST(2 AS DECIMAL(38,0)) * CAST(n_a AS DECIMAL(38,0))
+                       * CAST(n_b AS DECIMAL(38,0)) > 0
+                  THEN CAST(u2 AS DOUBLE)
+                       / CAST(CAST(2 AS DECIMAL(38,0))
+                              * CAST(n_a AS DECIMAL(38,0))
+                              * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE)
+             END, 6) AS auc
+FROM j
+"""
+
+
+def rfm_segments(
+    orders: DataFrame,
+    entity_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintile scores) —
+    the classic customer-value grid, built WITHOUT a global ntile: a
+    no-partition ntile window pushes every entity through one task, the
+    exact shape ``pareto_revenue_customers`` was rebuilt to avoid. Instead,
+    each metric's four quintile boundary VALUES are derived from the
+    cumulative window over its DISTINCT-value frame (the compressed ECDF),
+    aggregated to ONE row, and broadcast back; scores are then assigned
+    scan-locally with threshold comparisons. Entities tied on a metric
+    value always share a score (ntile would split them arbitrarily —
+    this form is deterministic AND semantically saner).
+
+    Threshold contract (identical in the generated SQL): with n entities,
+    q_k = (k*n + 4) div 5 (= ceil(k*n/5)) and
+    t_k = min{v : cum(v) >= q_k}; score(x) = 1 + sum_k [x > t_k] for
+    frequency/monetary (higher = better), and recency_score =
+    5 - sum_k [r > t_k] ... i.e. 5 at low recency-days, 1 at high.
+    Everything is exact integers (days, counts, cents).
+
+    Output: one row per (r_score, f_score, m_score) segment with entity
+    count and total monetary cents — at most 125 rows.
+
+    Shape at scale: one entity rollup groupBy over the scan, then per
+    metric one DISTINCT-value groupBy + ``running_totals``'s TWO-PHASE
+    cumulative sum over that compressed frame (range exchange +
+    per-partition cumsums + broadcast prefix offsets — the same plan that
+    rebuilt ``pareto_revenue_customers``; never a no-partition Window) +
+    a 1-row aggregate; three 1-row broadcasts joined back; final 125-key
+    groupBy. No global sort, no row-level ntile."""
+    from ..operators.caching import scoped_persist
+    from ..operators.windows import running_totals
+
+    ref = orders.agg(F.max(F.col(date_col).cast("date")).alias("__ref"))
+    base = scoped_persist(
+        orders.crossJoin(F.broadcast(ref))
+        .select(
+            F.col(entity_col).alias("ent"),
+            F.datediff(F.col("__ref"), F.col(date_col).cast("date"))
+            .cast("long")
+            .alias("days"),
+            F.round(F.col(amount_col) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("ent")
+        .agg(
+            F.min("days").cast("long").alias("rec"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("cents").cast("long").alias("mon"),
+        )
+    )
+
+    def thresholds(col: str):
+        c = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        cum = running_totals(
+            c, "cnt", order_by=[("v", "asc")], cum_col="cum"
+        ).select("v", F.col("cum").cast("long").alias("cum"))
+        n = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+        j = cum.crossJoin(F.broadcast(n))
+        aggs = []
+        for k in (1, 2, 3, 4):
+            kn4 = F.lit(k) * F.col("n") + 4
+            q = ((kn4 - F.pmod(kn4, 5)) / 5).cast("long")
+            aggs.append(
+                F.min(F.when(F.col("cum") >= q, F.col("v"))).alias(f"{col}_t{k}")
+            )
+        return F.broadcast(j.groupBy().agg(*aggs))
+
+    scored = (
+        base.crossJoin(thresholds("rec"))
+        .crossJoin(thresholds("freq"))
+        .crossJoin(thresholds("mon"))
+    )
+
+    def up_score(col: str) -> F.Column:
+        s = F.lit(1)
+        for k in (1, 2, 3, 4):
+            s = s + F.when(F.col(col) > F.col(f"{col}_t{k}"), 1).otherwise(0)
+        return s.cast("long")
+
+    def down_score(col: str) -> F.Column:
+        s = F.lit(5)
+        for k in (1, 2, 3, 4):
+            s = s - F.when(F.col(col) > F.col(f"{col}_t{k}"), 1).otherwise(0)
+        return s.cast("long")
+
+    return (
+        scored.select(
+            down_score("rec").alias("r_score"),
+            up_score("freq").alias("f_score"),
+            up_score("mon").alias("m_score"),
+            F.col("mon"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.sum("mon").cast("long").alias("monetary_cents"),
+        )
+    )
+
+
+def rfm_segments_sql(
+    table: str = "orders",
+    entity_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> str:
+    """Generated DuckDB mirror of ``rfm_segments``: same rollup, same
+    q_k = (k*n + 4) // 5 thresholds over the distinct-value ECDF, same
+    strictly-greater score comparisons."""
+
+    def _thr(col: str) -> str:
+        picks = ", ".join(
+            f"min(CASE WHEN cum >= ({k} * n + 4) // 5 THEN v END) AS {col}_t{k}"
+            for k in (1, 2, 3, 4)
+        )
+        return f"""
+{col}_thr AS (
+  SELECT {picks} FROM (
+    SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum, n
+    FROM (SELECT {col} AS v, CAST(count(*) AS BIGINT) AS cnt
+          FROM base GROUP BY {col}) c
+    CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM base) t
+  ) cm
+)"""
+
+    up = lambda col: (
+        "1 + "
+        + " + ".join(
+            f"(CASE WHEN {col} > {col}_t{k} THEN 1 ELSE 0 END)" for k in (1, 2, 3, 4)
+        )
+    )
+    down = lambda col: (
+        "5 - "
+        + " - ".join(
+            f"(CASE WHEN {col} > {col}_t{k} THEN 1 ELSE 0 END)" for k in (1, 2, 3, 4)
+        )
+    )
+    return f"""
+WITH ref AS (SELECT max(CAST({date_col} AS DATE)) AS refd FROM {table}),
+base AS (
+  SELECT {entity_col} AS ent,
+         CAST(min(date_diff('day', CAST({date_col} AS DATE),
+                            (SELECT refd FROM ref))) AS BIGINT) AS rec,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round({amount_col} * 100) AS BIGINT)) AS BIGINT) AS mon
+  FROM {table} GROUP BY {entity_col}
+),
+{_thr("rec")},
+{_thr("freq")},
+{_thr("mon")},
+scored AS (
+  SELECT CAST({down("rec")} AS BIGINT) AS r_score,
+         CAST({up("freq")} AS BIGINT) AS f_score,
+         CAST({up("mon")} AS BIGINT) AS m_score,
+         mon
+  FROM base CROSS JOIN rec_thr CROSS JOIN freq_thr CROSS JOIN mon_thr
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(mon) AS BIGINT) AS monetary_cents
+FROM scored GROUP BY r_score, f_score, m_score
+"""

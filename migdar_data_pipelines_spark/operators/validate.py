@@ -114,3 +114,79 @@ def unused_fields(df: DataFrame, mapped: list[str]) -> list[str]:
     """X4 header audit: plan-time check of df.columns vs the alias map
     (datasets.py:250-268) — returns unmapped columns instead of warning."""
     return [c for c in df.columns if c not in mapped]
+
+
+def fd_audit(df: DataFrame, det_cols: list[str], dep_col: str) -> DataFrame:
+    """Functional-dependency audit: does ``det_cols -> dep_col`` hold, and
+    how badly is it broken? The schema-inference / data-quality primitive
+    behind "is this column a key for that one" — e.g. does zip determine
+    city, does part determine supplier. Output is ONE summary row:
+
+      - n_classes:      distinct determinant values
+      - n_violating:    determinant classes mapping to >1 dependent value
+      - n_rows:         rows carrying a non-NULL determinant+dependent
+      - n_violating_rows: rows inside violating classes
+      - repair_cost:    minimum row deletions to restore the FD
+                        (rows - majority-dependent rows, summed over
+                        violating classes — the classic g3-style count)
+
+    NULLs on either side are excluded (SQL FD semantics are defined over
+    non-NULL tuples).
+
+    Shape at scale: groupBy(det, dep) over the scan (map-side combinable —
+    the shuffle carries distinct pairs), then a groupBy(det) over the PAIR
+    frame, then one scalar aggregate. No count_distinct expand, no join.
+    Exactly three shuffles of strictly shrinking frames."""
+    dets = [F.col(c) for c in det_cols]
+    nn = F.col(dep_col).isNotNull()
+    for c in det_cols:
+        nn = nn & F.col(c).isNotNull()
+    pairs = (
+        df.where(nn)
+        .groupBy(*[F.col(c).alias(f"d{i}") for i, c in enumerate(det_cols)],
+                 F.col(dep_col).alias("dep"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    classes = pairs.groupBy(*[f"d{i}" for i in range(len(det_cols))]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dep"),
+        F.sum("cnt").cast("long").alias("rows"),
+        F.max("cnt").cast("long").alias("max_dep_rows"),
+    )
+    viol = F.col("n_dep") > 1
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias("n_violating"),
+        F.sum("rows").cast("long").alias("n_rows"),
+        F.sum(F.when(viol, F.col("rows")).otherwise(0)).cast("long")
+        .alias("n_violating_rows"),
+        F.sum(F.when(viol, F.col("rows") - F.col("max_dep_rows")).otherwise(0))
+        .cast("long")
+        .alias("repair_cost"),
+    )
+
+
+def fd_audit_sql(rows_sql: str, n_det: int = 1) -> str:
+    """Generated DuckDB mirror of ``fd_audit``: expects ``rows_sql`` to
+    yield (d0[, d1, ...], dep) already NULL-filtered upstream or with
+    NULLs present (filtered identically here)."""
+    det = ", ".join(f"d{i}" for i in range(n_det))
+    nn = " AND ".join([f"d{i} IS NOT NULL" for i in range(n_det)] + ["dep IS NOT NULL"])
+    return f"""
+WITH rows_in AS ({rows_sql}),
+pairs AS (
+  SELECT {det}, dep, count(*) AS cnt FROM rows_in
+  WHERE {nn} GROUP BY {det}, dep
+),
+classes AS (
+  SELECT {det}, count(*) AS n_dep, sum(cnt) AS rows_, max(cnt) AS max_dep_rows
+  FROM pairs GROUP BY {det}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(sum(rows_) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN n_dep > 1 THEN rows_ ELSE 0 END) AS BIGINT)
+         AS n_violating_rows,
+       CAST(sum(CASE WHEN n_dep > 1 THEN rows_ - max_dep_rows ELSE 0 END) AS BIGINT)
+         AS repair_cost
+FROM classes
+"""

@@ -694,3 +694,113 @@ def interpolate_linear(
         .when(pv.isNotNull() & nv.isNotNull(), pv)
     )
     return df.withColumn(out_col or col, filled)
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    max_len: int = 5,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top-K session paths — the clickstream "what do journeys look like"
+    primitive: sessionize by inactivity gap (same lag+cumsum contract as
+    ``streaming/windows.sessionize``), take each session's first
+    ``max_len`` event types in (ts, event_id) order, join them into a
+    path string, and return the ``top_k`` most frequent paths with
+    deterministic ranks (count DESC, path ASC).
+
+    Shape at scale: TWO per-user linear passes — one exchange+sort on
+    (user) for the session-boundary lag/cumsum, one on (user, session)
+    for the within-session row_number (the second sort is a re-sort of
+    already-user-clustered rows; AQE coalesces the exchange). The truncated
+    path assembly is a groupBy over (user, session) carrying at most
+    ``max_len`` small structs per session; path counting is a map-side-
+    combinable groupBy on the path string; the final top-K is
+    TakeOrderedAndProject (per-partition heaps, no global sort), ranked by
+    ``bounded_running``'s broadcast self-join on the K-row frame — no
+    single-partition WindowExec anywhere."""
+    from ..streaming.windows import _ensure_event_time
+
+    events = _ensure_event_time(events)
+    wu = Window.partitionBy(user_col).orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_us = F.unix_micros(F.lag("ts").over(wu))
+    ts_us = F.unix_micros(F.col("ts"))
+    new_s = F.when(
+        prev_us.isNull() | ((ts_us - prev_us) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = events.withColumn(
+        "__sid", F.sum(new_s).over(wsum).cast("long")
+    )
+    wr = Window.partitionBy(user_col, "__sid").orderBy("ts", "event_id")
+    truncated = (
+        sess.withColumn("__rn", F.row_number().over(wr))
+        .where(F.col("__rn") <= max_len)
+    )
+    paths = (
+        truncated.groupBy(user_col, "__sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__rn"), F.col(type_col)))
+                    ),
+                    lambda s: s[type_col],
+                ),
+                ">",
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    top = scoped_persist(
+        paths.orderBy(F.col("n_sessions").desc(), F.col("path")).limit(top_k)
+    )
+    ranked = bounded_running(
+        top,
+        [("n_sessions", "desc"), ("path", "asc")],
+        rank_col="rank",
+    )
+    return ranked.select(
+        "path", "n_sessions", F.col("rank").cast("long").alias("rank")
+    ).orderBy("rank")
+
+
+def session_paths_sql(
+    gap_minutes: int = 30,
+    max_len: int = 5,
+    top_k: int = 20,
+    table: str = "events",
+) -> str:
+    """Generated DuckDB mirror of ``session_paths`` (same session contract
+    as the session_windows_events oracle)."""
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL {gap_minutes} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM {table}
+), s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+), p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {max_len} GROUP BY user_id, sid
+), c AS (
+  SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY path
+)
+SELECT path, n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
+FROM c ORDER BY n_sessions DESC, path LIMIT {top_k}
+"""

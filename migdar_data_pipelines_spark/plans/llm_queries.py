@@ -6244,3 +6244,372 @@ def streaming_cusum_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_stream(spark, out, "t_cusum").select(
         "event_type", "event_id", "cusum"
     )
+
+
+def _install_welch_sql() -> None:
+    from ..operators.profile import welch_ttest_by_sql
+
+    inner = welch_ttest_by_sql(
+        "SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x, "
+        "user_id % 2 = 1 AS s FROM events"
+    )
+    QUERIES["ab_test_events"]["sql"] = (
+        f"SELECT g AS event_type, n_a, n_b, mean_a, mean_b, t_stat, df_welch "
+        f"FROM ({inner}) w"
+    )
+
+
+@register("ab_test_events", sql=None)  # SQL installed below (generated)
+def ab_test_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Welch (unequal-variance) two-sample t-test
+    (operators/profile.py::welch_ttest_by) between an odd/even user-id
+    cohort split — the A/B-experiment readout: cohort means, t statistic,
+    Welch-Satterthwaite df. KS (``ks_drift_events``) detects ANY
+    distributional move; Welch answers the experiment question "did the
+    MEAN move relative to sampling noise". All moments are exact integers
+    (n, sum, sum-of-squares in DECIMAL(38,0) over cents); every float
+    derives from them in one canonical double chain mirrored verbatim in
+    the oracle. ONE map-side-combinable groupBy over the scan — no
+    window, no join, six integers per group on the shuffle."""
+    from ..operators.profile import welch_ttest_by
+
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        (F.col("user_id") % 2 == 1).alias("is_b"),
+    )
+    return welch_ttest_by(q, "event_type", "v_cents", "is_b")
+
+
+_install_welch_sql()
+
+
+def _install_gini_sql() -> None:
+    from ..operators.profile import gini_by_sql
+
+    inner = gini_by_sql(
+        "SELECT c.c_mktsegment AS g, r.cents AS x "
+        "FROM (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+        "AS BIGINT) AS cents FROM orders GROUP BY o_custkey) r "
+        "JOIN customer c ON c.c_custkey = r.o_custkey"
+    )
+    QUERIES["gini_revenue_customers"]["sql"] = (
+        f"SELECT g AS c_mktsegment, n, total, gini FROM ({inner}) gi"
+    )
+
+
+@register("gini_revenue_customers", sql=None)  # SQL installed below
+def gini_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment Gini coefficient of customer revenue
+    (operators/profile.py::gini_by) — the scalar concentration readout
+    that complements ``pareto_revenue_customers``'s full curve. Revenue
+    is rolled up per customer FIRST (map-side-combinable groupBy on
+    custkey over the orders scan — the Gini window then sorts customers,
+    not orders), joined to the customer dim for the segment (dim-sized
+    side; AQE broadcast-converts), then one per-segment sort window for
+    ranks and exact DECIMAL(38,0) numerator/denominator with a single
+    terminal division. Ties need no tiebreaker: permuting equal values
+    cannot change sum(rank * x)."""
+    from ..operators.profile import gini_by
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    j = rev.join(c.select("c_custkey", "c_mktsegment"),
+                 rev.o_custkey == F.col("c_custkey"))
+    return gini_by(j, "c_mktsegment", "cents")
+
+
+_install_gini_sql()
+
+
+def _install_fd_sql() -> None:
+    from ..operators.validate import fd_audit_sql
+
+    QUERIES["fd_audit_lineitem"]["sql"] = fd_audit_sql(
+        "SELECT l_partkey AS d0, l_suppkey AS dep FROM lineitem", n_det=1
+    )
+
+
+@register("fd_audit_lineitem", sql=None)  # SQL installed below (generated)
+def fd_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (operators/validate.py::fd_audit): does
+    l_partkey determine l_suppkey? (It does not — parts ship from several
+    suppliers; the audit quantifies by how much.) One summary row:
+    determinant classes, violating classes, rows inside them, and the
+    g3-style repair cost (minimum deletions to restore the FD). Shape:
+    groupBy(part, supp) over the scan (shuffle carries DISTINCT pairs),
+    groupBy(part) over the pair frame, one scalar aggregate — three
+    strictly-shrinking shuffles, no count_distinct expand, no join."""
+    from ..operators.validate import fd_audit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return fd_audit(li, ["l_partkey"], "l_suppkey")
+
+
+_install_fd_sql()
+
+
+def _install_oov_sql() -> None:
+    from ..llm.textanalysis import oov_rate_sql
+
+    QUERIES["oov_rate_documents"]["sql"] = oov_rate_sql(_W, min_count=5)
+
+
+@register("oov_rate_documents", sql=None)  # SQL installed below (generated)
+def oov_rate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate in exact basis points
+    (llm/textanalysis.py::oov_rate, min_count=5) — the tokenizer-coverage
+    screen run before a training job pays for OCR noise. The vocabulary
+    is implicit (terms with corpus frequency >= 5): explode ->
+    (doc, term) groupBy, term totals over the PAIR frame, shuffle join of
+    pairs vs terms on the term key (the hot natural-language term joins
+    one term row against pre-aggregated at-most-one-row-per-doc — the
+    same skew bound PMI relies on), one per-doc groupBy, zero float
+    (half-up integer division mirrored as DuckDB BIGINT //)."""
+    from ..llm.textanalysis import oov_rate
+
+    d = _t(spark, sf_dir, "documents")
+    return oov_rate(d, "doc_id", "text", min_count=5)
+
+
+_install_oov_sql()
+
+
+def _install_acf_sql() -> None:
+    from ..operators.profile import acf_by_sql
+
+    inner = acf_by_sql(
+        "SELECT event_type AS g, CAST(ts AS DATE) AS o, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x "
+        "FROM events GROUP BY event_type, CAST(ts AS DATE)",
+        lags=(1, 2, 3),
+    )
+    QUERIES["acf_events"]["sql"] = (
+        f"SELECT g AS event_type, n, acf_1, acf_2, acf_3 FROM ({inner}) a"
+    )
+
+
+@register("acf_events", sql=None)  # SQL installed below (generated)
+def acf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type lag-1/2/3 autocorrelation of the DAILY value series
+    (operators/profile.py::acf_by) — the persistence/periodicity screen
+    that complements the drift story (``ols_trend_events`` finds slope;
+    ACF finds "does yesterday predict today"). The series is aggregated
+    first (map-side-combinable (type, day) groupBy — the ACF window then
+    sorts ~31 rows per group, not events), every lag shares ONE
+    exchange+sort (identical window spec), and numerator/denominator are
+    exact DECIMAL(38,0) with one double division per lag. The n^2-scaled
+    integer algebra is sized for AGGREGATED series by contract — the
+    docstring pins the 38-digit envelope."""
+    from ..operators.profile import acf_by
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    return acf_by(daily, "event_type", "day", "cents", lags=(1, 2, 3))
+
+
+_install_acf_sql()
+
+
+def _install_seasonal_sql() -> None:
+    from ..operators.profile import seasonal_index_by_sql
+
+    inner = seasonal_index_by_sql(
+        "SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS slot, "
+        "CAST(round(value * 100) AS BIGINT) AS x FROM events"
+    )
+    QUERIES["seasonality_hourly_events"]["sql"] = (
+        f"SELECT g AS event_type, slot AS hour_of_day, n_s, slot_total, index_bp "
+        f"FROM ({inner}) s"
+    )
+
+
+@register("seasonality_hourly_events", sql=None)  # SQL installed below
+def seasonality_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal index per event type in EXACT basis points
+    (operators/profile.py::seasonal_index_by): 10000 = the hour runs at
+    the type's average value, computed as the exact rational
+    (sum_hour * n_total) / (n_hour * sum_total) through half-up integer
+    division — Spark DECIMAL(38,0) pmod mirrored as DuckDB HUGEINT //,
+    so there is NO float boundary anywhere (the quality_score sf0.1
+    lesson, applied from day one). One (type, hour) map-side groupBy
+    over the scan, one type-level groupBy over the 24-row-per-type slot
+    frame, broadcast join back. Output bounded by |types| * 24."""
+    from ..operators.profile import seasonal_index_by
+
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = seasonal_index_by(q, "event_type", "hod", "cents")
+    return out.select(
+        "event_type",
+        F.col("slot").alias("hour_of_day"),
+        "n_s",
+        "slot_total",
+        "index_bp",
+    )
+
+
+_install_seasonal_sql()
+
+
+def _install_paths_sql() -> None:
+    from ..operators.windows import session_paths_sql
+
+    QUERIES["session_paths_events"]["sql"] = session_paths_sql(
+        gap_minutes=30, max_len=5, top_k=20
+    )
+
+
+@register("session_paths_events", sql=None)  # SQL installed below (generated)
+def session_paths_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session journey paths (operators/windows.py::session_paths):
+    30-minute-gap sessions (the session_windows_events contract), each
+    truncated to its first 5 event types and joined into a path string,
+    counted and ranked deterministically (count DESC, path ASC). Two
+    per-user linear window passes, a groupBy carrying <= 5 structs per
+    session, a map-side-combinable path count, TakeOrderedAndProject for
+    the top-K, and bounded_running's broadcast self-join for ranks on the
+    20-row frame — no single-partition WindowExec."""
+    from ..operators.windows import session_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return session_paths(ev, gap_minutes=30, max_len=5, top_k=20)
+
+
+_install_paths_sql()
+
+
+def _install_mw_sql() -> None:
+    from ..operators.profile import rank_sum_auc_by_sql
+
+    inner = rank_sum_auc_by_sql(
+        "SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS x, "
+        "user_id % 2 = 1 AS s FROM events"
+    )
+    QUERIES["mannwhitney_auc_events"]["sql"] = (
+        f"SELECT g AS event_type, n_a, n_b, u_stat, auc FROM ({inner}) mw"
+    )
+
+
+@register("mannwhitney_auc_events", sql=None)  # SQL installed below
+def mannwhitney_auc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Mann-Whitney U / exact ROC-AUC over the same odd/even
+    cohort split as ``ab_test_events`` (operators/profile.py::
+    rank_sum_auc_by) — the nonparametric third leg of the experiment
+    toolkit: Welch tests the MEAN, KS the whole CDF, U/AUC the stochastic
+    ordering P(B > A), computed exactly with midrank ties (doubled-rank
+    integer algebra in DECIMAL(38,0), one terminal division). Same shape
+    as KS: one (group, value) map-side-combinable groupBy, one per-group
+    cumulative window over DISTINCT values, totals broadcast."""
+    from ..operators.profile import rank_sum_auc_by
+
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        (F.col("user_id") % 2 == 1).alias("is_b"),
+    )
+    return rank_sum_auc_by(q, "event_type", "v_cents", "is_b")
+
+
+_install_mw_sql()
+
+
+def _install_rfm_sql() -> None:
+    from ..operators.profile import rfm_segments_sql
+
+    QUERIES["rfm_segments_orders"]["sql"] = rfm_segments_sql()
+
+
+@register("rfm_segments_orders", sql=None)  # SQL installed below (generated)
+def rfm_segments_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer RFM segmentation (operators/profile.py::rfm_segments):
+    recency/frequency/monetary quintile scores per customer, rolled up to
+    the at-most-125-cell segment grid. Built WITHOUT a global ntile: each
+    metric's four quintile thresholds come from running_totals' two-phase
+    cumulative sum over the DISTINCT-value frame and are broadcast back as
+    ONE row — ties share a score, scores are assigned scan-locally, and no
+    no-partition WindowExec exists anywhere in the plan (the
+    pareto_revenue_customers lesson, reapplied). All integers: days,
+    counts, cents."""
+    from ..operators.profile import rfm_segments
+
+    o = _t(spark, sf_dir, "orders")
+    return rfm_segments(o)
+
+
+_install_rfm_sql()
+
+
+@register(
+    "dau_mau_events",
+    sql="""
+WITH d AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY day),
+m AS (
+  SELECT DISTINCT date_trunc('month', CAST(ts AS DATE)) AS mon, user_id
+  FROM events
+),
+mau AS (SELECT mon, CAST(count(*) AS BIGINT) AS mau FROM m GROUP BY mon)
+SELECT dau.day, dau.dau, mau.mau,
+       CAST((CAST(2 AS BIGINT) * 10000 * dau.dau + mau.mau)
+            // (CAST(2 AS BIGINT) * mau.mau) AS BIGINT) AS stickiness_bp
+FROM dau JOIN mau ON date_trunc('month', dau.day) = mau.mon
+""",
+)
+def dau_mau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness — the product-engagement pulse: daily active
+    users, the month's active users, and their ratio in EXACT basis
+    points (half-up integer division; no float surface). Two
+    distinct-then-count ladders — groupBy(day, user) / groupBy(month,
+    user) collapse duplicates map-side BEFORE the exchange (never a
+    count_distinct expand over the raw stream), then day-level and
+    month-level counts over the already-distinct frames, joined on the
+    month key (month frame is months x users -> the join side after
+    counting is months-sized; broadcast). At 100 TB the distinct frames
+    are bounded by |days| x |users| and |months| x |users|."""
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.select(F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    )
+    m = (
+        ev.select(
+            F.trunc(F.col("ts").cast("date"), "month").alias("mon"), "user_id"
+        )
+        .distinct()
+        .groupBy("mon")
+        .agg(F.count(F.lit(1)).cast("long").alias("mau"))
+    )
+    j = d.join(
+        F.broadcast(m), F.trunc(F.col("day"), "month") == F.col("mon")
+    )
+    num = F.lit(2).cast("long") * 10000 * F.col("dau") + F.col("mau")
+    den = F.lit(2).cast("long") * F.col("mau")
+    bp = ((num - F.pmod(num, den)).cast("decimal(38,0)") / den.cast("decimal(38,0)")).cast("long")
+    return j.select("day", "dau", "mau", bp.alias("stickiness_bp"))

@@ -1,0 +1,359 @@
+"""Round-12 second wave: Welch t-test, Gini, FD audit, OOV rate, ACF,
+seasonal index, session paths — hand-computed fixtures plus the plan-shape
+assertions that carry the 100 TB claims (single map-side groupBy for Welch,
+one shared exchange+sort for every ACF lag, no cartesian anywhere)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from migdar_data_pipelines_spark.llm.textanalysis import oov_rate
+from migdar_data_pipelines_spark.operators.profile import (
+    acf_by,
+    gini_by,
+    seasonal_index_by,
+    welch_ttest_by,
+)
+from migdar_data_pipelines_spark.operators.validate import fd_audit
+from migdar_data_pipelines_spark.operators.windows import session_paths
+
+
+def _formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------- Welch
+
+
+def test_welch_hand_case(spark):
+    # A = {1,2,3}: mean 2, var 1.  B = {2,4,6}: mean 4, var 4.
+    # se2 = 1/3 + 4/3 = 5/3; t = 2/sqrt(5/3); df = (5/3)^2 / ((1/9+16/9)/2)
+    rows = [("g", 1, False), ("g", 2, False), ("g", 3, False),
+            ("g", 2, True), ("g", 4, True), ("g", 6, True)]
+    df = spark.createDataFrame(rows, "g string, x int, s boolean")
+    r = welch_ttest_by(df, "g", "x", "s").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["mean_a"] == pytest.approx(2.0)
+    assert r["mean_b"] == pytest.approx(4.0)
+    assert r["t_stat"] == pytest.approx(2.0 / (5.0 / 3.0) ** 0.5, abs=1e-6)
+    assert r["df_welch"] == pytest.approx(50.0 / 17.0, abs=1e-6)
+
+
+def test_welch_constant_sides_null_t(spark):
+    rows = [("g", 5, False), ("g", 5, False), ("g", 5, True), ("g", 5, True)]
+    df = spark.createDataFrame(rows, "g string, x int, s boolean")
+    r = welch_ttest_by(df, "g", "x", "s").collect()[0]
+    assert r["t_stat"] is None and r["df_welch"] is None
+
+
+def test_welch_small_side_null(spark):
+    rows = [("g", 1, False), ("g", 3, False), ("g", 9, True)]
+    df = spark.createDataFrame(rows, "g string, x int, s boolean")
+    r = welch_ttest_by(df, "g", "x", "s").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 1)
+    assert r["t_stat"] is None  # n_b < 2: no variance
+
+
+def test_welch_plan_no_window_no_join(spark):
+    rows = [("g", 1, False), ("g", 2, True)]
+    df = spark.createDataFrame(rows, "g string, x int, s boolean")
+    plan = _formatted_plan(welch_ttest_by(df, "g", "x", "s"))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------------------------- Gini
+
+
+def test_gini_equal_values_zero(spark):
+    df = spark.createDataFrame([("g", 5)] * 4, "g string, x int")
+    assert gini_by(df, "g", "x").collect()[0]["gini"] == 0.0
+
+
+def test_gini_concentrated(spark):
+    # x sorted [0, 0, 10]: G = (2*30 - 4*10) / (3*10) = 2/3
+    df = spark.createDataFrame(
+        [("g", 0), ("g", 0), ("g", 10)], "g string, x int"
+    )
+    r = gini_by(df, "g", "x").collect()[0]
+    assert r["gini"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert r["total"] == 10.0
+
+
+def test_gini_zero_total_null(spark):
+    df = spark.createDataFrame([("g", 0), ("g", 0)], "g string, x int")
+    assert gini_by(df, "g", "x").collect()[0]["gini"] is None
+
+
+# -------------------------------------------------------------- FD audit
+
+
+def test_fd_audit_hand_case(spark):
+    rows = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")]
+    df = spark.createDataFrame(rows, "d string, dep string")
+    r = fd_audit(df, ["d"], "dep").collect()[0]
+    assert r["n_classes"] == 2
+    assert r["n_violating"] == 1
+    assert r["n_rows"] == 4
+    assert r["n_violating_rows"] == 3
+    assert r["repair_cost"] == 1  # delete the single 'y' row
+
+
+def test_fd_audit_holds(spark):
+    rows = [("a", "x"), ("a", "x"), ("b", "y")]
+    df = spark.createDataFrame(rows, "d string, dep string")
+    r = fd_audit(df, ["d"], "dep").collect()[0]
+    assert r["n_violating"] == 0 and r["repair_cost"] == 0
+
+
+def test_fd_audit_nulls_excluded(spark):
+    rows = [("a", "x"), ("a", None), (None, "y")]
+    df = spark.createDataFrame(rows, "d string, dep string")
+    r = fd_audit(df, ["d"], "dep").collect()[0]
+    assert r["n_rows"] == 1 and r["n_classes"] == 1
+
+
+# -------------------------------------------------------------- OOV rate
+
+
+def test_oov_rate_hand_case(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in oov_rate(docs, min_count=2).collect()}
+    # freqs: a=3, b=1, c=1 -> below min_count: b, c
+    assert (out[1]["n_tokens"], out[1]["n_oov"], out[1]["oov_bp"]) == (3, 1, 3333)
+    assert (out[2]["n_tokens"], out[2]["n_oov"], out[2]["oov_bp"]) == (2, 1, 5000)
+
+
+def test_oov_rate_half_up_boundary(spark):
+    # 1 oov of 8 tokens: 1250 exactly; 1 of 3: 3333.33 -> 3333;
+    # 1 of 6: 1666.66 -> 1667 (half-up on the .5-free case is plain nearest)
+    docs = spark.createDataFrame(
+        [(1, "z " + "a " * 5 + "a")], "doc_id long, text string"
+    )
+    r = oov_rate(docs, min_count=2).collect()[0]
+    assert r["n_tokens"] == 7 and r["n_oov"] == 1
+    assert r["oov_bp"] == 1429  # 10000/7 = 1428.57 -> 1429
+
+
+def test_oov_empty_doc_absent(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a"), (2, "   ")], "doc_id long, text string"
+    )
+    ids = [r["doc_id"] for r in oov_rate(docs, min_count=1).collect()]
+    assert ids == [1]
+
+
+# ------------------------------------------------------------------ ACF
+
+
+def test_acf_hand_case(spark):
+    # x = [1,2,3,4]: acf(1) = 0.25, acf(2) = -0.3, acf(3) = -0.45
+    rows = [("g", i, v) for i, v in enumerate([1, 2, 3, 4], 1)]
+    df = spark.createDataFrame(rows, "g string, o int, x int")
+    r = acf_by(df, "g", "o", "x", lags=(1, 2, 3)).collect()[0]
+    assert r["acf_1"] == pytest.approx(0.25, abs=1e-6)
+    assert r["acf_2"] == pytest.approx(-0.3, abs=1e-6)
+    assert r["acf_3"] == pytest.approx(-0.45, abs=1e-6)
+
+
+def test_acf_constant_series_null(spark):
+    rows = [("g", i, 7) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, o int, x int")
+    r = acf_by(df, "g", "o", "x", lags=(1,)).collect()[0]
+    assert r["acf_1"] is None  # zero variance
+
+
+def test_acf_short_series_null(spark):
+    rows = [("g", 1, 1), ("g", 2, 5)]
+    df = spark.createDataFrame(rows, "g string, o int, x int")
+    r = acf_by(df, "g", "o", "x", lags=(1, 3)).collect()[0]
+    assert r["acf_3"] is None  # n <= k
+
+
+def test_acf_single_window_exchange(spark):
+    rows = [("g", i, i * i % 7) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, o int, x int")
+    plan = _formatted_plan(acf_by(df, "g", "o", "x", lags=(1, 2, 3)))
+    n_windows = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and line.split(") ", 1)[-1].startswith("Window")
+    )
+    assert n_windows == 1  # all lags fold into one Window node
+    assert "CartesianProduct" not in plan
+
+
+# -------------------------------------------------------- Seasonal index
+
+
+def test_seasonal_index_hand_case(spark):
+    # slot0: n=2 sum=30; slot1: n=1 sum=30; totals n=3 sum=60
+    rows = [("g", 0, 10), ("g", 0, 20), ("g", 1, 30)]
+    df = spark.createDataFrame(rows, "g string, slot int, x int")
+    out = {r["slot"]: r for r in seasonal_index_by(df, "g", "slot", "x").collect()}
+    assert out[0]["index_bp"] == 7500
+    assert out[1]["index_bp"] == 15000
+    assert out[0]["n_s"] == 2 and out[0]["slot_total"] == 30.0
+
+
+def test_seasonal_index_uniform_10000(spark):
+    rows = [("g", s, 50) for s in range(4) for _ in range(3)]
+    df = spark.createDataFrame(rows, "g string, slot int, x int")
+    assert all(
+        r["index_bp"] == 10000
+        for r in seasonal_index_by(df, "g", "slot", "x").collect()
+    )
+
+
+def test_seasonal_index_half_up(spark):
+    # slot0 mean 1 vs overall mean 1.5: ratio 2/3 -> 6666.66 -> 6667
+    rows = [("g", 0, 1), ("g", 1, 2)]
+    df = spark.createDataFrame(rows, "g string, slot int, x int")
+    out = {r["slot"]: r["index_bp"]
+           for r in seasonal_index_by(df, "g", "slot", "x").collect()}
+    assert out == {0: 6667, 1: 13333}
+
+
+# --------------------------------------------------------- Session paths
+
+
+def test_session_paths_hand_case(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: one session a>b>c (events 5 min apart)
+        (1, t0, 1, "a"), (1, t0 + dt.timedelta(minutes=5), 2, "b"),
+        (1, t0 + dt.timedelta(minutes=10), 3, "c"),
+        # user 1: gap > 30 min starts a second session, path "a"
+        (1, t0 + dt.timedelta(hours=2), 4, "a"),
+        # user 2: single-event session "a"
+        (2, t0, 5, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = session_paths(df, gap_minutes=30, max_len=5, top_k=10).collect()
+    got = [(r["path"], r["n_sessions"], r["rank"]) for r in out]
+    assert got == [("a", 2, 1), ("a>b>c", 1, 2)]
+
+
+def test_session_paths_truncates(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=i), i, t) for i, t in enumerate("abcdefg")
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = session_paths(df, gap_minutes=30, max_len=3, top_k=5).collect()
+    assert [r["path"] for r in out] == ["a>b>c"]
+
+
+def test_session_paths_no_cartesian_no_global_window(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(u, t0 + dt.timedelta(minutes=i), u * 100 + i, "a")
+            for u in (1, 2) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    plan = _formatted_plan(session_paths(df))
+    assert "CartesianProduct" not in plan
+    # every Window node is keyed (no empty-partition global window)
+    for line in plan.splitlines():
+        if "PartitionBy" in line:
+            assert "PartitionBy: []" not in line
+
+
+# ------------------------------------------------- Mann-Whitney / AUC
+
+
+def test_rank_sum_auc_hand_case_with_tie(spark):
+    # A = {1,2}, B = {2,3}: pairwise wins 3 + tie 0.5 -> AUC 3.5/4
+    rows = [("g", 1, False), ("g", 2, False), ("g", 2, True), ("g", 3, True)]
+    df = spark.createDataFrame(rows, "g string, x int, s boolean")
+    from migdar_data_pipelines_spark.operators.profile import rank_sum_auc_by
+
+    r = rank_sum_auc_by(df, "g", "x", "s").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 2)
+    assert r["u_stat"] == pytest.approx(3.5)
+    assert r["auc"] == pytest.approx(0.875, abs=1e-6)
+
+
+def test_rank_sum_auc_separation_and_symmetry(spark):
+    from migdar_data_pipelines_spark.operators.profile import rank_sum_auc_by
+
+    rows = [("g", 1, False), ("g", 2, False), ("g", 5, True), ("g", 6, True)]
+    df = spark.createDataFrame(rows, "g string, x int, s boolean")
+    assert rank_sum_auc_by(df, "g", "x", "s").collect()[0]["auc"] == 1.0
+    flipped = df.withColumn("s", ~F.col("s"))
+    assert rank_sum_auc_by(flipped, "g", "x", "s").collect()[0]["auc"] == 0.0
+
+
+def test_rank_sum_auc_identical_is_half(spark):
+    from migdar_data_pipelines_spark.operators.profile import rank_sum_auc_by
+
+    rows = [("g", v, s) for v in (1, 2, 3) for s in (False, True)]
+    df = spark.createDataFrame(rows, "g string, x int, s boolean")
+    assert rank_sum_auc_by(df, "g", "x", "s").collect()[0]["auc"] == 0.5
+
+
+# -------------------------------------------------------------- RFM
+
+
+def test_rfm_hand_case(spark):
+    import datetime as dt
+
+    rows = [
+        (c, dt.datetime(2024, 1, c), 10.0 * c) for c in range(1, 6)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    from migdar_data_pipelines_spark.operators.profile import rfm_segments
+
+    out = {
+        (r["r_score"], r["f_score"], r["m_score"]): r
+        for r in rfm_segments(df).collect()
+    }
+    # one order each: f_score 1 for all; recency and monetary fan 1..5
+    assert set(out) == {(i, 1, i) for i in range(1, 6)}
+    assert all(r["n_entities"] == 1 for r in out.values())
+    assert out[(5, 1, 5)]["monetary_cents"] == 5000  # newest, biggest spender
+
+
+def test_rfm_ties_share_scores(spark):
+    import datetime as dt
+
+    rows = [(c, dt.datetime(2024, 1, 1), 10.0) for c in range(1, 7)]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    from migdar_data_pipelines_spark.operators.profile import rfm_segments
+
+    out = rfm_segments(df).collect()
+    assert len(out) == 1  # every entity identical -> one segment cell
+    assert out[0]["n_entities"] == 6
+
+
+def test_rfm_no_global_window(spark):
+    import datetime as dt
+
+    rows = [(c, dt.datetime(2024, 1, 1 + c % 3), 5.0 * c) for c in range(1, 9)]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    from migdar_data_pipelines_spark.operators.profile import rfm_segments
+
+    plan = _formatted_plan(rfm_segments(df))
+    for line in plan.splitlines():
+        if "PartitionBy" in line:
+            assert "PartitionBy: []" not in line

@@ -88,6 +88,23 @@ PICK = {
         "Linear interpolation: both IGNORE NULLS frames share ONE "
         "exchange+sort per key"
     ),
+    "ab_test_events": (
+        "Welch t-test: ONE map-side-combinable groupBy, six integers per "
+        "group on the shuffle — no window, no join"
+    ),
+    "acf_events": (
+        "Lag-k ACF: all three lags fold into ONE Window node over one "
+        "exchange+sort of the pre-aggregated daily frame"
+    ),
+    "session_paths_events": (
+        "Session paths: two per-user linear window passes, "
+        "TakeOrderedAndProject top-K, bounded_running broadcast ranks — "
+        "no single-partition WindowExec"
+    ),
+    "oov_rate_documents": (
+        "OOV rate: (doc, term) pair groupBy, term totals over the PAIR "
+        "frame, term-keyed join with at-most-one-row-per-doc hot-key bound"
+    ),
 }
 
 
