@@ -439,3 +439,100 @@ SELECT s.n_nodes, s.n_edges, s.n_wedges, t.n_triangles,
                        / CAST(s.n_wedges AS DOUBLE) END, 6) AS transitivity
 FROM stats s CROSS JOIN tri t
 """
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of an undirected
+    graph — does high-degree connect to high-degree? The one-number
+    structural complement to ``triangle_count``'s clustering story:
+    similarity/near-dup graphs with strong positive assortativity have
+    core-periphery hub structure (dedup groups will chain), negative
+    assortativity means hub-to-leaf star shapes (groups stay shallow).
+
+        r = (M*S_jk - S_j^2) / (M*S_jj - S_j^2)
+
+    over the BOTH-orientations directed edge list (M = 2m), where by
+    symmetry the j- and k-marginals coincide: S_j = sum(deg_a + deg_b),
+    S_jj = sum(deg_a^2 + deg_b^2), S_jk = 2 * sum(deg_a * deg_b), summed
+    over undirected edges. All moments are exact DECIMAL(38,0); ONE double
+    division at the end (round 6), NULL when the degree variance is zero
+    (regular graphs have no defined assortativity).
+
+    Shape at scale: canonical-edge dedup groupBy, degree groupBy over the
+    endpoint explosion, TWO degree joins onto the edge frame (each a plain
+    equi-join on a node id — the hub key carries deg(hub) rows, the same
+    bound every per-edge-degree algorithm pays), one scalar aggregate.
+    No orientation needed — the statistic is already symmetric."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+    d = nodes.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    j = (
+        e.join(d.select(F.col("n").alias("a"), F.col("deg").alias("da")), "a")
+        .join(d.select(F.col("n").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    dec = "decimal(38,0)"
+    da = F.col("da").cast(dec)
+    db = F.col("db").cast(dec)
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(da + db).alias("sj"),
+        F.sum(da * da + db * db).alias("sjj"),
+        F.sum(F.lit(2).cast(dec) * da * db).alias("sjk"),
+    )
+    n_nodes = d.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    big_m = (F.lit(2).cast(dec) * F.col("m").cast(dec))
+    num = big_m * F.col("sjk") - F.col("sj") * F.col("sj")
+    den = big_m * F.col("sjj") - F.col("sj") * F.col("sj")
+    r = F.when(den != 0, num.cast("double") / den.cast("double"))
+    return (
+        agg.crossJoin(F.broadcast(n_nodes))
+        .select(
+            "n_nodes",
+            F.col("m").alias("n_edges"),
+            F.round(r, 6).alias("assortativity"),
+        )
+    )
+
+
+def degree_assortativity_sql(edges_sql: str) -> str:
+    """Generated DuckDB mirror of ``degree_assortativity``: ``edges_sql``
+    yields (a, b); same canonicalization, same symmetric integer moments,
+    one terminal division."""
+    return f"""
+WITH e0 AS ({edges_sql}),
+e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      FROM e0 WHERE a <> b),
+d AS (SELECT n, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+      GROUP BY n),
+j AS (
+  SELECT CAST(da.deg AS DECIMAL(38,0)) AS da, CAST(db.deg AS DECIMAL(38,0)) AS db
+  FROM e JOIN d da ON e.a = da.n JOIN d db ON e.b = db.n
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         sum(da + db) AS sj,
+         sum(da * da + db * db) AS sjj,
+         sum(CAST(2 AS DECIMAL(38,0)) * da * db) AS sjk
+  FROM j
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM d)
+SELECT nn.n_nodes, agg.m AS n_edges,
+       round(CASE WHEN CAST(2 AS DECIMAL(38,0)) * CAST(agg.m AS DECIMAL(38,0))
+                       * agg.sjj - agg.sj * agg.sj <> 0
+                  THEN CAST(CAST(2 AS DECIMAL(38,0)) * CAST(agg.m AS DECIMAL(38,0))
+                            * agg.sjk - agg.sj * agg.sj AS DOUBLE)
+                       / CAST(CAST(2 AS DECIMAL(38,0)) * CAST(agg.m AS DECIMAL(38,0))
+                              * agg.sjj - agg.sj * agg.sj AS DOUBLE)
+             END, 6) AS assortativity
+FROM agg CROSS JOIN nn
+"""

@@ -1745,3 +1745,145 @@ SELECT r_score, f_score, m_score,
        CAST(sum(mon) AS BIGINT) AS monetary_cents
 FROM scored GROUP BY r_score, f_score, m_score
 """
+
+
+def score_lift_deciles(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Classifier calibration / lift table — the ML-eval companion to the
+    exact AUC (``rank_sum_auc_by``): bucket entities into score deciles
+    and report, per decile, the positive rate and the lift over the base
+    rate. AUC says "the ranking is good"; the lift table says WHERE the
+    ranking earns its keep (which decile to threshold for a
+    quality-filtered corpus cut).
+
+    Deciles reuse the RFM threshold machinery — NO global ntile: the nine
+    boundary values t_k = min{v : cum(v) >= ceil(k*n/10)} come from
+    ``running_totals``' two-phase cumulative sum over the DISTINCT-score
+    frame, broadcast back as ONE row; decile(x) = 1 + sum_k [x > t_k]
+    (1 = lowest scores). Ties share a decile, so decile populations are
+    only approximately n/10 under heavy ties — the deterministic,
+    semantically-correct trade (ntile splits ties arbitrarily).
+
+    Exact integers end to end: pos_rate_bp = half_up(10^4 * pos / n) and
+    lift_bp = half_up(10^4 * pos * N / (n * POS)) via the pmod floor-div
+    form in DECIMAL(38,0) (DuckDB mirror uses HUGEINT //); no float
+    surface at all. NULL lift when POS = 0.
+
+    Shape at scale: one distinct-score groupBy + two-phase cumsum +
+    1-row broadcast, one scan-local decile assignment, one 10-key
+    groupBy, one 1-row totals broadcast."""
+    from ..operators.caching import scoped_persist
+    from ..operators.windows import running_totals
+
+    dec = "decimal(38,0)"
+    base = scoped_persist(
+        df.where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .select(
+            F.col(score_col).cast("long").alias("x"),
+            F.col(label_col).cast("boolean").alias("y"),
+        )
+    )
+    c = base.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = running_totals(c, "cnt", order_by=[("x", "asc")], cum_col="cum").select(
+        "x", F.col("cum").cast("long").alias("cum")
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("pos_total"),
+    )
+    jt = cum.crossJoin(F.broadcast(tot))
+    aggs = []
+    for k in range(1, 10):
+        knk = F.lit(k) * F.col("n_total") + 9
+        q = ((knk - F.pmod(knk, 10)) / 10).cast("long")
+        aggs.append(F.min(F.when(F.col("cum") >= q, F.col("x"))).alias(f"t{k}"))
+    thr = F.broadcast(jt.groupBy().agg(*aggs))
+
+    decile = F.lit(1)
+    for k in range(1, 10):
+        decile = decile + F.when(F.col("x") > F.col(f"t{k}"), 1).otherwise(0)
+    scored = base.crossJoin(thr).select(
+        decile.cast("long").alias("decile"), "y"
+    )
+    g = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("long").alias("n_pos"),
+    )
+    g = g.crossJoin(F.broadcast(tot))
+
+    def half_up(a: "F.Column", b: "F.Column") -> "F.Column":
+        num = F.lit(2).cast(dec) * a + b
+        exact = num - F.pmod(num, F.lit(2).cast(dec) * b)
+        return (exact / (F.lit(2).cast(dec) * b)).cast("long")
+
+    rate_bp = half_up(
+        F.lit(10000).cast(dec) * F.col("n_pos").cast(dec), F.col("n").cast(dec)
+    )
+    lift_bp = F.when(
+        F.col("pos_total") > 0,
+        half_up(
+            F.lit(10000).cast(dec)
+            * F.col("n_pos").cast(dec)
+            * F.col("n_total").cast(dec),
+            F.col("n").cast(dec) * F.col("pos_total").cast(dec),
+        ),
+    )
+    return g.select(
+        "decile",
+        "n",
+        "n_pos",
+        rate_bp.alias("pos_rate_bp"),
+        lift_bp.alias("lift_bp"),
+    )
+
+
+def score_lift_deciles_sql(rows_sql: str) -> str:
+    """Generated DuckDB mirror of ``score_lift_deciles``: expects
+    ``rows_sql`` to yield (x, y) with x integer and y boolean; same
+    ECDF thresholds, same HUGEINT half-up divisions."""
+    picks = ", ".join(
+        f"min(CASE WHEN cum >= ({k} * n_total + 9) // 10 THEN x END) AS t{k}"
+        for k in range(1, 10)
+    )
+    dec_expr = "1 + " + " + ".join(
+        f"(CASE WHEN b.x > t.t{k} THEN 1 ELSE 0 END)" for k in range(1, 10)
+    )
+    return f"""
+WITH base AS (
+  SELECT CAST(x AS BIGINT) AS x, CAST(y AS BOOLEAN) AS y FROM ({rows_sql}) r
+  WHERE x IS NOT NULL AND y IS NOT NULL
+),
+c AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY x),
+cum AS (
+  SELECT x, CAST(sum(cnt) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM c
+),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos_total
+  FROM base
+),
+thr AS (SELECT {picks} FROM cum CROSS JOIN tot),
+scored AS (
+  SELECT CAST({dec_expr} AS BIGINT) AS decile, b.y
+  FROM base b CROSS JOIN thr t
+),
+g AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+  FROM scored GROUP BY decile
+)
+SELECT g.decile, g.n, g.n_pos,
+       CAST((CAST(2 AS HUGEINT) * 10000 * g.n_pos + g.n)
+            // (CAST(2 AS HUGEINT) * g.n) AS BIGINT) AS pos_rate_bp,
+       CASE WHEN t.pos_total > 0 THEN
+         CAST((CAST(2 AS HUGEINT) * 10000 * CAST(g.n_pos AS HUGEINT)
+               * CAST(t.n_total AS HUGEINT)
+               + CAST(g.n AS HUGEINT) * CAST(t.pos_total AS HUGEINT))
+              // (CAST(2 AS HUGEINT) * CAST(g.n AS HUGEINT)
+                  * CAST(t.pos_total AS HUGEINT)) AS BIGINT)
+       END AS lift_bp
+FROM g CROSS JOIN tot t
+"""

@@ -6613,3 +6613,85 @@ def dau_mau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.lit(2).cast("long") * F.col("mau")
     bp = ((num - F.pmod(num, den)).cast("decimal(38,0)") / den.cast("decimal(38,0)")).cast("long")
     return j.select("day", "dau", "mau", bp.alias("stickiness_bp"))
+
+
+def _install_assort_sql() -> None:
+    from ..operators.graph import degree_assortativity_sql
+
+    knn_edges = f"""
+WITH ke AS (SELECT vec_id AS id, embedding FROM embeddings),
+cx AS (
+  SELECT ka.id AS qid, kb.id AS cid,
+         round({_COS.replace('qv', 'ka.embedding').replace('cv', 'kb.embedding')},
+               4) AS c
+  FROM ke ka, ke kb WHERE ka.id <> kb.id
+),
+ranked AS (
+  SELECT qid, cid, c,
+         row_number() OVER (PARTITION BY qid ORDER BY c DESC, cid) AS rk
+  FROM cx
+)
+SELECT qid AS a, cid AS b FROM ranked WHERE rk <= 3
+"""
+    QUERIES["assortativity_knn_embeddings"]["sql"] = degree_assortativity_sql(
+        knn_edges
+    )
+
+
+@register("assortativity_knn_embeddings", sql=None)  # SQL installed below
+def assortativity_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the exact top-3 cosine kNN graph
+    (operators/graph.py::degree_assortativity) — does high-degree connect
+    to high-degree? The one-number structural screen next to
+    ``triangle_count_knn_embeddings``'s clustering census: positive r
+    means hub-core chaining (dedup groups will snowball), negative means
+    star shapes (groups stay shallow). Symmetric exact-integer moments
+    over the canonical edge list (M*S_jk − S_j² over M*S_jj − S_j², all
+    DECIMAL(38,0)), two degree equi-joins, one scalar aggregate, one
+    terminal division. Edge kernel shared with the triangle census
+    (exact kNN as the oracle gate; production swaps the IVF graph)."""
+    from ..llm.similarity import knn_graph
+    from ..operators.graph import degree_assortativity
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edges = knn_graph(e, "vec_id", "embedding", k=3, strategy="exact")
+    return degree_assortativity(edges, "query_id", "neighbour_id")
+
+
+_install_assort_sql()
+
+
+def _install_lift_sql() -> None:
+    from ..llm.curation import md5_bucket_sql
+    from ..operators.profile import score_lift_deciles_sql
+
+    score = md5_bucket_sql("text", 3)
+    seeded = "text || 'x'"  # literal 'x' suffix — NOT the lateral alias x
+    label = f"({md5_bucket_sql(seeded, 3)} < {score})"
+    QUERIES["score_lift_documents"]["sql"] = score_lift_deciles_sql(
+        f"SELECT {score} AS x, {label} AS y FROM documents"
+    )
+
+
+@register("score_lift_documents", sql=None)  # SQL installed below (generated)
+def score_lift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier lift/calibration table over a deterministic synthetic
+    score (operators/profile.py::score_lift_deciles): score = 3-hex-digit
+    md5 bucket of the text, label = a second independent md5 bucket below
+    the score — so P(label) rises with the score and the top decile shows
+    real lift, all engine-portable through the shared md5_bucket fold.
+    AUC (``mannwhitney_auc_events``) grades the ranking; this table says
+    WHERE to threshold a quality-filtered corpus cut. Deciles via the
+    RFM ECDF-threshold machinery (no global ntile); all rates/lifts are
+    exact basis points (DECIMAL(38,0) pmod ≡ DuckDB HUGEINT //)."""
+    from ..llm.curation import md5_bucket
+    from ..operators.profile import score_lift_deciles
+
+    d = _t(spark, sf_dir, "documents")
+    score = md5_bucket("text", 3)
+    label = md5_bucket(F.concat(F.col("text"), F.lit("x")), 3) < score
+    q = d.select(score.alias("score"), label.alias("label"))
+    return score_lift_deciles(q, "score", "label")
+
+
+_install_lift_sql()

@@ -357,3 +357,87 @@ def test_rfm_no_global_window(spark):
     for line in plan.splitlines():
         if "PartitionBy" in line:
             assert "PartitionBy: []" not in line
+
+
+# ------------------------------------------------- Degree assortativity
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from migdar_data_pipelines_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert (r["n_nodes"], r["n_edges"]) == (4, 3)
+    assert r["assortativity"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_assortativity_path_p4(spark):
+    # P4 path graph: known r = -0.5
+    from migdar_data_pipelines_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r["assortativity"] == pytest.approx(-0.5, abs=1e-6)
+
+
+def test_assortativity_regular_graph_null(spark):
+    # 4-cycle: every degree 2 -> zero degree variance -> NULL
+    from migdar_data_pipelines_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r["assortativity"] is None
+
+
+def test_assortativity_dedups_and_canonicalizes(spark):
+    from migdar_data_pipelines_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 1), (0, 0), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r["n_edges"] == 3  # (0,1) once, self-loop dropped
+
+
+# ----------------------------------------------------- Score lift table
+
+
+def test_score_lift_hand_case(spark):
+    from migdar_data_pipelines_spark.operators.profile import score_lift_deciles
+
+    rows = [(x, x > 15) for x in range(1, 21)]
+    df = spark.createDataFrame(rows, "x int, y boolean")
+    out = {r["decile"]: r for r in score_lift_deciles(df, "x", "y").collect()}
+    assert set(out) == set(range(1, 11))
+    assert all(r["n"] == 2 for r in out.values())
+    assert out[10]["n_pos"] == 2 and out[10]["pos_rate_bp"] == 10000
+    assert out[10]["lift_bp"] == 40000  # 1.0 over base rate 0.25
+    assert out[8]["n_pos"] == 1 and out[8]["lift_bp"] == 20000
+    assert out[1]["n_pos"] == 0 and out[1]["lift_bp"] == 0
+
+
+def test_score_lift_ties_collapse(spark):
+    from migdar_data_pipelines_spark.operators.profile import score_lift_deciles
+
+    rows = [(7, i % 3 == 0) for i in range(9)]
+    df = spark.createDataFrame(rows, "x int, y boolean")
+    out = score_lift_deciles(df, "x", "y").collect()
+    assert len(out) == 1 and out[0]["n"] == 9  # one value -> one decile
+    assert out[0]["lift_bp"] == 10000  # the only decile IS the base rate
+
+
+def test_score_lift_no_positives_null_lift(spark):
+    from migdar_data_pipelines_spark.operators.profile import score_lift_deciles
+
+    rows = [(x, False) for x in range(30)]
+    df = spark.createDataFrame(rows, "x int, y boolean")
+    assert all(
+        r["lift_bp"] is None and r["pos_rate_bp"] == 0
+        for r in score_lift_deciles(df, "x", "y").collect()
+    )

@@ -105,6 +105,11 @@ PICK = {
         "OOV rate: (doc, term) pair groupBy, term totals over the PAIR "
         "frame, term-keyed join with at-most-one-row-per-doc hot-key bound"
     ),
+    "rfm_segments_orders": (
+        "RFM: two-phase running_totals thresholds over distinct-value "
+        "frames, ONE broadcast row per metric, scan-local scores — "
+        "no global ntile anywhere"
+    ),
 }
 
 

@@ -65,6 +65,11 @@ PICK = [
     ("ks_drift_events", "events rows", "(group, value) agg + distinct-value cumsum window"),
     ("interpolate_events_value", "events rows", "one per-key sort, two shared frames"),
     ("triangle_count_knn_embeddings", "embedding corpus", "exact-kNN gate edges + oriented wedge join"),
+    ("oov_rate_documents", "documents token stream", "pair agg + term-keyed join, pre-aggregated hot keys"),
+    ("session_paths_events", "events rows", "two per-user window passes + path count + TakeOrdered"),
+    ("rfm_segments_orders", "orders rows", "entity rollup + 3 ECDF threshold passes, broadcast back"),
+    ("mannwhitney_auc_events", "events rows", "(group, value) agg + distinct-value cumsum window"),
+    ("score_lift_documents", "documents", "distinct-score ECDF thresholds + scan-local decile agg"),
 ]
 
 
