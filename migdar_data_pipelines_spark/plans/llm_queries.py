@@ -6695,3 +6695,111 @@ def score_lift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_lift_sql()
+
+
+def _install_streaming_hll_sql() -> None:
+    from ..operators.sketches import hll_by_sql
+
+    inner = hll_by_sql("user_id", "event_type", "events")
+    QUERIES["streaming_hll_users_events"]["sql"] = (
+        f"SELECT g AS event_type, hll_estimate, n_registers_used "
+        f"FROM ({inner}) h"
+    )
+
+
+@register("streaming_hll_users_events", sql=None)  # SQL installed below
+def streaming_hll_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 approximate distinct users per event type as a TRUE stateful
+    stream (streaming/stateful.py::streaming_hll_distinct): the portable
+    md5 HLL registers are maintained per key in the state store (256 small
+    ints — state does NOT grow with the stream), the drained final
+    registers are bit-identical to the batch sketch under any micro-batch
+    split (register max is commutative), and the ESTIMATE is computed by
+    the shared batch estimator over the drained frame — the engine's own
+    float path, so the oracle is simply the batch ``hll_by_sql``. The
+    "latest wins" drain selector is max_by on the strictly-increasing
+    per-key fold counter."""
+    from ..operators.sketches import _hll_estimate_by
+    from ..streaming import read_events_stream
+    from ..streaming.stateful import streaming_hll_distinct
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    feed = stream.select("event_type", "user_id")
+    out = streaming_hll_distinct(feed, ["event_type"], "user_id")
+    drained = _drain_stream(spark, out, "t_shll")
+    final = drained.groupBy("event_type").agg(
+        F.max_by("regs", "rows_folded").alias("regs")
+    )
+    regs = (
+        final.select(
+            "event_type", F.posexplode("regs").alias("register", "max_rho")
+        )
+        .where(F.col("max_rho") > 0)
+        .select(F.col("event_type").alias("g"), "register", "max_rho")
+    )
+    est = _hll_estimate_by(regs, ["g"])
+    return est.select(
+        F.col("g").alias("event_type"), "hll_estimate", "n_registers_used"
+    )
+
+
+_install_streaming_hll_sql()
+
+
+def _install_hll_rollup_sql() -> None:
+    from ..operators.sketches import hll_by_sql
+
+    inner = hll_by_sql("user_id", "event_type", "events")
+    QUERIES["hll_rollup_events"]["sql"] = f"""
+WITH direct AS ({inner}),
+days AS (
+  SELECT event_type AS g,
+         CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+  FROM events GROUP BY event_type
+)
+SELECT d.g AS event_type, days.n_days, d.hll_estimate, d.n_registers_used
+FROM direct d JOIN days ON d.g = days.g
+"""
+
+
+@register("hll_rollup_events", sql=None)  # SQL installed below (generated)
+def hll_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly distinct users per event type computed by MERGING the
+    per-day HLL sketches — the sketch-reuse pattern a 100 TB rollup lives
+    on: compute each day's 256-register sketch ONCE at ingest, then answer
+    any window by a register-wise max over the days — never rescanning the
+    raw corpus. The oracle is the DIRECT single-pass sketch
+    (``hll_by_sql``), so the green check IS the losslessness proof:
+    max-of-daily-maxes equals the full-scan max, register for register,
+    hence bit-equal estimates. Plan: one (type, day, register) groupBy
+    (map-side combinable, ≤ types*days*256 rows on the exchange), one
+    (type, register) merge groupBy over the SKETCH frame, the shared
+    estimator's scalar math, and a broadcast day-count join."""
+    from ..operators.sketches import _hll_estimate_by, _hll_registers_by
+
+    ev = _t(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily = _hll_registers_by(rows, ["event_type", "day"], "user_id")
+    merged = daily.groupBy("event_type", "register").agg(
+        F.max("max_rho").alias("max_rho")
+    )
+    est = _hll_estimate_by(
+        merged.select(F.col("event_type").alias("g"), "register", "max_rho"),
+        ["g"],
+    )
+    days = (
+        rows.select("event_type", "day")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    )
+    return est.join(
+        F.broadcast(days), est.g == days.event_type
+    ).select(
+        "event_type", "n_days", "hll_estimate", "n_registers_used"
+    )
+
+
+_install_hll_rollup_sql()

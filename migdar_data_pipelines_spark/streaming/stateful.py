@@ -428,3 +428,103 @@ def streaming_cusum(
     return events.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+def streaming_hll_distinct(
+    events: DataFrame,
+    key_cols: list[str],
+    val_col: str,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Approximate distinct-count as a TRUE stateful stream: the portable
+    md5 HLL sketch (operators/sketches.py) maintained per key in the state
+    store — 256 small ints per key, NOTHING grows with the stream — the
+    continuous form of ``hll_distinct_by`` with the strongest parity claim
+    available to a sketch: state, transitions, and emissions are ALL
+    integers (register maxima), so the drained final registers are
+    BIT-IDENTICAL to the batch sketch under ANY micro-batch split (max is
+    commutative/associative), and the estimate is then computed by the
+    SHARED batch estimator over the drained frame — the engine's own float
+    path, not a Python reimplementation.
+
+    Emits one row per key per micro-batch: (key..., rows_folded, regs)
+    where rows_folded is the key's cumulative input count (strictly
+    increasing — the deterministic "latest wins" selector for the drain)
+    and regs is the dense 256-slot register array. Register index and rho
+    replicate sketches._rho digit-for-digit from the same md5 hex.
+    ``state_ttl_ms`` expires idle keys (sliding-corpus monitoring)."""
+    import hashlib
+
+    m = 256
+    tail = 12
+
+    out_schema = T.StructType(
+        [f for f in events.schema.fields if f.name in set(key_cols)]
+        + [
+            T.StructField("rows_folded", T.LongType()),
+            T.StructField("regs", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("regs", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def _reg_rho(s: str) -> tuple[int, int]:
+        h = hashlib.md5(s.encode("utf-8")).hexdigest()
+        reg = int(h[:2], 16)
+        t = h[2 : 2 + tail]
+        if t == "0" * tail:
+            return reg, 4 * tail + 1
+        z = len(t) - len(t.lstrip("0"))
+        v = int(t[z], 16)
+        lz = 0 if v >= 8 else 1 if v >= 4 else 2 if v >= 2 else 3
+        return reg, z * 4 + lz + 1
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            n, regs = state.get
+            regs = list(regs)
+        else:
+            n, regs = 0, [0] * m
+        folded = 0
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            for x in pdf[val_col]:
+                if pd.isna(x):
+                    continue
+                # Spark md5(CAST(x AS STRING)): decimal repr for integral
+                # ids (pandas may deliver them as float64 when NaNs mix in),
+                # the raw string otherwise
+                s = str(int(x)) if isinstance(x, (int, float, np.integer)) else str(x)
+                reg, rho = _reg_rho(s)
+                if rho > regs[reg]:
+                    regs[reg] = rho
+                folded += 1
+        if folded == 0:
+            if state_ttl_ms and state.exists:
+                state.setTimeoutDuration(state_ttl_ms)
+            return
+        n += folded
+        state.update((n, regs))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(
+            [list(key) + [n, regs]],
+            columns=list(key_cols) + ["rows_folded", "regs"],
+        )
+
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )

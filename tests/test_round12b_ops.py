@@ -441,3 +441,62 @@ def test_score_lift_no_positives_null_lift(spark):
         r["lift_bp"] is None and r["pos_rate_bp"] == 0
         for r in score_lift_deciles(df, "x", "y").collect()
     )
+
+
+# ---------------------------------------------------- Streaming HLL
+
+
+def test_streaming_hll_registers_match_batch_cross_batch(spark, tmp_path):
+    """The drained final registers equal the batch sketch bit-for-bit with
+    state carried across >= 2 micro-batches, and the python register/rho
+    fold replicates sketches._rho digit-for-digit."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from migdar_data_pipelines_spark.operators.sketches import (
+        _hll_registers_by,
+    )
+    from migdar_data_pipelines_spark.streaming.stateful import (
+        streaming_hll_distinct,
+    )
+    from tests.test_streaming import run_available_now
+
+    rows = [("a", i * 7 + 1) for i in range(40)] + [
+        ("b", i * 13 + 5) for i in range(25)
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "uid"])
+    src = str(tmp_path / "hll_src")
+    spark.createDataFrame(pdf[:30]).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pdf[30:]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_hll_distinct(stream, ["k"], "uid")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        run_available_now(out, ckpt, query_name="t_shll_ut", output_mode="append")
+        drained = spark.table("t_shll_ut")
+        import pyspark.sql.functions as SF
+
+        final = {
+            r["k"]: r["regs"]
+            for r in drained.groupBy("k")
+            .agg(SF.max_by("regs", "rows_folded").alias("regs"))
+            .collect()
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    batch = spark.createDataFrame(pdf)
+    expected = {}
+    for r in _hll_registers_by(batch, ["k"], "uid").collect():
+        expected.setdefault(r["k"], {})[r["register"]] = r["max_rho"]
+    assert set(final) == {"a", "b"}
+    for k, regs in final.items():
+        sparse = {i: v for i, v in enumerate(regs) if v > 0}
+        assert sparse == expected[k], k
