@@ -804,3 +804,100 @@ SELECT path, n_sessions,
        CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS BIGINT) AS rank
 FROM c ORDER BY n_sessions DESC, path LIMIT {top_k}
 """
+
+
+def attribution_report(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution — the marketing
+    question ``funnel_events_users`` doesn't answer: when a conversion
+    fires, WHICH earlier channel gets the credit? For every conversion
+    event, last-touch credits the most recent strictly-earlier
+    non-conversion event of the same user, first-touch the earliest one;
+    users converting with no prior touch credit the 'direct' channel.
+    Output: one row per (attribution, channel) with conversion count and
+    total converted value in cents.
+
+    Shape at scale: BOTH carried channels (running last + running first
+    of the non-conversion types) share ONE per-user exchange+sort — the
+    frames are identical (unbounded preceding .. 1 preceding), so
+    Catalyst folds them into a single Window node (plan-tested); each
+    conversion row then EXPLODES into its two (mode, channel) credits and
+    one map-side-combinable groupBy counts them — no union, so the window
+    subtree is never duplicated. Deterministic: window order is
+    (ts, event_id) — a total order."""
+    from ..streaming.windows import _ensure_event_time
+
+    events = _ensure_event_time(events)
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col(type_col) != conversion_type
+    touch = F.when(is_touch, F.col(type_col))
+    marked = events.select(
+        user_col,
+        type_col,
+        F.round(F.col(value_col) * 100).cast("long").alias("cents"),
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+        F.first(touch, ignorenulls=True).over(w).alias("ft"),
+    ).where(F.col(type_col) == conversion_type)
+    credits = marked.select(
+        "cents",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last_touch").alias("attribution"),
+                    F.coalesce(F.col("lt"), F.lit("direct")).alias("channel"),
+                ),
+                F.struct(
+                    F.lit("first_touch").alias("attribution"),
+                    F.coalesce(F.col("ft"), F.lit("direct")).alias("channel"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return credits.groupBy(
+        F.col("c.attribution").alias("attribution"),
+        F.col("c.channel").alias("channel"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("conversions"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+
+
+def attribution_report_sql(
+    conversion_type: str = "purchase", table: str = "events"
+) -> str:
+    """Generated DuckDB mirror of ``attribution_report``: IGNORE NULLS
+    last_value/first_value over the identical 1-preceding frame."""
+    return f"""
+WITH marked AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         last_value(CASE WHEN event_type <> '{conversion_type}'
+                         THEN event_type END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+         first_value(CASE WHEN event_type <> '{conversion_type}'
+                          THEN event_type END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+  FROM {table}
+),
+conv AS (SELECT * FROM marked WHERE event_type = '{conversion_type}')
+SELECT 'last_touch' AS attribution, coalesce(lt, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS conversions,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM conv GROUP BY coalesce(lt, 'direct')
+UNION ALL
+SELECT 'first_touch' AS attribution, coalesce(ft, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS conversions,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM conv GROUP BY coalesce(ft, 'direct')
+"""

@@ -6803,3 +6803,94 @@ def hll_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_hll_rollup_sql()
+
+
+def _install_golden_sql() -> None:
+    from ..operators.linkage import golden_record_sql
+
+    seeded = """
+SELECT c_custkey AS cl, c_name, c_mktsegment,
+       CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) AS acct_cents
+FROM customer
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+FROM customer
+UNION ALL
+SELECT c_custkey,
+       CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END,
+       CASE WHEN c_custkey % 4 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END,
+       CASE WHEN c_custkey % 5 = 0 THEN NULL
+            ELSE CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR) END
+FROM customer
+"""
+    QUERIES["golden_record_customers"]["sql"] = golden_record_sql(
+        seeded, "cl", ["c_name", "c_mktsegment", "acct_cents"]
+    )
+
+
+@register("golden_record_customers", sql=None)  # SQL installed below
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after linkage (operators/linkage.py::golden_record):
+    three copies of every customer — two clean, one corrupted
+    (uppercased name / 'UNKNOWN' segment / NULLed balance on residue
+    classes) — clustered by custkey; majority vote recovers the clean
+    values deterministically (ties broken by smallest value, and NULLs
+    don't vote). The MDM consolidation step the reference's linkage
+    pipelines stop short of. Plan: scan-local melt, one (cluster, attr,
+    value) count groupBy, one min(struct(-cnt, val)) groupBy — modal
+    choice WITHOUT a window — and a known-attr-list conditional-agg
+    pivot."""
+    from ..operators.linkage import golden_record
+
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long").cast("string")
+    clean = c.select(
+        F.col("c_custkey").alias("cl"),
+        "c_name",
+        "c_mktsegment",
+        cents.alias("acct_cents"),
+    )
+    corrupted = c.select(
+        F.col("c_custkey").alias("cl"),
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(cents)
+        .alias("acct_cents"),
+    )
+    seeded = clean.unionByName(clean).unionByName(corrupted)
+    return golden_record(seeded, "cl", ["c_name", "c_mktsegment", "acct_cents"])
+
+
+_install_golden_sql()
+
+
+def _install_attribution_sql() -> None:
+    from ..operators.windows import attribution_report_sql
+
+    QUERIES["attribution_events"]["sql"] = attribution_report_sql("purchase")
+
+
+@register("attribution_events", sql=None)  # SQL installed below (generated)
+def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch conversion attribution over the event
+    stream (operators/windows.py::attribution_report): every purchase
+    credits its user's most recent (last-touch) and earliest
+    (first-touch) prior non-purchase channel, 'direct' when none exists.
+    The funnel says how many converted; this says which channel earns the
+    credit. Both carried channels share ONE per-user exchange+sort
+    (identical unbounded..1-preceding frames fold into a single Window
+    node), then two map-side-combinable groupBys over the
+    conversions-only frame."""
+    from ..operators.windows import attribution_report
+
+    ev = _t(spark, sf_dir, "events")
+    return attribution_report(ev, "purchase")
+
+
+_install_attribution_sql()

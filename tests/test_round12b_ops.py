@@ -500,3 +500,95 @@ def test_streaming_hll_registers_match_batch_cross_batch(spark, tmp_path):
     for k, regs in final.items():
         sparse = {i: v for i, v in enumerate(regs) if v > 0}
         assert sparse == expected[k], k
+
+
+# -------------------------------------------------------- Golden record
+
+
+def test_golden_record_majority_and_ties(spark):
+    from migdar_data_pipelines_spark.operators.linkage import golden_record
+
+    rows = [
+        (1, "x", "A", None),
+        (1, "x", "A", "5"),
+        (1, "Y", "A", "5"),
+        (2, "p", None, None),
+        (2, "q", None, None),  # name tie 1-1 -> smallest wins ('p')
+    ]
+    df = spark.createDataFrame(rows, "cl long, n string, s string, v string")
+    out = {r["cl"]: r for r in golden_record(df, "cl", ["n", "s", "v"]).collect()}
+    assert (out[1]["n"], out[1]["s"], out[1]["v"]) == ("x", "A", "5")
+    assert out[1]["n_records"] == 3
+    assert out[2]["n"] == "p"  # deterministic tie-break
+    assert out[2]["s"] is None and out[2]["v"] is None  # all-NULL -> NULL
+
+
+def test_golden_record_no_window_no_cartesian(spark):
+    from migdar_data_pipelines_spark.operators.linkage import golden_record
+
+    df = spark.createDataFrame(
+        [(i % 3, str(i), "s") for i in range(9)], "cl long, n string, s string"
+    )
+    plan = _formatted_plan(golden_record(df, "cl", ["n", "s"]))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# --------------------------------------------------------- Attribution
+
+
+def test_attribution_hand_case(spark):
+    import datetime as dt
+
+    from migdar_data_pipelines_spark.operators.windows import attribution_report
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, mins, eid, typ, val):
+        return (uid, t0 + dt.timedelta(minutes=mins), eid, typ, val)
+
+    rows = [
+        ev(1, 0, 1, "view", 0.0),
+        ev(1, 5, 2, "click", 0.0),
+        ev(1, 10, 3, "purchase", 2.0),
+        ev(1, 15, 4, "purchase", 3.0),
+        ev(2, 0, 5, "purchase", 7.0),  # no prior touch -> direct
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    out = {
+        (r["attribution"], r["channel"]): (r["conversions"], r["value_cents"])
+        for r in attribution_report(df, "purchase").collect()
+    }
+    assert out[("last_touch", "click")] == (2, 500)
+    assert out[("last_touch", "direct")] == (1, 700)
+    assert out[("first_touch", "view")] == (2, 500)
+    assert out[("first_touch", "direct")] == (1, 700)
+    assert len(out) == 4
+
+
+def test_attribution_single_window_node(spark):
+    import datetime as dt
+
+    from migdar_data_pipelines_spark.operators.windows import attribution_report
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=i), u * 10 + i,
+         "purchase" if i % 3 == 2 else "view", 1.0)
+        for u in (1, 2) for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    plan = _formatted_plan(attribution_report(df, "purchase"))
+    n_windows = sum(
+        1
+        for line in plan.splitlines()
+        if line.startswith("(") and line.split(") ", 1)[-1].startswith("Window")
+    )
+    assert n_windows == 1  # both carried channels share one Window node
+    assert "CartesianProduct" not in plan
