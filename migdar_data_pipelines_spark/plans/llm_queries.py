@@ -6894,3 +6894,68 @@ def attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_attribution_sql()
+
+
+def _install_streaming_attr_sql() -> None:
+    from ..operators.windows import attribution_report_sql
+
+    QUERIES["streaming_attribution_events"]["sql"] = attribution_report_sql(
+        "purchase"
+    )
+
+
+@register("streaming_attribution_events", sql=None)  # SQL installed below
+def streaming_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.13 first/last-touch attribution as a TRUE stateful stream
+    (streaming/stateful.py::streaming_attribution): per user the state
+    store holds exactly TWO strings (earliest touch, latest touch), every
+    purchase is credited AT ARRIVAL — the real-time feed whose drained
+    rollup must equal the batch window report exactly, so the oracle IS
+    the batch ``attribution_report_sql``. Same order-monotonic delivery
+    contract as streaming_ewma/cusum; the rollup after the drain is the
+    same explode-credits single groupBy as the batch operator."""
+    from ..streaming import read_events_stream
+    from ..streaming.stateful import streaming_attribution
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    feed = stream.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("xus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = streaming_attribution(
+        feed,
+        "purchase",
+        "user_id",
+        "event_type",
+        "cents",
+        order_cols=["xus", "event_id"],
+    )
+    drained = _drain_stream(spark, out, "t_attr")
+    credits = drained.select(
+        "cents",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("last_touch").alias("attribution"),
+                    F.col("channel_last").alias("channel"),
+                ),
+                F.struct(
+                    F.lit("first_touch").alias("attribution"),
+                    F.col("channel_first").alias("channel"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return credits.groupBy(
+        F.col("c.attribution").alias("attribution"),
+        F.col("c.channel").alias("channel"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("conversions"),
+        F.sum("cents").cast("long").alias("value_cents"),
+    )
+
+
+_install_streaming_attr_sql()

@@ -528,3 +528,88 @@ def streaming_hll_distinct(
     return events.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )
+
+
+def streaming_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    user_col: str,
+    type_col: str,
+    cents_col: str,
+    order_cols: list[str],
+    id_col: str = "event_id",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """First/last-touch conversion attribution as a TRUE stateful stream —
+    the continuous form of ``operators/windows.py::attribution_report``:
+    per user the state store holds exactly TWO strings (first touch ever,
+    most recent touch), nothing grows with the stream, and every
+    conversion row is emitted AT ARRIVAL with both credits — the
+    real-time "which channel converted" feed, vs the batch report's
+    end-of-day rollup.
+
+    Same order-monotonic delivery contract as streaming_ewma/cusum (rows
+    sorted by ``order_cols`` within each micro-batch; earlier order never
+    arrives in a later batch); under it the drained emissions equal the
+    batch window form row-for-row, so the registered query's oracle IS
+    the batch SQL. ``state_ttl_ms`` expires idle users."""
+    out_fields = [
+        f
+        for f in events.schema.fields
+        if f.name in {user_col, id_col, cents_col}
+    ]
+    out_schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("channel_last", T.StringType()),
+            T.StructField("channel_first", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ft", T.StringType()),
+            T.StructField("lt", T.StringType()),
+        ]
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    cols = [f.name for f in out_fields]
+
+    def fn(key: tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ft, lt = state.get if state.exists else (None, None)
+        parts = [pdf for pdf in pdfs if not pdf.empty]
+        if not parts:
+            if state_ttl_ms and state.exists:
+                state.setTimeoutDuration(state_ttl_ms)
+            return
+        batch = pd.concat(parts).sort_values(order_cols, kind="mergesort")
+        out_rows = []
+        for _, row in batch.iterrows():
+            t = row[type_col]
+            if t == conversion_type:
+                out_rows.append(
+                    [row[c] for c in cols]
+                    + [lt if lt is not None else "direct",
+                       ft if ft is not None else "direct"]
+                )
+            else:
+                lt = t
+                if ft is None:
+                    ft = t
+        state.update((ft, lt))
+        if state_ttl_ms:
+            state.setTimeoutDuration(state_ttl_ms)
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=cols + ["channel_last", "channel_first"]
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
+    )

@@ -592,3 +592,51 @@ def test_attribution_single_window_node(spark):
     )
     assert n_windows == 1  # both carried channels share one Window node
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_attribution_cross_batch_state(spark, tmp_path):
+    """First/last-touch state carries across micro-batches: a purchase in
+    batch 2 credits the touch from batch 1."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from migdar_data_pipelines_spark.streaming.stateful import (
+        streaming_attribution,
+    )
+    from tests.test_streaming import run_available_now
+
+    rows1 = [(1, "view", 10, 101, 0), (1, "click", 20, 102, 0)]
+    rows2 = [(1, "purchase", 30, 103, 500), (2, "purchase", 5, 201, 700)]
+    cols = ["user_id", "event_type", "xus", "event_id", "cents"]
+    src = str(tmp_path / "attr_src")
+    spark.createDataFrame(pd.DataFrame(rows1, columns=cols)).coalesce(1)\
+        .write.mode("overwrite").parquet(src)
+    spark.createDataFrame(pd.DataFrame(rows2, columns=cols)).coalesce(1)\
+        .write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, xus long, event_id long, cents long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_attribution(
+        stream, "purchase", "user_id", "event_type", "cents",
+        order_cols=["xus", "event_id"],
+    )
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        run_available_now(out, ckpt, query_name="t_attr_ut", output_mode="append")
+        got = {
+            r["event_id"]: (r["channel_last"], r["channel_first"])
+            for r in spark.table("t_attr_ut").collect()
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    assert got[103] == ("click", "view")  # touches seen in the EARLIER batch
+    assert got[201] == ("direct", "direct")
+    assert len(got) == 2
