@@ -1280,7 +1280,9 @@ def acf_by(
     (same window spec => Catalyst folds them into a single Window node),
     then one map-side-combinable groupBy; one row per group out, lags as
     columns. NULL values are excluded before ordering (ACF needs a gap-free
-    ranked series; interpolate first if gaps matter)."""
+    ranked series; interpolate first if gaps matter). ``order_col`` must
+    totally order each group's rows (e.g. the aggregation day) — duplicate
+    order keys would make the lag pairing nondeterministic."""
     from pyspark.sql import Window
 
     dec = "decimal(38,0)"

@@ -137,7 +137,6 @@ def fd_audit(df: DataFrame, det_cols: list[str], dep_col: str) -> DataFrame:
     the shuffle carries distinct pairs), then a groupBy(det) over the PAIR
     frame, then one scalar aggregate. No count_distinct expand, no join.
     Exactly three shuffles of strictly shrinking frames."""
-    dets = [F.col(c) for c in det_cols]
     nn = F.col(dep_col).isNotNull()
     for c in det_cols:
         nn = nn & F.col(c).isNotNull()

@@ -590,11 +590,11 @@ def streaming_attribution(
             return
         batch = pd.concat(parts).sort_values(order_cols, kind="mergesort")
         out_rows = []
-        for _, row in batch.iterrows():
-            t = row[type_col]
+        col_vals = [batch[c].tolist() for c in cols]
+        for i, t in enumerate(batch[type_col].tolist()):
             if t == conversion_type:
                 out_rows.append(
-                    [row[c] for c in cols]
+                    [vals[i] for vals in col_vals]
                     + [lt if lt is not None else "direct",
                        ft if ft is not None else "direct"]
                 )
