@@ -106,9 +106,10 @@ PICK = {
         "frame, term-keyed join with at-most-one-row-per-doc hot-key bound"
     ),
     "rfm_segments_orders": (
-        "RFM: two-phase running_totals thresholds over distinct-value "
-        "frames, ONE broadcast row per metric, scan-local scores — "
-        "no global ntile anywhere"
+        "RFM: running_totals thresholds over distinct-value frames (auto-"
+        "routed: plain window below 2M rows as recorded here, two-phase "
+        "range-exchange above), ONE broadcast row per metric, scan-local "
+        "scores — no row-level ntile at any scale"
     ),
 }
 
