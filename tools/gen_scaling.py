@@ -325,8 +325,19 @@ def main() -> None:
         ]
         for name in PAIR_SF1:
             a, b = pair_sf01[name], pair_sf1[name]
-            lines.append(f"| {name} | {a:.2f}s | {b:.2f}s | x{b / a:.1f} |")
+            note = ""
+            if name == "simhash_near_dup_pairs" and b / a > 10:
+                note = " (narrow 256-value band keyspace — see the SimHash hot-cluster section; the `_wide` row below is the corpus-scale form)"
+            lines.append(f"| {name} | {a:.2f}s | {b:.2f}s | x{b / a:.1f}{note} |")
         lines += [
+            "",
+            "The one factor above 10, narrow-band `simhash_near_dup_pairs`, is",
+            "the STRUCTURAL tiny-keyspace saturation the SimHash hot-cluster",
+            "section measures and the RuntimeWarning steers callers away from:",
+            "256 values per band means bucket occupancy grows linearly with",
+            "the corpus with no adversarial cluster needed. The operator's",
+            "corpus-scale parameterization (`_wide`, 48-bit/12-bit bands) is",
+            "the row beneath it at x6-7 — in-family with the other pair ops.",
             "",
             "The edit_distance row is the round-9 measure-then-fix story: this",
             "corpus is char-level TEMPLATED (every shard shares the same ~30",
