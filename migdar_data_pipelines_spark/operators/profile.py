@@ -1889,3 +1889,160 @@ SELECT g.decile, g.n, g.n_pos,
        END AS lift_bp
 FROM g CROSS JOIN tot t
 """
+
+
+def wape_backtest_by(
+    df: DataFrame, group_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Seasonal-naive forecast backtest in EXACT basis points — the
+    "would the dumbest forecast have worked" baseline every real
+    forecasting effort must beat: predict each period's value with the
+    group's PREVIOUS observed period, score with WAPE (weighted absolute
+    percentage error):
+
+        wape = sum |actual - forecast| / sum actual
+
+    WAPE (not MAPE) on purpose: MAPE divides per point — a float per
+    row and an explosion on near-zero actuals; WAPE is a ratio of two
+    exact integer sums, so the entire statistic is ONE half-up integer
+    division (DECIMAL(38,0) pmod; DuckDB HUGEINT //), zero float. The
+    first observed period per group has no forecast and is excluded.
+
+    Shape at scale: meant for AGGREGATED series (the registered query
+    feeds daily totals): one per-group exchange+sort for the lag, one
+    map-side-combinable groupBy. ``order_col`` must totally order the
+    group (the aggregation period)."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("g").orderBy("o")
+    r = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    r = r.withColumn("f", F.lag("x").over(w)).where(F.col("f").isNotNull())
+    agg = r.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        F.sum(F.abs(F.col("x") - F.col("f")).cast(dec)).alias("sae"),
+        F.sum(F.col("x").cast(dec)).alias("sa"),
+    )
+    a = F.lit(10000).cast(dec) * F.col("sae")
+    b = F.col("sa")
+    num = F.lit(2).cast(dec) * a + b
+    exact = num - F.pmod(num, F.lit(2).cast(dec) * b)
+    bp = F.when(b > 0, (exact / (F.lit(2).cast(dec) * b)).cast("long"))
+    return agg.select(
+        F.col("g").alias(group_col), "n_periods", bp.alias("wape_bp")
+    )
+
+
+def wape_backtest_by_sql(rows_sql: str) -> str:
+    """Generated DuckDB mirror of ``wape_backtest_by``: expects ``rows_sql``
+    to yield (g, o, x) with x integer; same lag forecast, same HUGEINT
+    half-up division."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+r AS (
+  SELECT g, o, CAST(x AS BIGINT) AS x,
+         lag(x) OVER (PARTITION BY g ORDER BY o) AS f
+  FROM rows_in WHERE x IS NOT NULL
+),
+agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_periods,
+         CAST(sum(abs(x - f)) AS HUGEINT) AS sae,
+         CAST(sum(x) AS HUGEINT) AS sa
+  FROM r WHERE f IS NOT NULL GROUP BY g
+)
+SELECT g, n_periods,
+       CASE WHEN sa > 0 THEN CAST(
+         (CAST(2 AS HUGEINT) * 10000 * sae + sa) // (CAST(2 AS HUGEINT) * sa)
+         AS BIGINT) END AS wape_bp
+FROM agg
+"""
+
+
+def pairwise_corr_by(
+    df: DataFrame, group_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Pearson cross-correlation between every pair of group series —
+    "do errors spike when purchases spike": the co-movement screen that
+    completes the per-series toolkit (``ols_trend`` = drift, ``acf_by`` =
+    self-persistence, this = cross-coupling). Series are aligned on
+    ``order_col`` (inner: only periods BOTH groups observed count).
+
+        r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+
+    All moments exact DECIMAL(38,0); the final expression is one
+    canonical double chain (two casts, one sqrt, one division) mirrored
+    verbatim in the SQL, round(6). Zero-variance series pair -> NULL.
+
+    Shape at scale: a self-join of the (group, period, value) frame on
+    the period key with ga < gb — for AGGREGATED series the frame is
+    |periods| x |groups| rows, the join emits |periods| x |groups|^2 / 2,
+    both tiny next to the corpus; then ONE map-side-combinable groupBy
+    per pair. The join key (period) is uniform by construction — no
+    skew."""
+    dec = "decimal(38,0)"
+    r = df.where(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("g"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("long").alias("x"),
+    )
+    a = r.select(F.col("g").alias("ga"), "o", F.col("x").alias("xa"))
+    b = r.select(F.col("g").alias("gb"), "o", F.col("x").alias("xb"))
+    j = a.join(b, "o").where(F.col("ga") < F.col("gb"))
+    xa = F.col("xa").cast(dec)
+    xb = F.col("xb").cast(dec)
+    agg = j.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(xa).alias("sx"),
+        F.sum(xb).alias("sy"),
+        F.sum(xa * xb).alias("sxy"),
+        F.sum(xa * xa).alias("sxx"),
+        F.sum(xb * xb).alias("syy"),
+    )
+    n = F.col("n").cast(dec)
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        num.cast("double")
+        / F.sqrt(vx.cast("double") * vy.cast("double")),
+    )
+    return agg.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "n",
+        F.round(corr, 6).alias("corr"),
+    )
+
+
+def pairwise_corr_by_sql(rows_sql: str) -> str:
+    """Generated DuckDB mirror of ``pairwise_corr_by``: expects ``rows_sql``
+    to yield (g, o, x) with x integer; same exact moments, same canonical
+    double chain."""
+    return f"""
+WITH rows_in AS ({rows_sql}),
+r AS (SELECT g, o, CAST(x AS BIGINT) AS x FROM rows_in WHERE x IS NOT NULL),
+j AS (
+  SELECT a.g AS ga, b.g AS gb,
+         CAST(a.x AS DECIMAL(38,0)) AS xa, CAST(b.x AS DECIMAL(38,0)) AS xb
+  FROM r a JOIN r b ON a.o = b.o WHERE a.g < b.g
+),
+agg AS (
+  SELECT ga, gb, CAST(count(*) AS BIGINT) AS n,
+         sum(xa) AS sx, sum(xb) AS sy, sum(xa * xb) AS sxy,
+         sum(xa * xa) AS sxx, sum(xb * xb) AS syy
+  FROM j GROUP BY ga, gb
+)
+SELECT ga AS group_a, gb AS group_b, n,
+       round(CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx - sx * sx > 0
+                   AND CAST(n AS DECIMAL(38,0)) * syy - sy * sy > 0 THEN
+         CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+                * CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE))
+       END, 6) AS corr
+FROM agg
+"""

@@ -6959,3 +6959,83 @@ def streaming_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_streaming_attr_sql()
+
+
+def _install_wape_sql() -> None:
+    from ..operators.profile import wape_backtest_by_sql
+
+    inner = wape_backtest_by_sql(
+        "SELECT event_type AS g, CAST(ts AS DATE) AS o, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x "
+        "FROM events GROUP BY event_type, CAST(ts AS DATE)"
+    )
+    QUERIES["wape_backtest_events"]["sql"] = (
+        f"SELECT g AS event_type, n_periods, wape_bp FROM ({inner}) w"
+    )
+
+
+@register("wape_backtest_events", sql=None)  # SQL installed below (generated)
+def wape_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest over the daily value series
+    (operators/profile.py::wape_backtest_by): predict each day with the
+    previous observed day, score per event type with WAPE in EXACT basis
+    points — the baseline every forecasting effort must beat, and a
+    drift/volatility scalar in its own right. WAPE (ratio of two exact
+    integer sums, one half-up division) rather than MAPE (a float per
+    point, explodes on near-zero actuals). Aggregate first: the lag
+    window sorts ~31 rows per type, not events."""
+    from ..operators.profile import wape_backtest_by
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    return wape_backtest_by(daily, "event_type", "day", "cents")
+
+
+_install_wape_sql()
+
+
+def _install_crosscorr_sql() -> None:
+    from ..operators.profile import pairwise_corr_by_sql
+
+    inner = pairwise_corr_by_sql(
+        "SELECT event_type AS g, CAST(ts AS DATE) AS o, "
+        "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x "
+        "FROM events GROUP BY event_type, CAST(ts AS DATE)"
+    )
+    QUERIES["cross_corr_event_types"]["sql"] = inner
+
+
+@register("cross_corr_event_types", sql=None)  # SQL installed below
+def cross_corr_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson cross-correlation between every pair of event types' daily
+    value series (operators/profile.py::pairwise_corr_by) — the
+    co-movement screen completing the time-series toolkit (OLS trend =
+    drift, ACF = self-persistence, this = cross-coupling, e.g. do errors
+    spike with purchases). Series aligned on the shared day; exact
+    DECIMAL(38,0) moments, one canonical double chain per pair. The
+    self-join runs on the AGGREGATED |days|x|types| frame — tiny next to
+    the corpus, uniform join key."""
+    from ..operators.profile import pairwise_corr_by
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    return pairwise_corr_by(daily, "event_type", "day", "cents")
+
+
+_install_crosscorr_sql()

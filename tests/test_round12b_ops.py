@@ -640,3 +640,65 @@ def test_streaming_attribution_cross_batch_state(spark, tmp_path):
     assert got[103] == ("click", "view")  # touches seen in the EARLIER batch
     assert got[201] == ("direct", "direct")
     assert len(got) == 2
+
+
+# ------------------------------------------------------ WAPE backtest
+
+
+def test_wape_hand_case(spark):
+    from migdar_data_pipelines_spark.operators.profile import wape_backtest_by
+
+    # series 10, 12, 9: forecasts 10, 12 -> |2| + |3| = 5 over 12 + 9 = 21
+    rows = [("g", 1, 10), ("g", 2, 12), ("g", 3, 9)]
+    df = spark.createDataFrame(rows, "g string, o int, x int")
+    r = wape_backtest_by(df, "g", "o", "x").collect()[0]
+    assert r["n_periods"] == 2
+    assert r["wape_bp"] == 2381  # 5/21 = 0.238095 -> 2381 half-up
+
+
+def test_wape_perfect_forecast_zero(spark):
+    from migdar_data_pipelines_spark.operators.profile import wape_backtest_by
+
+    rows = [("g", i, 7) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, o int, x int")
+    assert wape_backtest_by(df, "g", "o", "x").collect()[0]["wape_bp"] == 0
+
+
+def test_wape_single_period_absent(spark):
+    from migdar_data_pipelines_spark.operators.profile import wape_backtest_by
+
+    df = spark.createDataFrame([("g", 1, 5)], "g string, o int, x int")
+    assert wape_backtest_by(df, "g", "o", "x").count() == 0
+
+
+# ------------------------------------------------- Pairwise cross-corr
+
+
+def test_pairwise_corr_perfect_and_anti(spark):
+    from migdar_data_pipelines_spark.operators.profile import pairwise_corr_by
+
+    rows = []
+    for o, v in enumerate([1, 2, 3, 4]):
+        rows += [("a", o, v), ("b", o, 2 * v + 5), ("c", o, 10 - v)]
+    df = spark.createDataFrame(rows, "g string, o int, x int")
+    out = {
+        (r["group_a"], r["group_b"]): r["corr"]
+        for r in pairwise_corr_by(df, "g", "o", "x").collect()
+    }
+    assert out[("a", "b")] == pytest.approx(1.0, abs=1e-6)
+    assert out[("a", "c")] == pytest.approx(-1.0, abs=1e-6)
+    assert out[("b", "c")] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_pairwise_corr_constant_null_and_alignment(spark):
+    from migdar_data_pipelines_spark.operators.profile import pairwise_corr_by
+
+    rows = [("a", 1, 1), ("a", 2, 5), ("a", 3, 9),
+            ("b", 1, 7), ("b", 2, 7),  # constant + missing o=3
+            ("c", 9, 1)]  # no shared periods with a/b
+    df = spark.createDataFrame(rows, "g string, o int, x int")
+    out = {(r["group_a"], r["group_b"]): r
+           for r in pairwise_corr_by(df, "g", "o", "x").collect()}
+    assert out[("a", "b")]["n"] == 2  # inner alignment
+    assert out[("a", "b")]["corr"] is None  # zero variance side
+    assert ("a", "c") not in out  # no shared period -> no row
