@@ -150,6 +150,96 @@ def dequantize_expr(q_col: str = "qvec", scale_col: str = "qscale") -> F.Column:
     )
 
 
+def residual_quantized_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    rerank: int = 4,
+) -> DataFrame:
+    """Quantized-residual IVF scoring with exact float rerank (VERDICT r12
+    #5) — the standard 100 TB ANN memory story: the INDEX tier holds, per
+    vector, only its cell id and the int8-quantized residual against the
+    cell's reference vector (codes ~4x smaller than float32, and residuals
+    are small relative to the reference so the shared scale loses less than
+    whole-vector quantization); the float tier is touched only for the
+    ``k * rerank`` best reconstructed candidates per query.
+
+    Inputs:
+      probes — (qid, qv, qcell): one row per (query, probed cell), e.g. the
+               exploded nprobe list of :func:`top_cells` or the
+               representative-ranked form the registered query builds.
+      corpus — (cid, cv, ccell, rv): every corpus vector with its cell id
+               and the cell's REFERENCE vector rv (learned centroid or a
+               deterministic representative member).
+
+    Chain (all scan-local expressions; the reconstructed frame is persisted
+    once so CollapseProject cannot re-run the quantize chain per candidate
+    pair — the embedding_topk_quantized lesson):
+
+        res   = cv - rv                    (double)
+        scale = max|res| / 127
+        code  = round(res / scale)  int8   (the stored index payload)
+        dv    = rv + code * scale          (reconstruction)
+        approx = cosine(qv, dv)  -> per-query top k*rerank candidates
+        exact  = cosine(qv, cv)  -> final top-k among the candidates
+
+    Equality contract: whenever the true per-query top-k (within probed
+    cells) survives the k*rerank approximate cut, the output is IDENTICAL
+    to the unquantized probe search — asserted against the plain nprobe
+    route in tests and by the registered query's oracle."""
+    from ..operators.caching import scoped_persist
+
+    cvd = F.transform(F.col("cv"), lambda x: x.cast("double"))
+    rvd = F.transform(F.col("rv"), lambda x: x.cast("double"))
+    res = F.zip_with(cvd, rvd, lambda a, b: a - b)
+    base = corpus.withColumn("__res", res).withColumn(
+        "__scale",
+        F.array_max(F.transform(F.col("__res"), F.abs)) / F.lit(127.0),
+    )
+    dv = F.when(
+        F.col("__scale") == 0.0,
+        F.transform(F.col("rv"), lambda x: x.cast("double")),
+    ).otherwise(
+        F.zip_with(
+            rvd,
+            F.transform(
+                F.col("__res"),
+                lambda x: F.round(x / F.col("__scale")).cast("tinyint"),
+            ),
+            lambda r, c: r + c.cast("double") * F.col("__scale"),
+        )
+    )
+    recon = scoped_persist(
+        base.select("cid", "ccell", "cv", dv.alias("dv"))
+    )
+    pairs = recon.join(
+        F.broadcast(probes), F.col("qcell") == F.col("ccell")
+    ).filter(F.col("qid") != F.col("cid"))
+    cand = pairs.withColumn(
+        "approx", F.round(cosine(F.col("qv"), F.col("dv")), 4)
+    )
+    w_a = Window.partitionBy("qid").orderBy(F.desc("approx"), F.asc("cid"))
+    kept = (
+        cand.withColumn("arn", F.row_number().over(w_a))
+        .filter(F.col("arn") <= k * rerank)
+        .select("qid", "qv", "cid", "cv")
+    )
+    scored = kept.withColumn(
+        "cosine", F.round(cosine(F.col("qv"), F.col("cv")), 4)
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbour_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 # ----------------------------------------------------------- learned IVF
 def _deterministic_sample(
     df: DataFrame, vec_col: str, id_col: str, sample_rows: int
@@ -370,6 +460,8 @@ def ivf_build_and_search(
     seed: int = 42,
     nprobe: int = 1,
     exclude_self: bool = True,
+    quantized: bool = False,
+    rerank: int = 4,
 ) -> DataFrame:
     """End-to-end learned IVF: train centroids on a corpus sample, assign
     cells to both sides, probe the query's nprobe nearest cells. Scoring over
@@ -377,9 +469,37 @@ def ivf_build_and_search(
     quantization only gates candidate generation), so recall approaches 1 as
     nprobe grows while the scanned fraction stays ~nprobe/n_cells. At scale
     the assigned corpus is written partitioned by cell once and re-searched
-    many times; this helper is the single-job form."""
+    many times; this helper is the single-job form.
+
+    ``quantized=True`` routes candidate scoring through
+    :func:`residual_quantized_topk`: the probed candidates are scored on
+    int8-quantized residuals against their cell centroid (the 4x-compressed
+    index tier) and only the per-query top ``k * rerank`` touch the float
+    column for the exact rerank."""
     cents = train_ivf_centroids(corpus, vec_col, n_cells, seed=seed, id_col=corpus_id)
     c = assign_cells(corpus, cents, vec_col)
+    if quantized:
+        spark = corpus.sparkSession
+        cent_df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+            "ccell int, rv array<double>",
+        )
+        probes = (
+            top_cells(queries, cents, vec_col, max(1, nprobe))
+            .select(
+                F.col(query_id).alias("qid"),
+                F.col(vec_col).alias("qv"),
+                F.explode("cells").alias("qcell"),
+            )
+        )
+        if not exclude_self:
+            raise ValueError("quantized route always excludes self-pairs")
+        cw = c.select(
+            F.col(corpus_id).alias("cid"),
+            F.col(vec_col).alias("cv"),
+            F.col("cell").alias("ccell"),
+        ).join(F.broadcast(cent_df), "ccell")
+        return residual_quantized_topk(probes, cw, k=k, rerank=rerank)
     if nprobe <= 1:
         q = assign_cells(queries, cents, vec_col)
         return ivf_topk(

@@ -923,7 +923,9 @@ def oov_rate(docs, id_col: str = "doc_id", text_col: str = "text",
         oov_bp = half_up(10^4 * n_oov / n_tokens)
 
     computed with the exact integer half-up division (no float surface —
-    the sf0.1 parity lesson from quality_score). Documents with zero
+    the sf0.1 parity lesson from quality_score; n_oov/n_tokens are counts,
+    so the numerator is non-negative and DuckDB's truncating ``//``
+    coincides with Spark's pmod floor). Documents with zero
     tokens have no rate and are absent from the output (they vanish at
     the explode; the oracle mirrors that).
 

@@ -1396,6 +1396,14 @@ def seasonal_index_by(
     ``quality_score`` at sf0.1 (a reachable .00005 boundary flips round()
     per engine; integer division cannot).
 
+    Sign contract (ADVICE r12): ``value_col`` is UNCONSTRAINED — a negative
+    slot sum makes the numerator 2a+b negative while b > 0. Spark's
+    ``(n - pmod(n, d)) / d`` is true FLOOR for all signs (half-up =
+    half-toward-+inf), but DuckDB ``//`` truncates toward zero, so the
+    generated mirror carries an explicit floor adjustment
+    (``- CASE WHEN n < 0 AND n % d <> 0 THEN 1 END``) to stay bit-equal
+    on negative numerators too (unit-tested both engines).
+
     Shape at scale: one (group, slot) map-side-combinable groupBy over the
     scan, one group-level groupBy over the SLOT frame (never the corpus),
     broadcast join of the totals back on. Output is one row per
@@ -1432,7 +1440,9 @@ def seasonal_index_by(
 def seasonal_index_by_sql(rows_sql: str) -> str:
     """Generated DuckDB mirror of ``seasonal_index_by``: expects
     ``rows_sql`` to yield (g, slot, x) with x integer; same exact half-up
-    integer division (a - a % b) / b on positive DECIMAL(38,0)."""
+    integer division as HUGEINT ``//`` plus an explicit floor adjustment
+    (DuckDB ``//`` truncates toward zero; Spark's pmod form floors — they
+    diverge by 1 exactly when the numerator is negative and not divisible)."""
     return f"""
 WITH rows_in AS ({rows_sql}),
 s AS (
@@ -1451,7 +1461,10 @@ j AS (
 )
 SELECT g, slot, n_s, CAST(sum_s AS DOUBLE) AS slot_total,
        CASE WHEN b > 0 THEN CAST(
-         (CAST(2 AS HUGEINT) * a + b) // (CAST(2 AS HUGEINT) * b)
+         ((CAST(2 AS HUGEINT) * a + b) // (CAST(2 AS HUGEINT) * b))
+         - CASE WHEN (CAST(2 AS HUGEINT) * a + b) < 0
+                 AND (CAST(2 AS HUGEINT) * a + b) % (CAST(2 AS HUGEINT) * b) <> 0
+                THEN 1 ELSE 0 END
          AS BIGINT) END AS index_bp
 FROM j
 """
@@ -1769,8 +1782,9 @@ def score_lift_deciles(
 
     Exact integers end to end: pos_rate_bp = half_up(10^4 * pos / n) and
     lift_bp = half_up(10^4 * pos * N / (n * POS)) via the pmod floor-div
-    form in DECIMAL(38,0) (DuckDB mirror uses HUGEINT //); no float
-    surface at all. NULL lift when POS = 0.
+    form in DECIMAL(38,0) (DuckDB mirror uses HUGEINT //; pos/n/N/POS are
+    counts, so the numerator is non-negative and truncation == floor); no
+    float surface at all. NULL lift when POS = 0.
 
     Shape at scale: one distinct-score groupBy + two-phase cumsum +
     1-row broadcast, one scan-local decile assignment, one 10-key
@@ -1907,6 +1921,9 @@ def wape_backtest_by(
     exact integer sums, so the entire statistic is ONE half-up integer
     division (DECIMAL(38,0) pmod; DuckDB HUGEINT //), zero float. The
     first observed period per group has no forecast and is excluded.
+    Sign-safe by construction: sae is a sum of |diffs| (>= 0) and the
+    division is guarded sa > 0, so the numerator 2a+b is never negative
+    and DuckDB's truncating ``//`` coincides with Spark's pmod floor.
 
     Shape at scale: meant for AGGREGATED series (the registered query
     feeds daily totals): one per-group exchange+sort for the lag, one

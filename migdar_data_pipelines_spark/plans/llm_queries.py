@@ -648,6 +648,116 @@ def embedding_topk_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_topk_ivf_pq",
+    sql=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+rep AS (
+  SELECT label AS rcell, embedding AS rv
+  FROM (SELECT label, embedding,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE rn = 1
+),
+pr AS (
+  SELECT qid, qv, rcell, round({_COS.replace('cv', 'rv')}, 4) AS pc
+  FROM q, rep
+),
+probes AS (
+  SELECT qid, qv, rcell AS qcell
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY pc DESC, rcell) AS prn
+        FROM pr)
+  WHERE prn <= 2
+),
+cj AS (
+  SELECT e.vec_id AS cid, e.label AS ccell, e.embedding AS cv, rep.rv
+  FROM embeddings e JOIN rep ON e.label = rep.rcell
+),
+res AS (
+  SELECT cid, ccell, cv, rv,
+         list_transform(generate_series(1, len(cv)),
+                        i -> cv[i]::DOUBLE - rv[i]::DOUBLE) AS rs
+  FROM cj
+),
+sc AS (
+  SELECT *, list_max(list_transform(rs, x -> abs(x))) / 127.0 AS scale FROM res
+),
+recon AS (
+  SELECT cid, ccell, cv,
+         CASE WHEN scale = 0 THEN list_transform(rv, x -> x::DOUBLE)
+              ELSE list_transform(generate_series(1, len(rs)),
+                     i -> rv[i]::DOUBLE
+                          + CAST(round(rs[i] / scale) AS INTEGER) * scale)
+         END AS dv
+  FROM sc
+),
+cand AS (
+  SELECT p.qid, p.qv, r.cid, r.cv,
+         round({_COS.replace('cv', 'dv').replace('qv', 'p.qv')}, 4) AS approx
+  FROM probes p JOIN recon r ON p.qcell = r.ccell AND p.qid <> r.cid
+),
+topm AS (
+  SELECT qid, qv, cid, cv
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS arn
+        FROM cand)
+  WHERE arn <= 20
+),
+rr AS (
+  SELECT qid, cid, round({_COS}, 4) AS cosine FROM topm
+)
+SELECT qid AS query_id, cid AS neighbour_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM rr)
+WHERE rank <= 5
+""",
+)
+def embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with QUANTIZED-RESIDUAL candidate scoring + exact float rerank
+    (VERDICT r12 #5) — the full 100 TB ANN memory story: same nprobe=2
+    deterministic cell ranking as ``embedding_topk_ivf_nprobe`` (min-vec_id
+    representative per cell — bit-deterministic in both engines), but the
+    probed candidates are scored on int8-quantized residuals against the
+    cell reference (the stored index is ~4x smaller than float32; residuals
+    share a tighter scale than whole vectors) and only the per-query top
+    k*rerank=20 reconstructed candidates touch the float column for the
+    exact rerank. The oracle replays the ENTIRE quantize -> reconstruct ->
+    cut -> rerank chain, so the gate covers the quantization arithmetic and
+    the rerank cut, not just the final ranking. On the gate corpus the
+    output equals ``embedding_topk_ivf_nprobe`` row-for-row (asserted in
+    tests/test_round13_ops.py) — the equality contract VERDICT asked for."""
+    from pyspark.sql import Window
+
+    from ..llm.linalg import cosine
+    from ..llm.similarity import residual_quantized_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    nprobe, k = 2, 5
+    w_rep = Window.partitionBy("label").orderBy("vec_id")
+    rep = (
+        e.withColumn("rn", F.row_number().over(w_rep))
+        .filter(F.col("rn") == 1)
+        .select(F.col("label").alias("rcell"), F.col("embedding").alias("rv"))
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    ranked = q.join(F.broadcast(rep), F.lit(True)).withColumn(
+        "pc", F.round(cosine(F.col("qv"), F.col("rv")), 4)
+    )
+    w_p = Window.partitionBy("qid").orderBy(F.desc("pc"), F.asc("rcell"))
+    probes = (
+        ranked.withColumn("prn", F.row_number().over(w_p))
+        .filter(F.col("prn") <= nprobe)
+        .select("qid", "qv", F.col("rcell").alias("qcell"))
+    )
+    cw = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        F.col("label").alias("ccell"),
+    ).join(F.broadcast(rep.withColumnRenamed("rcell", "ccell")), "ccell")
+    return residual_quantized_topk(probes, cw, k=k, rerank=4)
+
+
+@register(
     "embedding_near_dup_cells",
     sql=f"""
 WITH corpus AS (
@@ -6583,7 +6693,9 @@ FROM dau JOIN mau ON date_trunc('month', dau.day) = mau.mon
 def dau_mau_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/MAU stickiness — the product-engagement pulse: daily active
     users, the month's active users, and their ratio in EXACT basis
-    points (half-up integer division; no float surface). Two
+    points (half-up integer division; no float surface — dau/mau are
+    counts, so the numerator is non-negative and DuckDB's truncating
+    ``//`` coincides with Spark's pmod floor). Two
     distinct-then-count ladders — groupBy(day, user) / groupBy(month,
     user) collapse duplicates map-side BEFORE the exchange (never a
     count_distinct expand over the raw stream), then day-level and

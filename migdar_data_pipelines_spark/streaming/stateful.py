@@ -452,11 +452,40 @@ def streaming_hll_distinct(
     increasing — the deterministic "latest wins" selector for the drain)
     and regs is the dense 256-slot register array. Register index and rho
     replicate sketches._rho digit-for-digit from the same md5 hex.
-    ``state_ttl_ms`` expires idle keys (sliding-corpus monitoring)."""
+    ``state_ttl_ms`` expires idle keys (sliding-corpus monitoring).
+
+    ``val_col`` contract (ADVICE r12): BOOLEAN, integral, or STRING only —
+    the types whose Python canonicalization is provably identical to Spark's
+    ``CAST(x AS STRING)`` ('true'/'false', decimal integer repr, identity).
+    Fractional DOUBLE/FLOAT columns are REJECTED at build time: their
+    string form is engine-specific (Java Double.toString vs Python repr
+    diverge on scientific-notation magnitudes), which would silently break
+    the bit-identical claim — cast to string upstream with an explicit
+    format instead."""
     import hashlib
 
     m = 256
     tail = 12
+
+    vt = events.schema[val_col].dataType
+    if isinstance(vt, T.BooleanType):
+        # Spark CAST(bool AS STRING) -> 'true'/'false' (Python str() would
+        # give 'True'/'False' and md5-diverge from the batch sketch)
+        def canon(x) -> str:
+            return "true" if bool(x) else "false"
+    elif isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        # decimal integer repr; pandas may deliver an int64 column as
+        # float64 when NaNs mix into a batch, so go through int()
+        def canon(x) -> str:
+            return str(int(x))
+    elif isinstance(vt, T.StringType):
+        canon = str
+    else:
+        raise ValueError(
+            f"streaming_hll_distinct: val_col {val_col!r} has type {vt}; "
+            "only boolean/integral/string canonicalize bit-identically to "
+            "Spark CAST(x AS STRING) — cast upstream with an explicit format"
+        )
 
     out_schema = T.StructType(
         [f for f in events.schema.fields if f.name in set(key_cols)]
@@ -504,11 +533,7 @@ def streaming_hll_distinct(
             for x in pdf[val_col]:
                 if pd.isna(x):
                     continue
-                # Spark md5(CAST(x AS STRING)): decimal repr for integral
-                # ids (pandas may deliver them as float64 when NaNs mix in),
-                # the raw string otherwise
-                s = str(int(x)) if isinstance(x, (int, float, np.integer)) else str(x)
-                reg, rho = _reg_rho(s)
+                reg, rho = _reg_rho(canon(x))
                 if rho > regs[reg]:
                     regs[reg] = rho
                 folded += 1

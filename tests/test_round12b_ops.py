@@ -702,3 +702,82 @@ def test_pairwise_corr_constant_null_and_alignment(spark):
     assert out[("a", "b")]["n"] == 2  # inner alignment
     assert out[("a", "b")]["corr"] is None  # zero variance side
     assert ("a", "c") not in out  # no shared period -> no row
+
+
+def test_seasonal_index_negative_sum_engine_parity(spark):
+    """ADVICE r12: a negative slot sum makes the half-up numerator 2a+b
+    negative, where Spark's pmod form FLOORS but DuckDB's `//` TRUNCATES
+    toward zero — the generated mirror carries an explicit floor
+    adjustment. Prove both engines agree (and on the true half-up value,
+    i.e. half-toward-+inf) on a negative-sum slot."""
+    import duckdb
+
+    from migdar_data_pipelines_spark.operators.profile import (
+        seasonal_index_by_sql,
+    )
+
+    rows = [("g", 0, -4), ("g", 1, 7)]
+    df = spark.createDataFrame(rows, "g string, slot int, x int")
+    out = {
+        r["slot"]: r["index_bp"]
+        for r in seasonal_index_by(df, "g", "slot", "x").collect()
+    }
+    # slot0: a = 10^4 * (-4) * 2 = -80000, b = 1*3 -> ratio -26666.67
+    #   nearest integer is -26667 (floor((2a+b)/(2b)) = floor(-26666.17))
+    #   truncation would give -26666 — the pre-fix DuckDB divergence.
+    assert out == {0: -26667, 1: 46667}
+    sql = seasonal_index_by_sql(
+        "SELECT * FROM (VALUES ('g', 0, -4), ('g', 1, 7)) AS t(g, slot, x)"
+    )
+    duck = {r[1]: r[4] for r in duckdb.connect().execute(sql).fetchall()}
+    assert duck == out
+
+
+def test_streaming_hll_bool_canonicalization_matches_batch(spark, tmp_path):
+    """ADVICE r12: boolean ids must canonicalize to 'true'/'false' (Spark
+    CAST semantics), not Python str()'s 'True'/'False' or the old
+    int-coercion's '1'/'0' — registers must equal the batch sketch."""
+    import shutil
+    import tempfile
+
+    from migdar_data_pipelines_spark.operators.sketches import (
+        _hll_registers_by,
+    )
+    from migdar_data_pipelines_spark.streaming.stateful import (
+        streaming_hll_distinct,
+    )
+    from tests.test_streaming import run_available_now
+
+    rows = [("a", i % 2 == 0) for i in range(10)]
+    src = str(tmp_path / "hll_bool_src")
+    spark.createDataFrame(rows, "k string, flag boolean").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("k string, flag boolean").parquet(src)
+    out = streaming_hll_distinct(stream, ["k"], "flag")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        run_available_now(out, ckpt, query_name="t_shll_bool", output_mode="append")
+        drained = spark.table("t_shll_bool")
+        final = drained.orderBy(F.desc("rows_folded")).first()["regs"]
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    batch = spark.createDataFrame(rows, "k string, flag boolean")
+    expected = {
+        r["register"]: r["max_rho"]
+        for r in _hll_registers_by(batch, ["k"], "flag").collect()
+    }
+    assert {i: v for i, v in enumerate(final) if v > 0} == expected
+
+
+def test_streaming_hll_rejects_fractional_double(spark):
+    """Fractional doubles canonicalize engine-specifically — the build must
+    refuse them (the old code silently truncated 3.7 -> '3')."""
+    from migdar_data_pipelines_spark.streaming.stateful import (
+        streaming_hll_distinct,
+    )
+
+    df = spark.createDataFrame([("a", 3.7)], "k string, v double")
+    with pytest.raises(ValueError, match="boolean/integral/string"):
+        streaming_hll_distinct(df, ["k"], "v")
