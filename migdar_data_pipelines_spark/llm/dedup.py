@@ -1588,6 +1588,109 @@ def duplicated_spans(
     )
 
 
+def drop_duplicated_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8
+) -> DataFrame:
+    """Exact substring dedup as a REWRITE (VERDICT r12 #6) — the Lee et al.
+    2021 production mode (C4/RefinedWeb lineage): instead of flagging the
+    document (``duplicated_spans``), EXCISE every repeated region and emit
+    the cleaned text column, keeping the FIRST occurrence corpus-wide.
+
+    Contract at k-word resolution: an occurrence of a k-gram is REDUNDANT
+    iff it is not the corpus-minimal (id, pos) occurrence of that gram —
+    so every repeated substring keeps exactly its first copy (ties are
+    impossible: (id, pos) is unique) and later copies are dropped. The
+    redundant occurrences' overlapping [pos, pos+k-1] intervals are merged
+    per document (gaps-and-islands, the ``duplicated_spans`` machinery) and
+    the covered word positions are removed; the cleaned text is the
+    remaining words re-joined with single spaces. Documents shorter than k
+    words pass through untouched.
+
+    Shape at scale (same skeleton as ``duplicated_spans`` — one cached
+    word-array frame, positional shingles, 8-byte xxhash64 gram keys):
+    the first-occurrence selector is a map-side-combinable
+    ``groupBy(h).agg(min(struct(id, pos)))`` over only the duplicated
+    RESIDUE — never a rank window over the raw occurrence stream, which
+    would sort every occurrence of a hot boilerplate gram in one task
+    (the same hot-gram reasoning that keeps the multiplicity count a
+    groupBy). The per-doc span list is bounded by n_words/k, so the
+    rebuild join carries tiny arrays, and the word-position filter is a
+    scan-local nested higher-order expression. Nothing is ever pairwise.
+    """
+    from pyspark.sql import Window
+
+    base_words = scoped_persist(
+        df.select(F.col(id_col).alias("id"), words(text_col).alias("__ws"))
+    )
+    base = base_words.select(
+        "id",
+        F.size("__ws").alias("n_words"),
+        positional_shingles_of_words(F.col("__ws"), k).alias("grams"),
+    )
+    occ = (
+        base.select("id", "n_words", F.posexplode("grams").alias("pos", "gram"))
+        .filter(F.col("gram").isNotNull() & (F.col("n_words") >= k))
+        .select("id", "pos", F.xxhash64("gram").alias("h"))
+    )
+    occ = scoped_persist(occ)
+    dup_grams = scoped_persist(
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("h")
+    )
+    dup_small = dup_grams.count() <= MAX_BROADCAST_DUP_GRAMS
+    occ_dup = scoped_persist(
+        occ.join(F.broadcast(dup_grams) if dup_small else dup_grams, "h")
+    )
+    firsts = occ_dup.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("f")
+    )
+    red = (
+        occ_dup.join(F.broadcast(firsts) if dup_small else firsts, "h")
+        .filter(
+            (F.col("id") != F.col("f.id")) | (F.col("pos") != F.col("f.pos"))
+        )
+        .select("id", "pos")
+    )
+
+    by_doc = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k - 1).over(
+        by_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    spans = (
+        red.withColumn(
+            "island",
+            F.sum(island).over(by_doc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max(F.col("pos") + k - 1)).alias("e"),
+        )
+        .groupBy("id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("sp"))
+    )
+
+    joined = base_words.join(spans, "id", "left")
+    sp = F.coalesce("sp", F.array())
+    kept = F.filter(
+        F.col("__ws"),
+        lambda w, i: ~F.exists(
+            sp, lambda seg: (i >= seg["s"]) & (i <= seg["e"])
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("__ws").cast("long").alias("n_words"),
+        (F.size("__ws") - F.size(kept)).cast("long").alias("dropped_words"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
 def srp_planes(dim: int, nbits: int = 32) -> list[list[int]]:
     """Deterministic signed-random-projection hyperplanes: an nbits x dim
     matrix of +-1 derived from md5 parity, so any engine (or a re-run years

@@ -3308,6 +3308,88 @@ def substring_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "substring_dedup_rewrite_documents",
+    sql=f"""
+WITH w AS (SELECT doc_id, {_W} AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(ws) - {_SPAN_K} + 1),
+           i -> struct_pack(pos := i - 1,
+                            gram := array_to_string(
+                              list_slice(ws, i, i + {_SPAN_K} - 1), ' ')))) AS s
+  FROM w WHERE len(ws) >= {_SPAN_K}
+),
+occ AS (SELECT doc_id, s.pos AS pos, md5(s.gram) AS h FROM g),
+red AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM occ
+  ) WHERE rn > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos + {_SPAN_K} - 1) OVER prev IS NULL
+                OR pos > max(pos + {_SPAN_K} - 1) OVER prev + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM red
+  WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+num AS (
+  SELECT doc_id, pos,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos + {_SPAN_K} - 1) AS e
+  FROM num GROUP BY doc_id, island
+),
+cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM spans),
+wp AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM w
+),
+kept AS (
+  SELECT wp.doc_id, wp.word, wp.i
+  FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.i - 1 = cov.p
+  WHERE cov.p IS NULL
+),
+recon AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY i) AS cleaned_text,
+         count(*) AS kept_n
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id AS id, CAST(len(w.ws) AS BIGINT) AS n_words,
+       CAST(len(w.ws) - coalesce(r.kept_n, 0) AS BIGINT) AS dropped_words,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM w LEFT JOIN recon r ON w.doc_id = r.doc_id
+""",
+)
+def substring_dedup_rewrite_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup as a REWRITE, not a flag (VERDICT r12 #6 — the
+    Lee et al. 2021 / C4 / RefinedWeb production mode the flag-only
+    ``substring_dup_spans_documents`` stops short of): every corpus-repeated
+    8-gram region keeps its FIRST occurrence (corpus-minimal (doc_id, pos) —
+    unique, so the keep-one choice is deterministic in both engines) and
+    later copies are EXCISED, emitting the cleaned text column itself. The
+    oracle recomputes the full shingle -> first-occurrence -> island-merge ->
+    word-drop -> re-join chain, so the gate covers the rewrite output
+    byte-for-byte, not just the drop counts. Scale shape is
+    ``llm/dedup.py::drop_duplicated_spans``'s: positional 8-byte gram hashes,
+    map-side-combinable multiplicity and first-occurrence aggregates (never
+    a rank window over the raw occurrence stream — hot boilerplate grams),
+    and a per-doc span list bounded by n_words/k driving a scan-local
+    indexed array filter."""
+    from ..llm.dedup import drop_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return drop_duplicated_spans(d, "text", "doc_id", k=_SPAN_K)
+
+
+@register(
     "unigram_lm_nll_documents",
     sql=f"""
 WITH toks AS (SELECT doc_id, unnest({_W}) AS w FROM documents),
@@ -5782,6 +5864,112 @@ def streaming_simhash_near_dup_documents(
     return drained.groupBy("id").agg(
         F.expr("bool_or(dup)").alias("is_near_dup")
     ).select(F.col("id").alias("doc_id"), "is_near_dup")
+
+
+@register(
+    "streaming_curate_documents",
+    sql=rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id, text, words,
+         {_QUALITY_W} AS quality,
+         len(list_filter(words, x -> lower(x) IN ('the','and','of','is'))) AS s_en,
+         len(list_filter(words, x -> lower(x) IN ('el','la','de','que'))) AS s_es,
+         len(list_filter(words, x -> lower(x) IN ('le','la','et','les'))) AS s_fr,
+         len(list_filter(words, x -> lower(x) IN ('der','die','und','das'))) AS s_de
+  FROM w
+), f AS (
+  SELECT doc_id, text, words FROM m
+  WHERE len(words) >= 10
+    AND quality >= 0.5
+    AND (CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+              WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+              WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+              WHEN s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+              ELSE 'und' END) IN ('en', 'und')
+), s AS (
+  SELECT doc_id AS id, md5(text) AS h, {_SH3} AS sh FROM f
+)
+SELECT a.id AS doc_id,
+       EXISTS(SELECT 1 FROM s b WHERE b.id < a.id AND b.h = a.h) AS dup_exact,
+       EXISTS(SELECT 1 FROM s b WHERE b.id < a.id
+              AND CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
+                  / greatest(len(a.sh), len(b.sh)) >= 0.8
+              AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+                  >= 0.8) AS near_dup,
+       NOT EXISTS(SELECT 1 FROM s b WHERE b.id < a.id AND b.h = a.h)
+         AND NOT EXISTS(SELECT 1 FROM s b WHERE b.id < a.id
+              AND CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)
+                  / greatest(len(a.sh), len(b.sh)) >= 0.8
+              AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.sh, b.sh))), 4)
+                  >= 0.8) AS admitted
+FROM s a
+""",
+)
+def streaming_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation composite (VERDICT r12 #7 —
+    streaming/curate.py::streaming_curate): documents arrive as a TRUE
+    multi-micro-batch stream (three id-range chunk files, maxFilesPerTrigger
+    1 — the order-monotonic delivery contract); each micro-batch runs the
+    batch chain's scan-local filter, within-batch exact + banded-LSH near
+    dedup, and the incremental_dedup probe against the parquet INDEX of all
+    previously-filtered docs, then appends itself to that index — the
+    foreachBatch production shape where the standing corpus is never
+    re-deduped. Verdict per filtered doc: (dup_exact, near_dup, admitted),
+    each defined against STRICTLY-EARLIER filtered docs only, so the drained
+    stream equals the batch replay and the oracle is the exact quadratic
+    earlier-doc answer over the same md5/shingle surfaces (count-ratio
+    prefilter is lossless at jaccard >= 0.8; 32 hashes / 16 bands puts the
+    band-miss probability ~3e-12, the incremental_dedup_documents claim).
+    Parity lifts the LSH hot-bucket ceilings (max_bucket_size=None), as
+    every parity query does — production keeps the bounded defaults."""
+    import shutil
+    import tempfile
+
+    from ..streaming.curate import streaming_curate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="curate_stream_")
+    src = f"{base}/src"
+    try:
+        hi = d.agg(F.max("doc_id")).first()[0] + 1
+        n_chunks = 3
+        step = (hi + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            d.filter(
+                (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
+            ).sort("doc_id").coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        streaming_curate(
+            stream,
+            checkpoint_dir=f"{base}/ckpt",
+            index_dir=f"{base}/index",
+            out_dir=f"{base}/out",
+            id_col="doc_id",
+            text_col="text",
+            jaccard_threshold=0.8,
+            n_hashes=32,
+            bands=16,
+            max_bucket_size=None,
+        )
+        res = spark.read.parquet(f"{base}/out").select(
+            F.col("id").alias("doc_id"), "dup_exact", "near_dup", "admitted"
+        )
+        # materialize before the temp dirs go away (the drained verdict is
+        # one small row per filtered doc)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(

@@ -1,0 +1,178 @@
+"""Streaming corpus curation — the ``foreachBatch`` incremental form of the
+batch curation chain (llm/pipeline.py::curation_stage_frames), closing the
+loop between the repo's batch-curation and streaming layers (VERDICT r12 #7):
+documents arrive continuously; each micro-batch is FILTERED scan-locally,
+exact-deduped and near-dup-probed against the STANDING INDEX of everything
+that arrived before it, and the admitted corpus grows append-only — the
+production shape at 100 TB, where yesterday's corpus is never re-deduped and
+today's feed probes it (llm/dedup.py::incremental_dedup's contract, run
+per-microbatch instead of per-day).
+
+Semantics (split-invariant, the parity surface): a document's verdict
+depends only on STRICTLY-EARLIER (by the order column) FILTERED documents —
+never on micro-batch boundaries:
+
+  * dup_exact — an earlier filtered doc has the same content md5;
+  * near_dup  — an earlier filtered doc verifies at shingle-Jaccard >=
+    threshold (exact copies count here too: identical shingle sets);
+  * admitted  — passed the filter and neither flag fired.
+
+Index policy: the index admits EVERY filtered doc, flagged duplicates
+included. That is what makes the verdict non-recursive (no "kept iff no
+earlier KEPT collides" chain, whose greedy selection would couple verdicts
+across a micro-batch) and therefore independent of how the stream is split —
+the stream equals its batch replay row-for-row, which is exactly what the
+registered query's oracle recomputes. A dup-of-a-dup still flags against the
+nearest earlier member rather than only the canonical — a superset of the
+canonical-only flags.
+
+Delivery contract (same as streaming/stateful.py's order-monotonic family):
+rows are ordered by the id column within each micro-batch and an earlier id
+never arrives in a later batch.
+
+Scale shape per micro-batch: the filter is scan-local; within-batch exact
+dedup is a map-side-combinable min-per-hash groupBy; within-batch near-dup
+is the banded-LSH pair machinery over the increment only; the cross-index
+probe broadcasts the (small) increment against the standing band table, so
+the index is never shuffled (incremental_dedup). State lives in parquet —
+the write-once/probe-many layout — not in executor memory, so it survives
+restarts with the checkpoint and its size is disk-bounded, not heap-bounded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .._serde import register_self_contained
+
+register_self_contained(__name__)
+
+
+def curation_filter(
+    text_col: str,
+    min_words: int = 10,
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = ("en", "und"),
+) -> F.Column:
+    """The batch chain's stage-1 predicate (curation_stage_frames), shared
+    so the stream filters with the SAME expression the batch form uses."""
+    from ..llm.textanalysis import language_id, quality_score, token_stats
+
+    return (
+        (token_stats(text_col)["n_words"] >= min_words)
+        & (quality_score(text_col) >= min_quality)
+        & language_id(text_col).isin(*languages)
+    )
+
+
+def streaming_curate(
+    docs_stream: DataFrame,
+    checkpoint_dir: str,
+    index_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 10,
+    min_quality: float = 0.5,
+    languages: tuple[str, ...] = ("en", "und"),
+    jaccard_threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+    query_name: str = "curate_stream",
+) -> None:
+    """Drain ``docs_stream`` (Trigger.AvailableNow) through the incremental
+    curation pipeline: verdict rows append to ``out_dir`` parquet, the
+    filtered index appends to ``index_dir`` parquet. One row per FILTERED
+    doc: (id, dup_exact, near_dup, admitted).
+
+    ``max_bucket_size=None`` (the default here) lifts the LSH hot-bucket
+    ceilings on BOTH the within-batch pair pass and the index probe — this
+    entry point is the exact/parity surface; a production deployment passes
+    the bounded default (llm/dedup.py::MAX_LSH_BUCKET_SIZE), accepting the
+    documented lower-bound semantics on >ceiling template clusters."""
+
+    def _batch(bdf: DataFrame, batch_id: int) -> None:
+        from ..llm.dedup import incremental_dedup, minhash_lsh_pairs
+
+        spark = bdf.sparkSession
+        filtered = bdf.filter(
+            curation_filter(text_col, min_words, min_quality, languages)
+        ).select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        filtered = filtered.persist()
+        try:
+            if filtered.limit(1).count() == 0:
+                return
+            # within-batch exact tier: first (min-id) holder of each md5 is
+            # clean; later holders flag. Map-side-combinable groupBy.
+            h = filtered.select("id", F.md5("text").alias("__h"))
+            firsts = h.groupBy("__h").agg(F.min("id").alias("__first"))
+            exact_b = h.join(firsts, "__h").select(
+                "id", (F.col("id") != F.col("__first")).alias("dup_exact_b")
+            )
+            # within-batch near tier: banded LSH pairs (id_a < id_b), the
+            # later side of every verified pair flags.
+            pairs = minhash_lsh_pairs(
+                filtered, "text", "id",
+                n_hashes=n_hashes, bands=bands, k=3,
+                jaccard_threshold=jaccard_threshold,
+                max_bucket_size=max_bucket_size,
+            )
+            near_b = (
+                pairs.select(F.col("id_b").alias("id"))
+                .distinct()
+                .withColumn("near_b", F.lit(True))
+            )
+            verdict = (
+                exact_b.join(near_b, "id", "left")
+                .withColumn("near_b", F.coalesce("near_b", F.lit(False)))
+            )
+            # cross-index probe: exact hash hit + banded near hit against
+            # the standing corpus (batch side broadcast; index unshuffled)
+            if os.path.isdir(index_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(index_dir)
+            ):
+                idx = spark.read.parquet(index_dir)
+                inc = incremental_dedup(
+                    filtered, idx, "text", "id",
+                    n_hashes=n_hashes, bands=bands, k=3,
+                    jaccard_threshold=jaccard_threshold,
+                    max_index_bucket=max_bucket_size,
+                )
+                verdict = verdict.join(
+                    inc.select(
+                        "id",
+                        F.col("dup_exact").alias("dup_exact_i"),
+                        (F.col("n_near_index") > 0).alias("near_i"),
+                    ),
+                    "id",
+                )
+            else:
+                verdict = verdict.withColumn(
+                    "dup_exact_i", F.lit(False)
+                ).withColumn("near_i", F.lit(False))
+            out = verdict.select(
+                "id",
+                (F.col("dup_exact_b") | F.col("dup_exact_i")).alias("dup_exact"),
+                (F.col("near_b") | F.col("near_i")).alias("near_dup"),
+            ).withColumn(
+                "admitted", ~F.col("dup_exact") & ~F.col("near_dup")
+            )
+            out.write.mode("append").parquet(out_dir)
+            # grow the standing index AFTER the probe (a doc never probes
+            # itself); append-only parquet = restart-safe, disk-bounded state
+            filtered.write.mode("append").parquet(index_dir)
+        finally:
+            filtered.unpersist()
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -80,3 +80,91 @@ def test_residual_quantized_zero_residual_safe(spark):
     assert out[0]["cosine"] == pytest.approx(1.0)
     assert out[0]["rank"] == 1
     assert out[1]["cosine"] == pytest.approx(0.8, abs=1e-4)
+
+
+# ---------------------------------------------- substring dedup rewrite
+
+
+def test_drop_duplicated_spans_hand_case(spark):
+    """Keep-first semantics across docs: doc1 is the corpus-first occurrence
+    of every gram (kept whole), its full copy doc2 is fully excised, and a
+    doc embedding the shared region loses exactly that region."""
+    from migdar_data_pipelines_spark.llm.dedup import drop_duplicated_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),
+        (3, "x y z a b c d e f q r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           drop_duplicated_spans(df, "text", "doc_id", k=4).collect()}
+    assert out[1]["cleaned_text"] == "a b c d e f g h i j"
+    assert out[1]["dropped_words"] == 0
+    assert out[2]["cleaned_text"] == "" and out[2]["dropped_words"] == 10
+    assert out[3]["cleaned_text"] == "x y z q r s"
+    assert out[3]["dropped_words"] == 6
+
+
+def test_drop_duplicated_spans_within_doc_repeat(spark):
+    """A within-document repeat keeps its first copy and drops the second;
+    a short doc (< k words) passes through untouched."""
+    from migdar_data_pipelines_spark.llm.dedup import drop_duplicated_spans
+
+    rows = [(1, "p q r s p q r s"), (2, "t u v")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           drop_duplicated_spans(df, "text", "doc_id", k=4).collect()}
+    assert out[1]["cleaned_text"] == "p q r s"
+    assert out[1]["dropped_words"] == 4
+    assert out[2]["cleaned_text"] == "t u v"
+    assert out[2]["dropped_words"] == 0
+
+
+# ------------------------------------------------ streaming curation
+
+
+def test_streaming_curate_cross_batch(spark, tmp_path):
+    """Two micro-batches: batch 2 carries an exact copy and a near copy of a
+    batch-1 doc (flagged via the standing parquet index) plus a fresh doc
+    (admitted); a junk doc never reaches the verdict (filter stage)."""
+    from migdar_data_pipelines_spark.streaming.curate import streaming_curate
+
+    base_text = (
+        "the quick brown fox jumps over the lazy dog and runs far away home"
+    )
+    b1 = [(1, base_text), (2, "completely different words " + "alpha beta gamma delta " * 4)]
+    b2 = [
+        (10, base_text),                       # exact copy of doc 1
+        (11, base_text + " extra"),            # near copy (jaccard ~0.9)
+        (12, "the wholly novel and original of is " + "zeta eta theta iota " * 4),
+        (13, "short junk"),                    # fails min_words filter
+    ]
+    src = str(tmp_path / "src")
+    for chunk in (b1, b2):
+        spark.createDataFrame(chunk, "doc_id long, text string").sort(
+            "doc_id"
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_curate(
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        index_dir=str(tmp_path / "index"),
+        out_dir=str(tmp_path / "out"),
+        jaccard_threshold=0.8,
+        query_name="t_curate_ut",
+    )
+    out = {r["id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert 13 not in out                      # filtered out, no verdict row
+    assert out[1]["admitted"] and not out[1]["dup_exact"]
+    assert out[10]["dup_exact"] and not out[10]["admitted"]
+    assert out[11]["near_dup"] and not out[11]["dup_exact"]
+    assert not out[11]["admitted"]
+    assert out[12]["admitted"]
+    # the index holds every filtered doc (flagged dups included)
+    idx_ids = {r["id"] for r in spark.read.parquet(str(tmp_path / "index")).collect()}
+    assert idx_ids == {1, 2, 10, 11, 12}
