@@ -68,6 +68,74 @@ def curation_filter(
     )
 
 
+def curate_batch_verdict(
+    filtered: DataFrame,
+    index: DataFrame | None,
+    jaccard_threshold: float = 0.8,
+    n_hashes: int = 32,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """One micro-batch's verdict frame — the plan the stream runs per
+    trigger, factored out so it is explainable/testable as batch code
+    (``filtered``: (id, text) rows that passed the stage-1 filter;
+    ``index``: the standing (id, text) corpus, or None on the first batch).
+
+    Returns (id, dup_exact, near_dup, admitted)."""
+    from ..llm.dedup import incremental_dedup, minhash_lsh_pairs
+
+    # within-batch exact tier: first (min-id) holder of each md5 is clean;
+    # later holders flag. Map-side-combinable groupBy.
+    h = filtered.select("id", F.md5("text").alias("__h"))
+    firsts = h.groupBy("__h").agg(F.min("id").alias("__first"))
+    exact_b = h.join(firsts, "__h").select(
+        "id", (F.col("id") != F.col("__first")).alias("dup_exact_b")
+    )
+    # within-batch near tier: banded LSH pairs (id_a < id_b), the later
+    # side of every verified pair flags.
+    pairs = minhash_lsh_pairs(
+        filtered, "text", "id",
+        n_hashes=n_hashes, bands=bands, k=3,
+        jaccard_threshold=jaccard_threshold,
+        max_bucket_size=max_bucket_size,
+    )
+    near_b = (
+        pairs.select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("near_b", F.lit(True))
+    )
+    verdict = (
+        exact_b.join(near_b, "id", "left")
+        .withColumn("near_b", F.coalesce("near_b", F.lit(False)))
+    )
+    # cross-index probe: exact hash hit + banded near hit against the
+    # standing corpus (batch side broadcast; index unshuffled)
+    if index is not None:
+        inc = incremental_dedup(
+            filtered, index, "text", "id",
+            n_hashes=n_hashes, bands=bands, k=3,
+            jaccard_threshold=jaccard_threshold,
+            max_index_bucket=max_bucket_size,
+        )
+        verdict = verdict.join(
+            inc.select(
+                "id",
+                F.col("dup_exact").alias("dup_exact_i"),
+                (F.col("n_near_index") > 0).alias("near_i"),
+            ),
+            "id",
+        )
+    else:
+        verdict = verdict.withColumn("dup_exact_i", F.lit(False)).withColumn(
+            "near_i", F.lit(False)
+        )
+    return verdict.select(
+        "id",
+        (F.col("dup_exact_b") | F.col("dup_exact_i")).alias("dup_exact"),
+        (F.col("near_b") | F.col("near_i")).alias("near_dup"),
+    ).withColumn("admitted", ~F.col("dup_exact") & ~F.col("near_dup"))
+
+
 def streaming_curate(
     docs_stream: DataFrame,
     checkpoint_dir: str,
@@ -96,8 +164,6 @@ def streaming_curate(
     documented lower-bound semantics on >ceiling template clusters."""
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
-        from ..llm.dedup import incremental_dedup, minhash_lsh_pairs
-
         spark = bdf.sparkSession
         filtered = bdf.filter(
             curation_filter(text_col, min_words, min_quality, languages)
@@ -106,60 +172,17 @@ def streaming_curate(
         try:
             if filtered.limit(1).count() == 0:
                 return
-            # within-batch exact tier: first (min-id) holder of each md5 is
-            # clean; later holders flag. Map-side-combinable groupBy.
-            h = filtered.select("id", F.md5("text").alias("__h"))
-            firsts = h.groupBy("__h").agg(F.min("id").alias("__first"))
-            exact_b = h.join(firsts, "__h").select(
-                "id", (F.col("id") != F.col("__first")).alias("dup_exact_b")
-            )
-            # within-batch near tier: banded LSH pairs (id_a < id_b), the
-            # later side of every verified pair flags.
-            pairs = minhash_lsh_pairs(
-                filtered, "text", "id",
-                n_hashes=n_hashes, bands=bands, k=3,
-                jaccard_threshold=jaccard_threshold,
-                max_bucket_size=max_bucket_size,
-            )
-            near_b = (
-                pairs.select(F.col("id_b").alias("id"))
-                .distinct()
-                .withColumn("near_b", F.lit(True))
-            )
-            verdict = (
-                exact_b.join(near_b, "id", "left")
-                .withColumn("near_b", F.coalesce("near_b", F.lit(False)))
-            )
-            # cross-index probe: exact hash hit + banded near hit against
-            # the standing corpus (batch side broadcast; index unshuffled)
             if os.path.isdir(index_dir) and any(
                 f.endswith(".parquet") for f in os.listdir(index_dir)
             ):
                 idx = spark.read.parquet(index_dir)
-                inc = incremental_dedup(
-                    filtered, idx, "text", "id",
-                    n_hashes=n_hashes, bands=bands, k=3,
-                    jaccard_threshold=jaccard_threshold,
-                    max_index_bucket=max_bucket_size,
-                )
-                verdict = verdict.join(
-                    inc.select(
-                        "id",
-                        F.col("dup_exact").alias("dup_exact_i"),
-                        (F.col("n_near_index") > 0).alias("near_i"),
-                    ),
-                    "id",
-                )
             else:
-                verdict = verdict.withColumn(
-                    "dup_exact_i", F.lit(False)
-                ).withColumn("near_i", F.lit(False))
-            out = verdict.select(
-                "id",
-                (F.col("dup_exact_b") | F.col("dup_exact_i")).alias("dup_exact"),
-                (F.col("near_b") | F.col("near_i")).alias("near_dup"),
-            ).withColumn(
-                "admitted", ~F.col("dup_exact") & ~F.col("near_dup")
+                idx = None
+            out = curate_batch_verdict(
+                filtered, idx,
+                jaccard_threshold=jaccard_threshold,
+                n_hashes=n_hashes, bands=bands,
+                max_bucket_size=max_bucket_size,
             )
             out.write.mode("append").parquet(out_dir)
             # grow the standing index AFTER the probe (a doc never probes

@@ -111,6 +111,62 @@ PICK = {
         "range-exchange above), ONE broadcast row per metric, scan-local "
         "scores — no row-level ntile at any scale"
     ),
+    "curate_corpus_stats": (
+        "Five-stage curation chain (the #1 engine-cost bench query): "
+        "scan-local filter, hash-groupBy exact dedup, banded-LSH + CC "
+        "near-dup collapse — scoped persists pin each stage frame once, "
+        "every audit count reads the frame the next stage consumes"
+    ),
+    "assortativity_knn_embeddings": (
+        "Degree assortativity: two degree equi-joins onto the canonical "
+        "edge list, exact DECIMAL(38,0) moments, one scalar aggregate — "
+        "no adjacency materialization, no window"
+    ),
+    "golden_record_customers": (
+        "Golden record: scan-local melt, (cluster, attr, value) vote "
+        "groupBy, min(struct(-cnt, val)) modal choice WITHOUT a window, "
+        "conditional-agg pivot back to columns"
+    ),
+    "hll_rollup_events": (
+        "HLL rollup-merge: (type, day, register) map-side-combined "
+        "groupBy, register-wise max re-aggregation over the SKETCH frame "
+        "(<= types*days*256 rows on any exchange) — raw stream scanned once"
+    ),
+    "attribution_events": (
+        "Attribution: running first + last touch share ONE per-user "
+        "exchange+sort (identical frames fold into a single Window node), "
+        "conversions explode into two credits, one map-side groupBy"
+    ),
+    "wape_backtest_events": (
+        "WAPE backtest: one per-group lag window over the aggregated "
+        "daily frame + one map-side-combinable groupBy, a single half-up "
+        "integer division — zero float until the output"
+    ),
+    "cross_corr_event_types": (
+        "Pairwise cross-correlation: type-pair self-join on the "
+        "AGGREGATED |days|x|types| frame only, exact DECIMAL(38,0) "
+        "cross-moments, one canonical double chain per pair"
+    ),
+    "frequent_tokens_mg_documents": (
+        "Misra-Gries heavy hitters: per-partition bounded summaries, "
+        "capacity*partitions rows on the merge exchange, candidate-only "
+        "exact recount + N/(capacity+1) certificate"
+    ),
+    "copurchase_parts_orders": (
+        "Co-purchase mining: a-priori item prune + basket-size ceiling "
+        "BEFORE the basket-keyed pair join (blow-up bounded by "
+        "sum_b |b|^2, never corpus^2), support joins back onto pairs"
+    ),
+    "embedding_topk_ivf_pq": (
+        "IVF-PQ: residual-quantized candidate scoring inside the probed "
+        "cells (persisted reconstruction — the quantize chain runs once "
+        "per corpus row), exact float rerank touches only top k*rerank"
+    ),
+    "substring_dedup_rewrite_documents": (
+        "Substring rewrite: min(struct) first-occurrence groupBy over the "
+        "dup residue (no rank window over hot grams), islands window, "
+        "scan-local indexed word-drop over bounded per-doc span lists"
+    ),
 }
 
 
@@ -141,8 +197,69 @@ def _streaming_simhash_plan(spark, sf_dir):
     )
 
 
+def _streaming_attribution_plan(spark, sf_dir):
+    """Pre-start stateful-streaming plan for the attribution feed (same
+    rationale as _streaming_simhash_plan: explain() on the drained sink
+    shows nothing; the not-yet-started frame shows the
+    FlatMapGroupsInPandasWithState node over the user-key exchange)."""
+    from migdar_data_pipelines_spark.streaming import read_events_stream
+    from migdar_data_pipelines_spark.streaming.stateful import (
+        streaming_attribution,
+    )
+
+    from pyspark.sql import functions as F
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    feed = stream.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("xus"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return streaming_attribution(
+        feed, "purchase", "user_id", "event_type", "cents",
+        order_cols=["xus", "event_id"],
+    )
+
+
+def _streaming_curate_batch_plan(spark, sf_dir):
+    """The per-microbatch verdict plan the curation stream runs each
+    trigger (streaming/curate.py::curate_batch_verdict): a representative
+    increment (first documents chunk) probing a representative standing
+    index (the rest of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.streaming.curate import (
+        curate_batch_verdict, curation_filter,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    filt = d.filter(curation_filter("text")).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    batch = filt.filter(F.col("id") % 5 == 0)
+    index = filt.filter(F.col("id") % 5 != 0)
+    return curate_batch_verdict(batch, index)
+
+
 # non-registry plans: (title, callable, note)
 EXTRA = [
+    (
+        "streaming_attribution (streaming, pre-start)",
+        _streaming_attribution_plan,
+        "applyInPandasWithState attribution: ONE exchange on the user key "
+        "below FlatMapGroupsInPandasWithState; state per user is exactly "
+        "two strings (first + latest touch) — nothing grows with the stream",
+    ),
+    (
+        "streaming_curate per-microbatch verdict",
+        _streaming_curate_batch_plan,
+        "foreachBatch curation increment: within-batch min-per-hash exact "
+        "tier + banded-LSH pair tier over the increment only; the index "
+        "probe broadcasts the increment's band rows so the standing corpus "
+        "is never shuffled (incremental_dedup)",
+    ),
     (
         "knn_graph_ivf",
         _knn_graph_ivf,
