@@ -138,6 +138,7 @@ def main():
         summary["oracle_capped"] = capped
         summary["oracle_cap_s"] = cap
     out_path = os.environ.get("SPARK_GRAFT_PARITY_OUT")
+    merge = os.environ.get("SPARK_GRAFT_PARITY_MERGE") == "1"
     if out_path and not filters:
         with open(out_path, "w") as f:
             json.dump(
@@ -152,6 +153,35 @@ def main():
                 indent=1,
             )
         print(f"wrote {out_path}")
+    elif out_path and filters and merge and os.path.exists(out_path):
+        # Incremental artifact update (VERDICT r12 #3's staleness class):
+        # queries registered AFTER a multi-hour full run started fold their
+        # results into the existing artifact instead of forcing a complete
+        # rerun. Only ADDS/REFRESHES the filtered names; the summary is
+        # recomputed over the merged map and stamped with the merge note.
+        with open(out_path) as f:
+            doc = json.load(f)
+        assert doc["summary"]["sf_dir"] == SF_DIR, (
+            f"artifact {out_path} is for {doc['summary']['sf_dir']}, "
+            f"refusing to merge a {SF_DIR} run into it"
+        )
+        for k, v in results.items():
+            doc["queries"][k] = {"status": v[0], "wall_s": v[1]}
+        q = doc["queries"]
+        doc["summary"]["total"] = len(q)
+        doc["summary"]["red"] = [k for k, s in q.items() if s["status"] == "RED"]
+        doc["summary"]["rows_only"] = [
+            k for k, s in q.items() if s["status"].startswith("rows-only")
+        ]
+        if "oracle_capped" in doc["summary"]:
+            doc["summary"]["oracle_capped"] = [
+                k for k, s in q.items() if s["status"].startswith("oracle-capped")
+            ]
+        doc["summary"].setdefault("merged_in", []).extend(sorted(results))
+        doc["queries"] = dict(sorted(q.items()))
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"merged {sorted(results)} into {out_path}")
     print(json.dumps(summary))
 
 
