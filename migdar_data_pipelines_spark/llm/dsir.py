@@ -120,7 +120,7 @@ def dsir_log_weights(
     )
     return scored.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_feats"),
-        F.round(F.sum("llr"), 4).alias("log_weight"),
+        (F.round(F.sum("llr"), 4) + F.lit(0.0)).alias("log_weight"),
     )
 
 
@@ -155,7 +155,8 @@ def dsir_sample(
         float(16**GUMBEL_HEX_DIGITS)
     )
     keyed = w.withColumn(
-        "sample_key", F.round(F.col("log_weight") - F.log(-F.log(u)), 6)
+        "sample_key",
+        F.round(F.col("log_weight") - F.log(-F.log(u)), 6) + F.lit(0.0),
     )
     top = (
         keyed.orderBy(F.desc("sample_key"), F.asc("id"))
@@ -217,7 +218,7 @@ scored AS (
 ),
 w AS (
   SELECT id, CAST(count(*) AS BIGINT) AS n_feats,
-         round(sum(llr), 4) AS log_weight
+         round(sum(llr), 4) + CAST(0 AS DOUBLE) AS log_weight
   FROM scored GROUP BY id
 ),
 wfull AS (
@@ -229,7 +230,7 @@ keyed AS (
   SELECT id, n_feats, log_weight,
          round(log_weight
                - ln(-ln(({gfold} + 0.5) / {float(16**GUMBEL_HEX_DIGITS)})), 6)
-           AS sample_key
+           + CAST(0 AS DOUBLE) AS sample_key
   FROM wfull
 ),
 ranked AS (

@@ -466,9 +466,20 @@ def gopher_repetition(df, text_col: str, id_col: str):
     )
 
     # duplicated-{5..10}-gram coverage: word positions covered by any
-    # >1-occurrence n-gram, counted once (gaps-and-islands interval union)
+    # >1-occurrence n-gram, counted once (gaps-and-islands interval union).
+    # Gram IDENTITY is all this branch needs (no length, no tie-break), so
+    # the string is folded to an 8-byte xxhash64 IN THE PROJECTION BELOW the
+    # shuffle — the duplicated_spans move. At sf1 (100k docs incl. the
+    # tripled variant) the six n-values explode to ~5e7 rows; carrying the
+    # 5-10-word gram strings through the groupBy + join sort was ~90 B/row
+    # and OOM'd an 8 GB local[8] sorter (PARITY r13 sf1); the hash key is
+    # ~24 B/row and the same plan fits comfortably. Collision floor at
+    # 8 bytes is negligible for a dup signal (the duplicated_spans
+    # rationale; the md5-hashing oracle is collision-independent anyway).
     ns_dup = [5, 6, 7, 8, 9, 10]
-    dg = _gram_rows(ns_dup)
+    dg = _gram_rows(ns_dup).select(
+        "id", "n", F.xxhash64("gram").alias("gram"), "gpos"
+    )
     # gpos is the index within the flattened multi-n array; recover the
     # in-sequence position per (id, n) by ranking gpos inside the group
     # (flatten preserves order, so rank order == gram position order)

@@ -1469,7 +1469,7 @@ def embedding_quantize_int8_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH delta AS (
   SELECT doc_id, 'UPDATED: ' || text AS text FROM documents WHERE doc_id % 10 = 0
   UNION ALL
-  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 0
+  SELECT doc_id + 100000000, text FROM documents WHERE doc_id % 25 = 0
 )
 SELECT b.doc_id, b.text
 FROM documents b LEFT JOIN delta d ON b.doc_id = d.doc_id
@@ -1487,19 +1487,33 @@ def lakehouse_merge_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the relational definition of upsert: target-anti-join-source
     union source. The read-back is localCheckpoint'ed so the temp table dir
     can be removed before returning (same lifetime pattern as the streaming
-    drains' memory sinks)."""
+    drains' memory sinks).
+
+    Insert-id fixture contract (PARITY r13 sf1): synthetic insert ids are
+    doc_id + 1e8, ASSERTED above the corpus' max id at build. The old +1e6
+    offset collided with the sf1 shard id space (d + shard*1e6), which put
+    duplicate keys inside one delta — an undefined merge ("latest wins" per
+    engine) vs the oracle's UNION ALL double-count; the assert turns any
+    future id-space collision into a loud failure instead of a silent
+    fixture degeneration."""
     import shutil
     import tempfile
 
     from ..sinks.lakehouse import LakehouseTable
 
+    _INSERT_OFFSET = 100_000_000
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = d.agg(F.max("doc_id")).first()[0]
+    assert max_id < _INSERT_OFFSET, (
+        f"lakehouse_merge_documents fixture: corpus max doc_id {max_id} "
+        f"reaches the synthetic insert offset {_INSERT_OFFSET}"
+    )
     delta = (
         d.filter(F.col("doc_id") % 10 == 0)
         .select("doc_id", F.concat(F.lit("UPDATED: "), "text").alias("text"))
         .unionByName(
             d.filter(F.col("doc_id") % 25 == 0).select(
-                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+                (F.col("doc_id") + _INSERT_OFFSET).alias("doc_id"), "text"
             )
         )
     )

@@ -1246,23 +1246,33 @@ def null_safe_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "market_share_snowflake",
     sql="""
-SELECT r.r_name AS region_name,
-       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
-       round(sum(CASE WHEN p.p_brand = 'Brand#4'
-                      THEN l.l_extendedprice * (1 - l.l_discount) END), 2)
-         AS brand_revenue,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
-       round(coalesce(sum(CASE WHEN p.p_brand = 'Brand#4'
-                               THEN l.l_extendedprice * (1 - l.l_discount) END), 0)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS brand_share
-FROM lineitem l
-JOIN orders o   ON l.l_orderkey = o.o_orderkey
-JOIN customer c ON o.o_custkey = c.c_custkey
-JOIN nation n   ON c.c_nationkey = n.n_nationkey
-JOIN region r   ON n.n_regionkey = r.r_regionkey
-JOIN part p     ON l.l_partkey = p.p_partkey
-JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
-GROUP BY r.r_name, EXTRACT(year FROM o.o_orderdate)
+WITH j AS (
+  SELECT r.r_name, EXTRACT(year FROM o.o_orderdate) AS yr,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS q,
+         p.p_brand = 'Brand#4' AS is_brand
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+), g AS (
+  SELECT r_name, yr,
+         sum(CASE WHEN is_brand THEN q END) AS bq,
+         sum(q) AS tq
+  FROM j GROUP BY r_name, yr
+)
+SELECT r_name AS region_name, CAST(yr AS BIGINT) AS order_year,
+       CASE WHEN bq IS NOT NULL THEN
+         CAST((2 * bq + 100) // 200 AS BIGINT) / CAST(100 AS DOUBLE)
+       END AS brand_revenue,
+       CAST((2 * tq + 100) // 200 AS BIGINT) / CAST(100 AS DOUBLE)
+         AS total_revenue,
+       CAST((2 * 10000 * coalesce(bq, 0) + tq) // (2 * tq) AS BIGINT)
+         / CAST(10000 AS DOUBLE) AS brand_share
+FROM g
 """,
 )
 def market_share_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1276,7 +1286,16 @@ def market_share_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the fact rows are never exchanged more than the unavoidable
     orderkey/custkey hops. Catalyst reorders the inner joins by size
     estimates; the explicit broadcasts pin the dims so a bad stats estimate
-    can't demote them to shuffles."""
+    can't demote them to shuffles.
+
+    Exact-integer money (PARITY r13 sf1): at sf1 the per-group revenue sums
+    cross 1e10, where double accumulation diverges between engines at the
+    rounded 2dp ULP (the documented "money-scale aggregates" class). Revenue
+    is quantized ONCE per row to an exact integer in 1e-4-dollar units
+    (round(price*100) * (100 - round(discount*100)) — both factors are the
+    proven cents-quantization), summed in DECIMAL(38,0), and both the 2dp
+    revenue surfaces and the 4dp share are emitted by half-up integer
+    division (non-negative numerators, so DuckDB's truncating // == floor)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -1284,8 +1303,11 @@ def market_share_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     p = _t(spark, sf_dir, "part")
     sp = _t(spark, sf_dir, "supplier")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    brand_rev = F.when(F.col("p_brand") == "Brand#4", rev)
+    dec = "decimal(38,0)"
+    q = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast(dec)
     joined = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
@@ -1294,18 +1316,33 @@ def market_share_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sp), F.col("l_suppkey") == F.col("s_suppkey"))
     )
-    return (
-        joined.groupBy(
-            F.col("r_name").alias("region_name"),
-            F.year("o_orderdate").cast("long").alias("order_year"),
-        )
-        .agg(
-            F.round(F.sum(brand_rev), 2).alias("brand_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
-            F.round(
-                F.coalesce(F.sum(brand_rev), F.lit(0)) / F.sum(rev), 4
-            ).alias("brand_share"),
-        )
+    g = joined.groupBy(
+        F.col("r_name").alias("region_name"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    ).agg(
+        F.sum(F.when(F.col("p_brand") == "Brand#4", q)).alias("bq"),
+        F.sum(q).alias("tq"),
+    )
+
+    def half_up(num: "F.Column", den: "F.Column") -> "F.Column":
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    two = F.lit(2).cast(dec)
+    cents_b = half_up(two * F.col("bq") + 100, F.lit(200).cast(dec))
+    cents_t = half_up(two * F.col("tq") + 100, F.lit(200).cast(dec))
+    share_bp = half_up(
+        two * F.lit(10000).cast(dec) * F.coalesce(F.col("bq"), F.lit(0).cast(dec))
+        + F.col("tq"),
+        two * F.col("tq"),
+    )
+    return g.select(
+        "region_name",
+        "order_year",
+        F.when(F.col("bq").isNotNull(), cents_b / F.lit(100.0)).alias(
+            "brand_revenue"
+        ),
+        (cents_t / F.lit(100.0)).alias("total_revenue"),
+        (share_bp / F.lit(10000.0)).alias("brand_share"),
     )
 
 
