@@ -3,7 +3,9 @@ top of dedup/similarity: PII redaction, repetition/quality signals, and
 deterministic id-hash sampling & train/val splitting.
 
 All pure column expressions (JVM-side, whole-stage codegen, zero shuffle at
-100 TB — these run inside the scan stage), and every construct is restricted
+100 TB — these run inside the scan stage) except the one Arrow-batched
+integer counter ``_top_bigram_count`` (see its docstring: the expression
+form is an interpreted per-row sort+fold), and every construct is restricted
 to regex/arith features shared by Java regex and RE2 so the DuckDB oracles
 mirror them exactly: no lookaround, no backrefs, hash arithmetic via md5 hex
 digits rather than engine-specific hash functions.
@@ -11,10 +13,17 @@ digits rather than engine-specific hash functions.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .textanalysis import words
+from .._serde import register_self_contained
+
+register_self_contained(__name__)
 
 # Redaction patterns applied IN ORDER (more specific first — SSN before the
 # generic phone run, email before hostname-ish text). Shared Java/RE2 syntax;
@@ -54,6 +63,43 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
     return out
 
 
+@F.pandas_udf(T.LongType())
+def _top_bigram_count(texts: pd.Series) -> pd.Series:
+    """Exact per-document top-bigram occurrence count, Arrow-batched.
+
+    Replaces the expression-tier ``array_sort`` + ``aggregate`` run fold:
+    higher-order functions are interpreted (no whole-stage codegen), and the
+    per-row O(n log n) sort plus a struct-allocating fold measured ~640s
+    engine wall over the 50k-doc sf1 corpus — this counter loop is ~20x
+    cheaper (the simhash_fast kernel-tier rule). Exactness: word split
+    replicates ``words()``'s ``[ \\t\\n\\f\\r]+`` regex byte-for-byte,
+    bigrams join with a single space, and the return is an exact INTEGER —
+    the share ratio and its F.round stay JVM-side (python round is
+    half-even; never round a contract surface Python-side)."""
+    split = re.compile(r"[ \t\n\f\r]+").split
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(0)
+            continue
+        ws = [w for w in split(t) if w != ""]
+        if len(ws) < 2:
+            out.append(0)
+            continue
+        best = 0
+        counts: dict[str, int] = {}
+        prev = ws[0]
+        for w in ws[1:]:
+            g = prev + " " + w
+            c = counts.get(g, 0) + 1
+            counts[g] = c
+            if c > best:
+                best = c
+            prev = w
+        out.append(best)
+    return pd.Series(out, dtype="int64")
+
+
 def repetition_stats(col: Column | str) -> dict[str, Column]:
     """Repetition signals (Gopher/FineWeb-style quality filters):
 
@@ -62,10 +108,11 @@ def repetition_stats(col: Column | str) -> dict[str, Column]:
     * ``top_bigram_share`` — share of the most frequent word bigram among
       all bigrams (near-1.0 flags boilerplate/spam).
 
-    Scan-local with zero shuffle; the top-bigram count is O(n log n) per doc
-    — sort the bigram array, then one linear ``aggregate`` fold tracking the
-    longest equal run. (The naive count-per-distinct nested filter is
-    O(distinct^2) per doc and measured 25x slower on real documents.)
+    Scan-local with zero shuffle; the top-bigram count comes from the
+    Arrow-batched ``_top_bigram_count`` (exact integer; see its docstring
+    for why not the interpreted array_sort+fold), the bigram denominator is
+    the closed form max(n_words - 1, 0), and both ratios + rounds are plain
+    JVM expressions.
     """
     c = F.col(col) if isinstance(col, str) else col
     lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
@@ -75,29 +122,9 @@ def repetition_stats(col: Column | str) -> dict[str, Column]:
         n_lines > 0, F.round((n_lines - n_distinct) / n_lines, 4)
     ).otherwise(F.lit(0.0))
 
-    ws = words(c)
-    n_w = F.size(ws)
-    grams = F.when(
-        n_w >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n_w - 2),
-            lambda i: F.concat_ws(" ", F.element_at(ws, i + 1), F.element_at(ws, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    n_grams = F.size(grams).cast("double")
-    run = lambda acc, x: F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
-    top_count = F.aggregate(
-        F.array_sort(grams),
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            run(acc, x).alias("run"),
-            F.greatest(acc["best"], run(acc, x)).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    ).cast("double")
+    n_w = F.size(words(c))
+    n_grams = F.when(n_w >= 2, n_w - 1).otherwise(F.lit(0)).cast("double")
+    top_count = _top_bigram_count(c).cast("double")
     top_bigram_share = F.when(
         n_grams > 0, F.round(top_count / n_grams, 4)
     ).otherwise(F.lit(0.0))
