@@ -97,6 +97,88 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_fertility_by_lang",
+    sql=f"""
+WITH w AS (
+  SELECT lang,
+         CAST(len(text) AS BIGINT) AS c,
+         CAST(len({_W}) AS BIGINT) AS wds,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+              AS BIGINT) AS t
+  FROM documents
+), g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(c) AS HUGEINT) AS sc,
+         CAST(sum(wds) AS HUGEINT) AS sw,
+         CAST(sum(t) AS HUGEINT) AS st
+  FROM w GROUP BY lang
+)
+SELECT lang, n_docs,
+       CAST(sc AS BIGINT) AS total_chars,
+       CAST(sw AS BIGINT) AS total_words,
+       CAST(st AS BIGINT) AS total_tokens,
+       CASE WHEN sw > 0 THEN
+         CAST((CAST(2 AS HUGEINT) * 10000 * st + sw)
+              // (CAST(2 AS HUGEINT) * sw) AS BIGINT) END AS fertility_bp,
+       CASE WHEN st > 0 THEN
+         CAST((CAST(2 AS HUGEINT) * 10000 * sc + st)
+              // (CAST(2 AS HUGEINT) * st) AS BIGINT) END AS compression_bp
+FROM g
+""",
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility + compression per language — the
+    tokenizer-budget planning metric a multilingual training run prices
+    corpora with: fertility_bp = 10^4 * tokens/word (how many BPE-ish
+    tokens a whitespace word costs in each language; high fertility =
+    expensive language under this tokenizer) and compression_bp =
+    10^4 * chars/token. Both are EXACT half-up integer divisions over
+    corpus-level integer sums (counts are non-negative, so DuckDB's
+    truncating `//` coincides with Spark's pmod floor — the ADVICE r12
+    contract). One map-side-combinable groupBy over scan-local counters;
+    the exchange carries |langs| rows of four longs. At 100 TB this is
+    the same plan with bigger partials — nothing else moves."""
+    from ..llm.textanalysis import token_stats as _ts
+
+    d = _t(spark, sf_dir, "documents")
+    s = _ts("text")
+    dec = "decimal(38,0)"
+    g = (
+        d.select(
+            "lang",
+            s["n_chars"].alias("c"),
+            s["n_words"].alias("w"),
+            s["n_tokens"].alias("t"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("c").cast(dec).alias("sc"),
+            F.sum("w").cast(dec).alias("sw"),
+            F.sum("t").cast(dec).alias("st"),
+        )
+    )
+
+    def half_up(num: "F.Column", den: "F.Column") -> "F.Column":
+        return ((num - F.pmod(num, den)) / den).cast("long")
+
+    two = F.lit(2).cast(dec)
+    fert = half_up(two * F.lit(10000).cast(dec) * F.col("st") + F.col("sw"),
+                   two * F.col("sw"))
+    comp = half_up(two * F.lit(10000).cast(dec) * F.col("sc") + F.col("st"),
+                   two * F.col("st"))
+    return g.select(
+        "lang",
+        "n_docs",
+        F.col("sc").cast("long").alias("total_chars"),
+        F.col("sw").cast("long").alias("total_words"),
+        F.col("st").cast("long").alias("total_tokens"),
+        F.when(F.col("sw") > 0, fert).alias("fertility_bp"),
+        F.when(F.col("st") > 0, comp).alias("compression_bp"),
+    )
+
+
+@register(
     "quality_langid_documents",
     sql=None,  # SQL installed below (generated quality fragment)
 )

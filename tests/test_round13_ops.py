@@ -168,3 +168,40 @@ def test_streaming_curate_cross_batch(spark, tmp_path):
     # the index holds every filtered doc (flagged dups included)
     idx_ids = {r["id"] for r in spark.read.parquet(str(tmp_path / "index")).collect()}
     assert idx_ids == {1, 2, 10, 11, 12}
+
+
+# ---------------------------------------------- tokenizer fertility
+
+
+def test_token_fertility_hand_case(spark, tmp_path):
+    """fertility_bp = 1e4 * tokens/word, compression_bp = 1e4 * chars/token,
+    exact half-up over corpus sums: en = {'ab cd', 'x, y'} -> chars 9,
+    words 4, tokens 5 (ab|cd + x|,|y)."""
+    import duckdb
+
+    from migdar_data_pipelines_spark.plans.llm_queries import (
+        QUERIES, token_fertility_by_lang,
+    )
+
+    rows = [(1, "ab cd", "en", "s", 5), (2, "x, y", "en", "s", 4),
+            (3, "zz", "fr", "s", 2)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    p = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(p)
+    import shutil, glob, os
+    part = glob.glob(p + "/*.parquet")[0]
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    shutil.copy(part, flat + "/documents.parquet")
+    out = {r["lang"]: r for r in token_fertility_by_lang(spark, flat).collect()}
+    en = out["en"]
+    assert (en["total_chars"], en["total_words"], en["total_tokens"]) == (9, 4, 5)
+    assert en["fertility_bp"] == 12500        # half_up(1e4 * 5 / 4)
+    assert en["compression_bp"] == 18000      # half_up(1e4 * 9 / 5)
+    # oracle agrees on the same parquet
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{flat}/documents.parquet')")
+    duck = {r[0]: r for r in con.execute(QUERIES["token_fertility_by_lang"]["sql"]).fetchall()}
+    assert duck["en"][5] == 12500 and duck["en"][6] == 18000
