@@ -2240,7 +2240,7 @@ def winnow_sql(
     nib = "strpos('0123456789abcdef', substr(m, {j}, 1)) - 1"
     hex8 = " + ".join(f"({nib.format(j=j + 1)}) * {16 ** (7 - j)}" for j in range(8))
     # whitespace words of `text` — parity with textanalysis.words
-    words_sql = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+    words_sql = r"list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '')"
     return f"""
 WITH w AS (
   SELECT {id_expr} AS id, {words_sql} AS words FROM ({docs_sql})

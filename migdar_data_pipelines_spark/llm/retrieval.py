@@ -80,20 +80,20 @@ def bm25_sql(
 WITH docs AS ({docs_sql}),
 toks AS (
   SELECT id,
-         len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS dl,
-         unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w
+         len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS dl,
+         unnest(list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS w
   FROM docs
 ),
 postings AS (SELECT id, dl, w, count(*) AS tf FROM toks GROUP BY id, dl, w),
 stats AS (SELECT count(*) AS n_docs,
-                 avg(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 avg(len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'),
                                      x -> x <> ''))) AS avgdl
           FROM docs),
 dfreq AS (SELECT w, count(*) AS df FROM postings GROUP BY w),
 q AS ({queries_sql}),
 qterms AS (
   SELECT DISTINCT query_id,
-         unnest(list_filter(string_split_regex(trim(qtext), '\\s+'), x -> x <> '')) AS w
+         unnest(list_filter(string_split_regex(trim(qtext), '[ \\t\\n\\f\\r]+'), x -> x <> '')) AS w
   FROM q
 ),
 scored AS (
@@ -312,7 +312,7 @@ def tfidf_topk_terms_sql(
 ) -> str:
     """DuckDB mirror of ``tfidf_topk_terms`` over the same corpus, generated
     from the same formula so the two can only drift together."""
-    w_expr = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+    w_expr = r"list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '')"
     return f"""
 WITH docs AS ({docs_sql}),
 toks AS (SELECT id, unnest({w_expr}) AS w FROM docs),

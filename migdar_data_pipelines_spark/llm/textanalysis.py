@@ -734,7 +734,7 @@ LM_BROADCAST_MAX_ENTRIES = 2_000_000
 
 #: DuckDB mirror of ``words()`` (split-on-whitespace, drop empties) — kept
 #: next to the Spark form so they can only drift together.
-WORDS_SQL = r"list_filter(string_split_regex(trim({col}), '\s+'), x -> x <> '')"
+WORDS_SQL = r"list_filter(string_split_regex(trim({col}), '[ \t\n\f\r]+'), x -> x <> '')"
 
 
 def _pair_rows(df, text_col: str, id_col: str):

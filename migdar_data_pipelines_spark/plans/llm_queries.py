@@ -43,7 +43,7 @@ from ..streaming.windows import sessionize, session_window_agg, sliding_agg, tum
 from .queries import QUERIES, _t, register
 
 # DuckDB fragment: whitespace words of text (parity with textanalysis.words)
-_W = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+_W = r"list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '')"
 # DuckDB fragment: exact-basis-point quality over a `words` column + `text`
 # (parity with textanalysis.quality_score — single source of truth, four
 # oracles inline it)
@@ -77,7 +77,7 @@ WITH w AS (SELECT doc_id, text, {_W} AS words FROM documents)
 SELECT doc_id,
        CAST(len(text) AS BIGINT) AS n_chars,
        CAST(len(words) AS BIGINT) AS n_words,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]')) AS BIGINT) AS n_tokens,
        md5(array_to_string(list_sort(list_distinct(list_transform(words, x -> lower(x)))), ' ')) AS fingerprint
 FROM w
 """,
@@ -103,7 +103,7 @@ WITH w AS (
   SELECT lang,
          CAST(len(text) AS BIGINT) AS c,
          CAST(len({_W}) AS BIGINT) AS wds,
-         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]'))
               AS BIGINT) AS t
   FROM documents
 ), g AS (
@@ -202,7 +202,7 @@ def _install_quality_langid_sql() -> None:
     QUERIES["quality_langid_documents"]["sql"] = rf"""
 WITH w AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
+         list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '') AS words
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -884,7 +884,7 @@ WITH corpus AS (
   FROM documents
 ), w AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words,
+         list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS words,
          list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
   FROM corpus
 ), g AS (
@@ -1279,7 +1279,7 @@ WITH corpus AS (
 ), l AS (
   SELECT doc_id, text,
          list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines,
-         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws
+         list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> '') AS ws
   FROM corpus
 ), g AS (
   SELECT doc_id, lines,
@@ -1344,7 +1344,7 @@ WITH w AS (
   SELECT doc_id, unnest(generate_series(1, len(chunks))) AS cid, chunks FROM c
 )
 SELECT doc_id, CAST(cid - 1 AS INT) AS chunk_id, chunks[cid] AS chunk,
-       CAST(len(list_filter(string_split_regex(trim(chunks[cid]), '\\s+'),
+       CAST(len(list_filter(string_split_regex(trim(chunks[cid]), '[ \\t\\n\\f\\r]+'),
                             x -> x <> '')) AS BIGINT) AS n_words
 FROM e
 """,
@@ -4887,7 +4887,7 @@ _CURATE_SPLIT_THRESHOLD = int((1.0 - 0.1) * 16**6)
     sql=rf"""
 WITH RECURSIVE w AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
+         list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '') AS words
   FROM documents
 ), m AS (
   SELECT doc_id, text, words,
@@ -5967,7 +5967,7 @@ def streaming_simhash_near_dup_documents(
     sql=rf"""
 WITH w AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
+         list_filter(string_split_regex(trim(text), '[ \t\n\f\r]+'), x -> x <> '') AS words
   FROM documents
 ), m AS (
   SELECT doc_id, text, words,
@@ -6037,10 +6037,23 @@ def streaming_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = d.agg(F.max("doc_id")).first()[0] + 1
         n_chunks = 3
         step = (hi + n_chunks - 1) // n_chunks
+        stamped: set = set()
         for i in range(n_chunks):
             d.filter(
                 (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
             ).sort("doc_id").coalesce(1).write.mode("append").parquet(src)
+            # FileStreamSource orders files by modification time; two
+            # sequential writes can land inside one coarse FS timestamp
+            # tick, which would deliver chunks out of id order and break
+            # the strictly-earlier-id verdict contract (ADVICE r13). Stamp
+            # each chunk's part files with explicitly increasing mtimes so
+            # delivery order is forced, not hoped for.
+            import glob as _glob
+            import os as _os
+            for p in _glob.glob(f"{src}/*.parquet"):
+                if p not in stamped:
+                    _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+                    stamped.add(p)
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)

@@ -213,7 +213,7 @@ def units_percent_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH w AS (
   SELECT doc_id,
          list_sort(list_distinct(list_transform(
-             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+             list_filter(string_split_regex(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> ''),
              x -> lower(x)))) AS ws
   FROM documents
 )

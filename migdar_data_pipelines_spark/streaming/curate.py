@@ -37,11 +37,23 @@ probe broadcasts the (small) increment against the standing band table, so
 the index is never shuffled (incremental_dedup). State lives in parquet —
 the write-once/probe-many layout — not in executor memory, so it survives
 restarts with the checkpoint and its size is disk-bounded, not heap-bounded.
+
+Replay idempotence (ADVICE r13 / VERDICT r13 #2): ``foreachBatch`` is
+at-least-once, so both sinks are keyed by ``batch_id`` — each micro-batch
+OVERWRITES its own ``batch_id=N`` partition directory in ``out_dir`` and
+``index_dir``, and the standing-index read prunes to ``batch_id < N``. A
+crash between the index append and the checkpoint commit therefore replays
+into the SAME directories with the SAME standing index (the batch's own
+partition is pruned out of its probe, so it never self-flags), producing
+byte-identical state to a crash-free run — the kill-mid-drain test
+(tests/test_round14_ops.py) asserts drained output equality row-for-row.
+The index probe discovers prior state via the partitioned parquet read
+itself (AnalysisException -> first batch), not driver-local os.listdir,
+so the layout works on any Hadoop-visible filesystem (HDFS/S3), not just
+POSIX paths.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -151,6 +163,7 @@ def streaming_curate(
     bands: int = 16,
     max_bucket_size: int | None = None,
     query_name: str = "curate_stream",
+    _fault_after_batch=None,
 ) -> None:
     """Drain ``docs_stream`` (Trigger.AvailableNow) through the incremental
     curation pipeline: verdict rows append to ``out_dir`` parquet, the
@@ -161,7 +174,13 @@ def streaming_curate(
     ceilings on BOTH the within-batch pair pass and the index probe — this
     entry point is the exact/parity surface; a production deployment passes
     the bounded default (llm/dedup.py::MAX_LSH_BUCKET_SIZE), accepting the
-    documented lower-bound semantics on >ceiling template clusters."""
+    documented lower-bound semantics on >ceiling template clusters.
+
+    ``_fault_after_batch`` is a test-only seam: called with ``batch_id``
+    after both sink writes but BEFORE the checkpoint commits — raising from
+    it simulates the worst at-least-once crash point (state written, commit
+    lost), which the restart must replay idempotently."""
+    from pyspark.errors import AnalysisException
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
@@ -172,22 +191,37 @@ def streaming_curate(
         try:
             if filtered.limit(1).count() == 0:
                 return
-            if os.path.isdir(index_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(index_dir)
-            ):
-                idx = spark.read.parquet(index_dir)
-            else:
-                idx = None
+            # standing index = every batch COMMITTED-or-written before this
+            # one; pruning to batch_id < N is what makes a replayed batch
+            # see the exact pre-crash index instead of its own rows (the
+            # self-flagging bug ADVICE r13 called out). Probing the read
+            # (instead of os.listdir) keeps discovery filesystem-agnostic.
+            try:
+                idx = spark.read.parquet(index_dir).where(
+                    F.col("batch_id") < F.lit(batch_id)
+                ).select("id", "text")
+                if idx.limit(1).count() == 0:
+                    idx = None
+            except AnalysisException:
+                idx = None  # first batch: no index yet
             out = curate_batch_verdict(
                 filtered, idx,
                 jaccard_threshold=jaccard_threshold,
                 n_hashes=n_hashes, bands=bands,
                 max_bucket_size=max_bucket_size,
             )
-            out.write.mode("append").parquet(out_dir)
+            # idempotent per-batch sinks: a replay (at-least-once delivery
+            # redelivers the identical batch under the identical batch_id —
+            # the file source's WAL pins the file list) recomputes the same
+            # frames and OVERWRITES its own partition, never appending twice
+            out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
             # grow the standing index AFTER the probe (a doc never probes
-            # itself); append-only parquet = restart-safe, disk-bounded state
-            filtered.write.mode("append").parquet(index_dir)
+            # itself); per-batch overwrite = restart-idempotent, disk-bounded
+            filtered.write.mode("overwrite").parquet(
+                f"{index_dir}/batch_id={batch_id}"
+            )
+            if _fault_after_batch is not None:
+                _fault_after_batch(batch_id)
         finally:
             filtered.unpersist()
 

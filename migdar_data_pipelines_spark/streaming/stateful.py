@@ -468,16 +468,20 @@ def streaming_hll_distinct(
     tail = 12
 
     vt = events.schema[val_col].dataType
+    integral = isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
     if isinstance(vt, T.BooleanType):
         # Spark CAST(bool AS STRING) -> 'true'/'false' (Python str() would
         # give 'True'/'False' and md5-diverge from the batch sketch)
         def canon(x) -> str:
             return "true" if bool(x) else "false"
-    elif isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        # decimal integer repr; pandas may deliver an int64 column as
-        # float64 when NaNs mix into a batch, so go through int()
-        def canon(x) -> str:
-            return str(int(x))
+    elif integral:
+        # canonicalized JVM-SIDE below (CAST(val AS STRING) in the plan):
+        # the Arrow->pandas hop delivers a null-mixed int64 column as
+        # float64, where ids above 2^53 have ALREADY lost their exact
+        # decimal repr before any Python code runs — no astype can recover
+        # them (ADVICE r13). Casting in the plan means the UDF only ever
+        # sees Spark's own exact decimal string.
+        canon = str
     elif isinstance(vt, T.StringType):
         canon = str
     else:
@@ -550,6 +554,12 @@ def streaming_hll_distinct(
             columns=list(key_cols) + ["rows_folded", "regs"],
         )
 
+    if integral:
+        # exact canonicalization happens in the plan, not in Python: the
+        # JVM's CAST(long AS STRING) is exact for all int64, whereas the
+        # Arrow->pandas transfer of a null-mixed long column goes through
+        # float64 and corrupts ids above 2^53 before the UDF sees them
+        events = events.withColumn(val_col, F.col(val_col).cast("string"))
     return events.groupBy(*key_cols).applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout
     )

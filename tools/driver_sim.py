@@ -12,7 +12,15 @@ Env: SPARK_GRAFT_SIM_SF_DIR overrides the sf0.01 default.
      own 50-name sample stopped rotating at 102/161 ever-checked, so the
      full-registry result is committed per round as PARITY_r{N}.json).
      Only written for UNFILTERED runs — a name-filtered run is not a
-     registry-wide record.
+     registry-wide record — except under SPARK_GRAFT_PARITY_MERGE=1, which
+     folds (or, if the file is absent, starts) a scoped artifact; scoped
+     artifacts carry the name list in summary.scoped so they can never be
+     mistaken for a full-registry record.
+     SPARK_GRAFT_SIM_UNIVERSE=<note> stamps a corpus-provenance note into
+     the artifact summary (VERDICT r13 #1: the sf1 subset-universe gate
+     reads a materialized ~5% xxhash64(id)%20==0 restriction of sf1 —
+     tools/gen_sf1_subset.py — so the quadratic oracles become tractable
+     at decade scale; the note records that this is that corpus).
      SPARK_GRAFT_SIM_ORACLE_CAP=<seconds> arms a per-query DUCKDB watchdog
      (tests/parity.compare oracle_cap_s): needed for the sf0.1 run
      (VERDICT r11 #4), where the deliberately-quadratic oracles would run
@@ -134,6 +142,9 @@ def main():
         "sf_dir": SF_DIR,
         "date": time.strftime("%Y-%m-%d"),
     }
+    universe = os.environ.get("SPARK_GRAFT_SIM_UNIVERSE")
+    if universe:
+        summary["universe"] = universe
     if cap:
         summary["oracle_capped"] = capped
         summary["oracle_cap_s"] = cap
@@ -153,6 +164,26 @@ def main():
                 indent=1,
             )
         print(f"wrote {out_path}")
+    elif out_path and filters and merge and not os.path.exists(out_path):
+        # Scoped artifact bootstrap: a filtered merge run with no existing
+        # file STARTS the artifact instead of silently writing nothing
+        # (needed for the sf1 subset gate, which only reruns the 23 names
+        # the full-corpus quadratic oracle capped). summary.scoped makes
+        # the restriction machine-visible.
+        summary["scoped"] = sorted(results)
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "summary": summary,
+                    "queries": {
+                        k: {"status": v[0], "wall_s": v[1]}
+                        for k, v in sorted(results.items())
+                    },
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote scoped {out_path}")
     elif out_path and filters and merge and os.path.exists(out_path):
         # Incremental artifact update (VERDICT r12 #3's staleness class):
         # queries registered AFTER a multi-hour full run started fold their
@@ -178,6 +209,10 @@ def main():
                 k for k, s in q.items() if s["status"].startswith("oracle-capped")
             ]
         doc["summary"].setdefault("merged_in", []).extend(sorted(results))
+        if "scoped" in doc["summary"]:
+            doc["summary"]["scoped"] = sorted(
+                set(doc["summary"]["scoped"]) | set(results)
+            )
         doc["queries"] = dict(sorted(q.items()))
         with open(out_path, "w") as f:
             json.dump(doc, f, indent=1)

@@ -4,8 +4,9 @@ real-decade-scale parity + bench run (VERDICT r12 #1: "run the full suite at
 sf1.0 … round-flip divergences need ~1e7 rows; sf1 is where they live").
 
 /root/testdata is read-only and stops at sf0.1, so this writes a synthetic
-sf1 under $SPARK_GRAFT_SF1_DIR (default /tmp/migdar_sf1; /tmp does not
-survive rounds — regenerate per round, ~1 min). Deterministic end to end
+sf1 under $SPARK_GRAFT_SF1_DIR (default <repo>/.data/sf1 — gitignored but
+stable across rounds, unlike the /tmp default VERDICT r13 #7 flagged; the
+driver forbids writing /root/testdata itself). Deterministic end to end
 (DuckDB shard algebra + numpy seed 42), so any round can rebuild the exact
 same corpus and artifacts stay reproducible.
 
@@ -40,7 +41,8 @@ import os
 
 import duckdb
 
-OUT = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/migdar_sf1")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.environ.get("SPARK_GRAFT_SF1_DIR", os.path.join(_REPO, ".data", "sf1"))
 SRC = "/root/testdata/sf0.1"
 N_SHARDS = 10
 OFF = 1_000_000  # > every sf0.1 key maximum (149,999)
