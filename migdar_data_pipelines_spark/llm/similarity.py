@@ -396,6 +396,254 @@ def write_ivf_index(
     ).mode(mode).parquet(path)
 
 
+# ------------------------------------------- persisted IVF-PQ index
+# (VERDICT r13 #5: the quantized-residual tier as a PARQUET-PERSISTED,
+# incrementally extendable index — the shape a 100 TB embedding store
+# actually runs: build once, append today's embeddings against the FROZEN
+# quantizer, search many times. The ANN mirror of llm/dedup.py's
+# incremental_dedup.)
+
+
+def _cells_literal(refs: list[tuple[int, list[float]]]) -> F.Column:
+    """The (cell, reference-vector) table as a pure array-of-structs literal
+    (n_cells x dim floats — broadcast-sized, rides in the plan)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(c)).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in rv])
+                .cast("array<double>")
+                .alias("rv"),
+            )
+            for c, rv in refs
+        ]
+    )
+
+
+def assign_cells_deterministic(
+    df: DataFrame,
+    refs: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Scan-local, SQL-mirrorable cell assignment: argmax over
+    ``round(cosine(v, rv), 4)`` with ties to the LOWEST cell id — the house
+    determinism convention (round-4 score + id tie-break), expressed as one
+    ``array_max`` over a struct array so assignment is a pure projection
+    (NO shuffle; the numpy ``assign_cells`` uses full-precision argmax whose
+    SIMD summation order an SQL oracle cannot replay). Tie-to-lowest rides
+    the struct comparison by negating the cell id inside the max."""
+    scored = F.transform(
+        _cells_literal(refs),
+        lambda s: F.struct(
+            F.coalesce(
+                F.round(cosine(F.col(vec_col), s["rv"]), 4), F.lit(-2.0)
+            ).alias("s"),
+            (-s["cell"]).alias("negc"),
+        ),
+    )
+    return df.withColumn(out_col, (-F.array_max(scored)["negc"]).cast("int"))
+
+
+def _pq_encode(
+    df: DataFrame,
+    refs: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign + residual-quantize rows into index layout
+    (cid, code array<tinyint>, scale double, cv, cell).
+
+    code/scale are PURE per-row functions of (vector, frozen reference), so
+    encoding corpus B against corpus A's references yields byte-identical
+    rows whether B arrives at build time or through
+    :func:`incremental_add_ivf_pq` — the equality contract the registered
+    query's oracle checks."""
+    refs_df = df.sparkSession.createDataFrame(
+        [(int(c), [float(x) for x in rv]) for c, rv in refs],
+        "cell int, rv array<double>",
+    )
+    assigned = assign_cells_deterministic(df, refs, vec_col).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "cell"
+    )
+    j = assigned.join(F.broadcast(refs_df), "cell")
+    res = F.zip_with(
+        F.transform(F.col("cv"), lambda x: x.cast("double")),
+        F.col("rv"),
+        lambda a, b: a - b,
+    )
+    base = j.withColumn("__res", res).withColumn(
+        "__scale",
+        F.array_max(F.transform(F.col("__res"), F.abs)) / F.lit(127.0),
+    )
+    code = F.when(
+        F.col("__scale") == 0.0,
+        F.transform(F.col("__res"), lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            F.col("__res"),
+            lambda x: F.round(x / F.col("__scale")).cast("tinyint"),
+        )
+    )
+    return base.select(
+        "cid", code.alias("code"), F.col("__scale").alias("scale"), "cv", "cell"
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    path: str,
+    refs: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF-PQ index at ``path``:
+
+      * ``path/refs``  — the frozen quantizer, (cell, rv array<double>);
+      * ``path/codes`` — parquet PARTITIONED BY cell:
+        (cid, code array<tinyint>, scale double, cv).
+
+    The code column is the 4x-compressed candidate-scoring tier; cv is the
+    float rerank tier (at 100 TB it lives in colder storage keyed by cid —
+    colocated here because the gate corpus is small). Write-once: later
+    increments go through :func:`incremental_add_ivf_pq`, searches prune to
+    the probed cells' partitions."""
+    spark = corpus.sparkSession
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in rv]) for c, rv in refs],
+        "cell int, rv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/refs")
+    _pq_encode(corpus, refs, id_col, vec_col).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+
+def _read_refs(spark, path: str) -> list[tuple[int, list[float]]]:
+    return [
+        (r["cell"], list(r["rv"]))
+        for r in spark.read.parquet(f"{path}/refs").orderBy("cell").collect()
+    ]
+
+
+def incremental_add_ivf_pq(
+    spark,
+    path: str,
+    new_rows: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Extend a persisted index with new embeddings WITHOUT touching the
+    standing rows: assign each new vector to its nearest FROZEN cell
+    (``path/refs`` — the quantizer is never retrained per increment, exactly
+    like incremental_dedup never re-shuffles the standing band table),
+    encode its residual, and append to the cell-partitioned codes layout.
+    Because encoding is a pure per-row function of (vector, reference), the
+    resulting index is byte-identical to a from-scratch build over the
+    union with the same references — asserted by the registered query's
+    oracle and tests/test_round14_ops.py."""
+    refs = _read_refs(spark, path)
+    _pq_encode(new_rows, refs, id_col, vec_col).write.partitionBy("cell").mode(
+        "append"
+    ).parquet(f"{path}/codes")
+
+
+def search_ivf_pq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    query_id: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    rerank: int = 4,
+) -> DataFrame:
+    """Search the persisted layout: rank cells per query against the frozen
+    references (round-4 cosine, cell-id tie-break — same determinism
+    convention as assignment), statically prune the codes scan to the probed
+    cells (PartitionFilters — non-probed cells never read), score candidates
+    on the RECONSTRUCTED vectors (rv + code*scale — the stored int8 tier;
+    the quantize chain does NOT re-run at search time, that is the point of
+    persisting codes), keep the per-query top ``k*rerank`` by approx score,
+    and exact-rerank those on the float column. Self-pairs excluded.
+
+    Returns (query_id, neighbour_id, cosine, rank)."""
+    from ..operators.caching import scoped_persist
+
+    refs = _read_refs(spark, path)
+    scored_cells = F.transform(
+        _cells_literal(refs),
+        lambda s: F.struct(
+            F.coalesce(
+                F.round(cosine(F.col(vec_col), s["rv"]), 4), F.lit(-2.0)
+            ).alias("s"),
+            s["cell"].alias("cell"),
+        ),
+    )
+    probes = (
+        # explode ALL cells per query (|queries| x n_cells rows — the query
+        # side is small by construction) and rank under the house (s desc,
+        # cell asc) convention; a sorted-slice shortcut would tie-break
+        # boundary cells toward the HIGHEST id and silently probe a
+        # different set
+        queries.select(
+            F.col(query_id).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.explode(scored_cells).alias("__p"),
+        )
+        .select("qid", "qv", F.col("__p.s").alias("__s"), F.col("__p.cell").alias("qcell"))
+    )
+    w_p = Window.partitionBy("qid").orderBy(F.desc("__s"), F.asc("qcell"))
+    probes = (
+        probes.withColumn("__prn", F.row_number().over(w_p))
+        .filter(F.col("__prn") <= nprobe)
+        .select("qid", "qv", "qcell")
+    )
+    probe_cells = sorted({r["qcell"] for r in probes.select("qcell").distinct().collect()})
+    refs_df = spark.read.parquet(f"{path}/refs")
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(refs_df), "cell")
+    )
+    dv = F.when(
+        F.col("scale") == 0.0, F.col("rv")
+    ).otherwise(
+        F.zip_with(
+            F.col("rv"),
+            F.col("code"),
+            lambda r, c: r + c.cast("double") * F.col("scale"),
+        )
+    )
+    # persist the reconstruction so CollapseProject cannot re-run the
+    # zip_with chain once per cosine term (the residual_quantized_topk
+    # lesson)
+    recon = scoped_persist(
+        codes.select("cid", F.col("cell").alias("ccell"), "cv", dv.alias("dv"))
+    )
+    pairs = recon.join(
+        F.broadcast(probes), F.col("qcell") == F.col("ccell")
+    ).filter(F.col("qid") != F.col("cid"))
+    cand = pairs.withColumn("approx", F.round(cosine(F.col("qv"), F.col("dv")), 4))
+    w_a = Window.partitionBy("qid").orderBy(F.desc("approx"), F.asc("cid"))
+    kept = (
+        cand.withColumn("arn", F.row_number().over(w_a))
+        .filter(F.col("arn") <= k * rerank)
+        .select("qid", "qv", "cid", "cv")
+    )
+    scored = kept.withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbour_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def search_ivf_index(
     spark,
     path: str,

@@ -840,6 +840,135 @@ def embedding_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_topk_ivf_pq_incremental",
+    sql=f"""
+WITH refs AS (
+  SELECT label AS rcell, embedding AS rv
+  FROM (SELECT label, embedding,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM embeddings WHERE vec_id % 2 = 0)
+  WHERE rn = 1
+),
+asg AS (
+  SELECT cid, rcell AS ccell, cv FROM (
+    SELECT e.vec_id AS cid, r.rcell, e.embedding AS cv,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round({_COS.replace('qv', 'e.embedding').replace('cv', 'r.rv')}, 4) DESC,
+                      r.rcell) AS arn
+    FROM embeddings e, refs r
+  ) WHERE arn = 1
+),
+q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+pr AS (
+  SELECT qid, qv, rcell, round({_COS.replace('cv', 'rv')}, 4) AS pc
+  FROM q, refs
+),
+probes AS (
+  SELECT qid, qv, rcell AS qcell
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY pc DESC, rcell) AS prn
+        FROM pr)
+  WHERE prn <= 2
+),
+cj AS (
+  SELECT a.cid, a.ccell, a.cv, refs.rv
+  FROM asg a JOIN refs ON a.ccell = refs.rcell
+),
+res AS (
+  SELECT cid, ccell, cv, rv,
+         list_transform(generate_series(1, len(cv)),
+                        i -> cv[i]::DOUBLE - rv[i]::DOUBLE) AS rs
+  FROM cj
+),
+sc AS (
+  SELECT *, list_max(list_transform(rs, x -> abs(x))) / 127.0 AS scale FROM res
+),
+recon AS (
+  SELECT cid, ccell, cv,
+         CASE WHEN scale = 0 THEN list_transform(rv, x -> x::DOUBLE)
+              ELSE list_transform(generate_series(1, len(rs)),
+                     i -> rv[i]::DOUBLE
+                          + CAST(round(rs[i] / scale) AS INTEGER) * scale)
+         END AS dv
+  FROM sc
+),
+cand AS (
+  SELECT p.qid, p.qv, r.cid, r.cv,
+         round({_COS.replace('cv', 'dv').replace('qv', 'p.qv')}, 4) AS approx
+  FROM probes p JOIN recon r ON p.qcell = r.ccell AND p.qid <> r.cid
+),
+topm AS (
+  SELECT qid, qv, cid, cv
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS arn
+        FROM cand)
+  WHERE arn <= 20
+),
+rr AS (
+  SELECT qid, cid, round({_COS}, 4) AS cosine FROM topm
+)
+SELECT qid AS query_id, cid AS neighbour_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM rr)
+WHERE rank <= 5
+""",
+)
+def embedding_topk_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED + INCREMENTALLY EXTENDED IVF-PQ index (VERDICT r13 #5 —
+    llm/similarity.py::build_ivf_pq_index / incremental_add_ivf_pq /
+    search_ivf_pq_index): corpus A (even vec_ids) is built into a parquet
+    index — frozen references (min-vec_id member per label cell, the
+    bit-deterministic representative convention) + cell-partitioned int8
+    residual codes — then corpus B (odd vec_ids) arrives as an increment and
+    is assigned to the FROZEN cells and appended, never retraining the
+    quantizer or rewriting standing rows (the ANN mirror of
+    incremental_dedup). The search prunes the codes scan to each query's
+    nprobe=2 ranked cells, scores candidates on the STORED codes
+    (reconstruct rv + code*scale — quantization does not re-run at search
+    time), and exact-reranks the per-query top 20.
+
+    Because encoding is a pure per-row function of (vector, frozen
+    reference), build(A) + add(B) is byte-identical to a from-scratch build
+    of A UNION B with the same references — so the oracle replays exactly
+    that: assign ALL vectors to argmax round-4 cosine cell against
+    A-derived references, then the quantize -> reconstruct -> cut -> rerank
+    chain. tests/test_round14_ops.py additionally asserts the
+    incremental-vs-scratch index and search equality frame-for-frame."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..llm.similarity import (
+        build_ivf_pq_index,
+        incremental_add_ivf_pq,
+        search_ivf_pq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0)
+    b = e.filter(F.col("vec_id") % 2 == 1)
+    w_rep = Window.partitionBy("label").orderBy("vec_id")
+    refs = [
+        (r["label"], list(r["embedding"]))
+        for r in a.withColumn("rn", F.row_number().over(w_rep))
+        .filter(F.col("rn") == 1)
+        .select("label", "embedding")
+        .collect()
+    ]
+    base = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    try:
+        build_ivf_pq_index(a, base, refs, "vec_id")
+        incremental_add_ivf_pq(spark, base, b, "vec_id")
+        res = search_ivf_pq_index(
+            spark, base, e.filter(F.col("vec_id") < 5), "vec_id",
+            k=5, nprobe=2, rerank=4,
+        )
+        # materialize before the index dir goes away (k rows per query)
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "embedding_near_dup_cells",
     sql=f"""
 WITH corpus AS (
