@@ -69,6 +69,12 @@ def compact_stdout_line(result: dict, limit: int = 1800) -> str:
 # Headline queries first (stable, comparable across rounds), then every other
 # registered query in name order — the full registry is always timed, so a
 # perf regression in any query shows up in the next BENCH_r{N}.json.
+# Registered-but-not-benched: scale-unsafe reference variants kept in the
+# registry purely as semantics references for their scale-safe defaults (the
+# correctness gate still runs them at sf0.01). VERDICT r4 #4/#7. Module-level
+# so the README-freshness unit test can derive the benched-registry count.
+BENCH_EXCLUDE = {"profile_orders_exact", "ngram_jaccard_pairs_invidx"}
+
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -147,11 +153,7 @@ def main() -> None:
     fns = query_fns()
     names = [n for n in HEADLINE if n in fns]
     names += sorted(n for n in fns if n not in HEADLINE)
-    # Registered-but-not-benched: scale-unsafe reference variants kept in the
-    # registry purely as semantics references for their scale-safe defaults
-    # (the correctness gate still runs them at sf0.01). VERDICT r4 #4/#7.
-    bench_exclude = {"profile_orders_exact", "ngram_jaccard_pairs_invidx"}
-    names = [n for n in names if n not in bench_exclude]
+    names = [n for n in names if n not in BENCH_EXCLUDE]
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:
         keep = {s.strip() for s in only.split(",")}

