@@ -243,6 +243,61 @@ def _streaming_curate_batch_plan(spark, sf_dir):
     return curate_batch_verdict(batch, index)
 
 
+def _streaming_curate_prepared_plan(spark, sf_dir):
+    """The per-microbatch verdict plan against the PERSISTED probe state —
+    what streaming_curate actually runs per trigger since r14 (the raw-index
+    form above is the semantics reference): the standing corpus arrives as
+    its stored md5/band tables, so the plan contains no index-side shingle
+    or minhash stage."""
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.llm.dedup import index_probe_frames
+    from migdar_data_pipelines_spark.streaming.curate import (
+        curate_batch_verdict, curation_filter,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    filt = d.filter(curation_filter("text")).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    batch = filt.filter(F.col("id") % 5 == 0)
+    index = filt.filter(F.col("id") % 5 != 0)
+    i_h, i_b = index_probe_frames(index, "text", "id")
+    return curate_batch_verdict(
+        batch, None, index_state=(i_h, i_b, index)
+    )
+
+
+def _ivf_pq_persisted_search_plan(spark, sf_dir):
+    """search_ivf_pq_index over a materialized index (llm/similarity.py):
+    the probed-cell partition filter must reach the codes scan, and the
+    quantize chain must NOT appear (codes are stored; only the
+    reconstruction zip_with runs at search time)."""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from migdar_data_pipelines_spark.llm.similarity import (
+        build_ivf_pq_index, search_ivf_pq_index,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    refs = [
+        (r["label"], list(r["embedding"]))
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "embedding")
+        .collect()
+    ]
+    base = tempfile.mkdtemp(prefix="plans_ivfpq_")
+    build_ivf_pq_index(e, base, refs, "vec_id")
+    return search_ivf_pq_index(
+        spark, base, e.filter(F.col("vec_id") < 5), "vec_id", k=5, nprobe=2
+    )
+
+
 # non-registry plans: (title, callable, note)
 EXTRA = [
     (
@@ -259,6 +314,23 @@ EXTRA = [
         "tier + banded-LSH pair tier over the increment only; the index "
         "probe broadcasts the increment's band rows so the standing corpus "
         "is never shuffled (incremental_dedup)",
+    ),
+    (
+        "streaming_curate per-microbatch verdict (persisted probe state)",
+        _streaming_curate_prepared_plan,
+        "the r14 production form: the standing index's md5 set and band "
+        "table come from parquet (no index-side Generate/shingle stage in "
+        "the plan — compare with the raw-index reference above); the batch "
+        "broadcasts into the band probe, verification shingles only the "
+        "candidate semi-join of the corpus",
+    ),
+    (
+        "ivf_pq persisted index search",
+        _ivf_pq_persisted_search_plan,
+        "search over build_ivf_pq_index's layout: probed-cell partition "
+        "filter on the codes scan (PartitionFilters — non-probed cells "
+        "never read), reconstruction zip_with over stored int8 codes, "
+        "exact rerank joins the float column for only the top k*rerank",
     ),
     (
         "knn_graph_ivf",

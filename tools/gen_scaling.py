@@ -613,6 +613,129 @@ def main() -> None:
                 "",
             ]
 
+        # ---- streaming-curation index-growth rung (VERDICT r13 #4): stats
+        # JSON written by tools/measure_curate_index.py (run separately)
+        ci_path = f"{SCALE_DIR}/curate_index_stats.json"
+        if os.path.exists(ci_path):
+            with open(ci_path) as f:
+                ci = json.load(f)
+            lines += [
+                "## Streaming-curation rung — per-micro-batch cost vs standing-index growth",
+                "",
+                "Corpus: curate_index/docs.parquet (measure_curate_index.py,",
+                "seed 23/17 family) — 60-token docs over a 50k vocabulary;",
+                "the probed BATCH is FIXED at 2,000 docs (10% exact + 10%",
+                "near copies of index docs, 80% fresh) while the standing",
+                "index decades 10k -> 100k -> 1M docs. `build` is the",
+                "ONE-TIME probe-state materialization per increment",
+                "(index_probe_frames -> parquet); `prepared` is the verdict",
+                "every later micro-batch pays against that state",
+                "(curate_batch_verdict(index_state=...)); `raw` is the same",
+                "verdict handed the raw index text — the pre-r14 shape that",
+                "re-shingles the whole corpus per batch. Production bucket",
+                "ceiling; flagged counts prove the probe finds the planted",
+                "duplicates at every rung.",
+                "",
+                "| index | batch | build (once) | per-batch prepared | x | per-batch raw | raw x | flagged exact / near |",
+                "|---|---|---|---|---|---|---|---|",
+            ]
+            prev_p = prev_r = None
+            for rung in ("10k", "100k", "1M"):
+                s = ci.get(rung)
+                if not s:
+                    continue
+                xp = f"x{s['prepared_wall_s'] / prev_p:.1f}" if prev_p else ""
+                xr = f"x{s['raw_wall_s'] / prev_r:.1f}" if prev_r else ""
+                prev_p, prev_r = s["prepared_wall_s"], s["raw_wall_s"]
+                lines.append(
+                    f"| {s['index_rows']:,} | {s['batch_rows']:,} "
+                    f"| {s['build_wall_s']:.1f}s | {s['prepared_wall_s']:.2f}s "
+                    f"| {xp} | {s['raw_wall_s']:.2f}s | {xr} "
+                    f"| {s['flagged_exact']:,} / {s['flagged_near']:,} |"
+                )
+            if "10k" in ci and "1M" in ci:
+                pd_ratio = ci["1M"]["prepared_wall_s"] / ci["10k"]["prepared_wall_s"]
+                rw_ratio = ci["1M"]["raw_wall_s"] / ci["10k"]["raw_wall_s"]
+                lines += [
+                    "",
+                    f"100x index -> x{pd_ratio:.1f} per-batch wall on the",
+                    f"persisted-state path vs x{rw_ratio:.1f} on the raw path:",
+                    "the prepared probe touches the batch's own shingles, a",
+                    "skinny (id, bucket) band-table scan, and verification",
+                    "shingles for candidate docs only, so index growth shows",
+                    "up as scan IO, not recompute. The raw path re-minhashes",
+                    "the full corpus per batch — the trend that made the",
+                    "persisted state load-bearing at 100 TB (a standing",
+                    "corpus probed by thousands of batches must not be",
+                    "re-signed per batch).",
+                    "",
+                ]
+        else:
+            lines += [
+                "## Streaming-curation index-growth rung",
+                "",
+                f"(not measured this run: {ci_path} missing — run",
+                "`python tools/measure_curate_index.py`)",
+                "",
+            ]
+
+        # ---- substring-rewrite residue/rows rung (VERDICT r13 #4): stats
+        # JSON written by tools/measure_substring_rewrite.py (run separately)
+        sr_path = f"{SCALE_DIR}/substring_rewrite_stats.json"
+        if os.path.exists(sr_path):
+            with open(sr_path) as f:
+                sr = json.load(f)
+            lines += [
+                "## Substring-rewrite rung — dup-residue fraction sweep + rows decade",
+                "",
+                "Corpus: substring_rewrite/*.parquet",
+                "(measure_substring_rewrite.py, seed 23) — 100-word docs with",
+                "per-doc-unique tokens; a fraction p of docs splices the SAME",
+                "30-word boilerplate block at a random offset, so the planted",
+                "block is the entire cross-doc dup residue and its k-grams",
+                "are maximally hot (every carrier shares them). k=8;",
+                "drop_duplicated_spans end-to-end (keep-first excise).",
+                "",
+                "| sweep | docs | residue p | wall | dropped words | docs rewritten |",
+                "|---|---|---|---|---|---|",
+            ]
+            for key, s in sr.get("fraction_sweep", {}).items():
+                lines.append(
+                    f"| fraction | {s['docs']:,} | {key} | {s['wall_s']:.2f}s "
+                    f"| {s['dropped_words']:,} | {s['docs_rewritten']:,} |"
+                )
+            for key, s in sr.get("rows_decade", {}).items():
+                lines.append(
+                    f"| rows | {s['docs']:,} | 10% | {s['wall_s']:.2f}s "
+                    f"| {s['dropped_words']:,} | {s['docs_rewritten']:,} |"
+                )
+            fs = sr.get("fraction_sweep", {})
+            rd = sr.get("rows_decade", {})
+            if "0%" in fs and "100%" in fs and "20k" in rd and "200k" in rd:
+                f_ratio = fs["100%"]["wall_s"] / max(fs["0%"]["wall_s"], 1e-9)
+                r_ratio = rd["200k"]["wall_s"] / max(rd["20k"]["wall_s"], 1e-9)
+                lines += [
+                    "",
+                    f"0% -> 100% residue: x{f_ratio:.1f} wall — the hot",
+                    "boilerplate grams land in ONE map-side-combinable",
+                    "min(struct(id,pos)) groupBy (never a rank window over",
+                    "the occurrence stream), so a corpus-wide template",
+                    "costs an aggregation, not a hot-key sort. Dropped",
+                    "words track (carriers-1) x 30 exactly — every later",
+                    "carrier loses the planted block at k-gram resolution.",
+                    f"10x rows at fixed residue: x{r_ratio:.1f} wall — the",
+                    "scan-dominated regime.",
+                    "",
+                ]
+        else:
+            lines += [
+                "## Substring-rewrite rung",
+                "",
+                f"(not measured this run: {sr_path} missing — run",
+                "`python tools/measure_substring_rewrite.py`)",
+                "",
+            ]
+
         # ---- simhash hot-cluster + tiny-keyspace rung (VERDICT r11 #1/#6):
         # stats JSON written by tools/measure_simhash_hot.py (run separately)
         sh_path = f"{SCALE_DIR}/simhash_hot_stats.json"
