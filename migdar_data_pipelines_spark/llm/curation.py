@@ -642,3 +642,155 @@ SELECT CAST(lv AS BIGINT) AS l_value,
        lv < {l} AS below_l
 FROM cls GROUP BY lv
 """
+
+
+# C4 cleaning thresholds (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning…", §2.2): line kept iff it ends in terminal punctuation,
+# has >= 5 words, and doesn't mention javascript; page dropped iff it has a
+# curly brace, the string "lorem ipsum", or fewer than C4_MIN_KEPT_LINES
+# surviving lines. The terminal set is the paper's {. ! ? "}.
+C4_TERMINAL_RE = r'[.!?"]$'
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def _c4_line_keep(line: Column) -> Column:
+    n_words = F.size(
+        F.filter(F.split(line, r"[ \t\n\f\r]+"), lambda w: w != "")
+    )
+    return (
+        F.regexp_like(line, F.lit(C4_TERMINAL_RE))
+        & (n_words >= C4_MIN_LINE_WORDS)
+        & ~F.contains(F.lower(line), F.lit("javascript"))
+    )
+
+
+def c4_clean(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line + page cleaning (Raffel et al. 2020 §2.2) — the
+    standard first pass of a web-scale training-data pipeline, before any
+    dedup: per line keep only sentences that end in terminal punctuation,
+    have >= C4_MIN_LINE_WORDS words, and don't mention "javascript"; drop
+    the whole page when the raw text contains ``{`` or "lorem ipsum", or
+    when fewer than C4_MIN_KEPT_LINES lines survive.
+
+    Pure column expressions over ``split``/``filter``/``array_join`` higher-
+    order functions: zero shuffle at 100 TB — the whole operator runs inside
+    the scan stage, one pass per document, and the page-drop predicate prunes
+    before any downstream dedup pays for the text. ``cleaned_text`` is the
+    surviving lines re-joined with ``\\n`` (empty when the page is dropped),
+    so a gate can hash the rebuilt text and prove both the keep decisions and
+    the reassembly order.
+
+    Output: (id, n_lines, n_kept, keep_doc, cleaned_text).
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    kept = F.filter(lines, _c4_line_keep)
+    n_kept = F.size(kept)
+    keep_doc = (
+        (n_kept >= C4_MIN_KEPT_LINES)
+        & ~F.contains(c, F.lit("{"))
+        & ~F.contains(F.lower(c), F.lit("lorem ipsum"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        keep_doc.alias("keep_doc"),
+        F.when(keep_doc, F.array_join(kept, "\n")).otherwise(F.lit("")).alias(
+            "cleaned_text"
+        ),
+    )
+
+
+def c4_clean_sql(rows_sql: str, text_expr: str = "text", id_expr: str = "doc_id") -> str:
+    """Generated DuckDB mirror of :func:`c4_clean` — kept adjacent so the
+    line predicate and page predicate can only drift together."""
+    keep = (
+        "regexp_matches(x, '[.!?\"]$')"
+        " AND len(list_filter(string_split_regex(x, '[ \\t\\n\\f\\r]+'),"
+        " w -> w <> '')) >= " + str(C4_MIN_LINE_WORDS) +
+        " AND NOT contains(lower(x), 'javascript')"
+    )
+    return f"""
+WITH c4_in AS ({rows_sql}),
+c4_lines AS (
+  SELECT {id_expr} AS id, {text_expr} AS text,
+         list_filter(list_transform(string_split({text_expr}, chr(10)),
+                     x -> trim(x)), x -> x <> '') AS lines
+  FROM c4_in
+),
+c4_kept AS (
+  SELECT id, text, lines,
+         list_filter(lines, x -> {keep}) AS kept
+  FROM c4_lines
+)
+SELECT id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       len(kept) >= {C4_MIN_KEPT_LINES}
+         AND NOT contains(text, '{{')
+         AND NOT contains(lower(text), 'lorem ipsum') AS keep_doc,
+       CASE WHEN len(kept) >= {C4_MIN_KEPT_LINES}
+              AND NOT contains(text, '{{')
+              AND NOT contains(lower(text), 'lorem ipsum')
+            THEN array_to_string(kept, chr(10)) ELSE '' END AS cleaned_text
+FROM c4_kept
+"""
+
+
+#: Characters :func:`unicode_clean` removes outright — C0 controls except
+#: tab/newline, DEL, the zero-width set U+200B–U+200D, and the BOM/ZWNBSP
+#: U+FEFF. An EXPLICIT class (not "category Cc/Cf") so the Java-regex engine
+#: side and the RE2 oracle side strip byte-identical sets.
+UNICODE_STRIP_RE = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{200B}-\\x{200D}\\x{FEFF}]"
+)
+
+
+@F.pandas_udf(T.StringType())
+def _nfc_normalize(texts: pd.Series) -> pd.Series:
+    """Unicode NFC normalization, Arrow-batched. NFC is the one step of
+    :func:`unicode_clean` no JVM built-in expresses (Spark has no
+    normalization function); everything else in the chain stays JVM-side
+    regexp. Both this and the oracle's ``nfc_normalize()`` implement the
+    Unicode-standard canonical composition, so they agree wherever their
+    Unicode table versions overlap — pin fixtures to long-stable sequences
+    (e.g. e + COMBINING ACUTE -> U+00E9) rather than newly-assigned
+    codepoints."""
+    import unicodedata
+
+    return texts.map(
+        lambda t: None if t is None else unicodedata.normalize("NFC", t)
+    )
+
+
+def unicode_clean(col: Column | str) -> Column:
+    """Canonical text cleanup for a multi-source training corpus: (1) NFC
+    normalization (Arrow-batched pandas UDF — see :func:`_nfc_normalize`),
+    then JVM-side (2) strip the :data:`UNICODE_STRIP_RE` control/zero-width
+    set, (3) NBSP -> space, (4) collapse runs of spaces/tabs to one space,
+    (5) trim. Scan-local with zero shuffle at 100 TB; the Python hop carries
+    one string column through Arrow once, and every rule after it is a
+    codegen'd regexp on the JVM."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = _nfc_normalize(c)
+    c = F.regexp_replace(c, UNICODE_STRIP_RE, "")
+    c = F.regexp_replace(c, "\u00a0", " ")
+    c = F.regexp_replace(c, r"[ \t]{2,}", " ")
+    return F.trim(c)
+
+
+def unicode_clean_sql(expr: str) -> str:
+    """Generated DuckDB mirror of :func:`unicode_clean` (RE2 spells the
+    same explicit strip class; 'g' flag is explicit)."""
+    c = f"nfc_normalize({expr})"
+    c = f"regexp_replace({c}, '{UNICODE_STRIP_RE}', '', 'g')"
+    c = f"regexp_replace({c}, chr(160), ' ', 'g')"
+    c = f"regexp_replace({c}, '[ \\t]{{2,}}', ' ', 'g')"
+    return f"trim({c})"

@@ -238,6 +238,56 @@ def unigram_lm_scores(df, text_col: str, id_col: str):
     )
 
 
+def perplexity_buckets(
+    scored,
+    nll_col: str = "nll",
+    tokens_col: str = "n_tokens",
+    id_col: str = "id",
+):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): order
+    documents by LM score ascending (best first) and split the corpus into
+    three buckets of equal TOKEN mass — CCNet trains on the head (and often
+    the middle) and drops the tail. Cut rule, all-integer so both engines
+    agree exactly: a document belongs to the bucket its token range STARTS
+    in — with ``start = cum - n_tokens`` (the mass strictly before it in
+    (nll, id) order) and ``tot`` the corpus total, head iff
+    ``3*start < tot``, middle iff ``3*start < 2*tot``, else tail. The
+    exclusive-start rule (the "which shard does this offset fall in"
+    convention) keeps the best-scoring document in head even when it alone
+    spans a bucket boundary.
+
+    Shape at scale: the running sum is ``operators/windows.py::
+    running_totals`` (auto-routed: plain window on dimension-sized inputs,
+    the two-phase range-exchange + Arrow cumsum above the threshold — never
+    a global single-partition WindowExec), plus ONE broadcast total row.
+    The (nll, id) order key is deterministic because nll is the 4dp
+    contract-rounded score both engines already reproduce bit-for-bit.
+
+    Returns (id, n_tokens, nll, cum_tokens, bucket)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from ..operators.windows import running_totals
+
+    total = scored.agg(F.sum(tokens_col).cast("long").alias("__tot"))
+    ranked = running_totals(
+        scored,
+        tokens_col,
+        [(nll_col, "asc"), (id_col, "asc")],
+        cum_col="cum_tokens",
+    )
+    start3 = 3 * (F.col("cum_tokens") - F.col(tokens_col))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col(tokens_col),
+        F.col(nll_col),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        F.when(start3 < F.col("__tot"), F.lit("head"))
+        .when(start3 < 2 * F.col("__tot"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

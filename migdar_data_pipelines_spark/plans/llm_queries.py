@@ -7577,3 +7577,204 @@ def cross_corr_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _install_crosscorr_sql()
+
+
+def _install_c4_clean_sql() -> None:
+    from ..llm.curation import c4_clean_sql
+
+    corpus = f"""
+WITH c4_base AS (SELECT doc_id, {_W} AS w FROM documents),
+c4_lined AS (
+  SELECT doc_id,
+         CASE WHEN len(w) > 0 THEN
+           list_transform(
+             generate_series(1, CAST(floor((len(w) + 7) / 8.0) AS BIGINT)),
+             i -> array_to_string(list_slice(w, (i-1)*8 + 1, (i-1)*8 + 8), ' ')
+                  || (CASE WHEN (doc_id + (i-1)) % 7 = 0
+                           THEN ' javascript' ELSE '' END)
+                  || (CASE WHEN (doc_id + (i-1)) % 3 = 0
+                           THEN '' ELSE '.' END))
+         ELSE [] END AS lines
+  FROM c4_base
+)
+SELECT doc_id,
+       array_to_string(lines, chr(10))
+       || (CASE WHEN doc_id % 31 = 0
+                THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END)
+       || (CASE WHEN doc_id % 37 = 0
+                THEN chr(10) || 'var x = {{ a: 1 }}.' ELSE '' END) AS text
+FROM c4_lined
+"""
+    QUERIES["c4_clean_documents"]["sql"] = f"""
+SELECT id AS doc_id, n_lines, n_kept, keep_doc,
+       md5(cleaned_text) AS cleaned_md5
+FROM ({c4_clean_sql(corpus)}) c4_out
+"""
+
+
+@register("c4_clean_documents", sql=None)  # SQL installed below (generated)
+def c4_clean_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line + page cleaning (llm/curation.py::c4_clean — Raffel et al.
+    2020 §2.2), the standard first pass of a web-scale curation pipeline:
+    keep lines ending in terminal punctuation with >= 5 words and no
+    "javascript"; drop pages containing ``{``, "lorem ipsum", or fewer
+    than 3 surviving lines. The corpus gets deterministic web-page
+    structure so every rule has positives: each doc's words fold into
+    8-word lines, line (doc_id+i) % 3 == 0 loses its terminal punct,
+    (doc_id+i) % 7 == 0 gains a "javascript" token, doc_id % 31 gains a
+    lorem-ipsum footer and doc_id % 37 a curly-brace code footer. The gate
+    hashes the REBUILT cleaned text, so keep decisions and reassembly
+    order are both proved identical. Zero shuffle: the whole operator runs
+    inside the scan stage, and at 100 TB the keep_doc predicate prunes
+    pages before any downstream dedup pays for them."""
+    from ..llm.curation import c4_clean
+    from ..llm.textanalysis import words
+
+    d = _t(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    n = F.size(w)
+    n_lines = F.floor((n + F.lit(7)) / F.lit(8.0)).cast("int")
+
+    def mk_line(i: Column) -> Column:
+        return F.concat(
+            F.array_join(F.slice(w, i * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + i) % 7 == 0, F.lit(" javascript"))
+            .otherwise(F.lit("")),
+            F.when((F.col("doc_id") + i) % 3 == 0, F.lit(""))
+            .otherwise(F.lit(".")),
+        )
+
+    lines = F.when(
+        n > 0, F.transform(F.sequence(F.lit(0), n_lines - 1), mk_line)
+    ).otherwise(F.array().cast("array<string>"))
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.array_join(lines, "\n"),
+            F.when(F.col("doc_id") % 31 == 0, F.lit("\nlorem ipsum dolor sit amet."))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 37 == 0, F.lit("\nvar x = { a: 1 }."))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = c4_clean(corpus, "text", "doc_id")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_kept",
+        "keep_doc",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )
+
+
+_install_c4_clean_sql()
+
+
+@register(
+    "ccnet_perplexity_buckets_documents",
+    sql=f"""
+WITH toks AS (SELECT doc_id, unnest({_W}) AS w FROM documents),
+counts AS (SELECT w, count(*) AS cw FROM toks GROUP BY w),
+tot AS (SELECT CAST(sum(cw) AS BIGINT) AS total_toks,
+               CAST(count(*) AS BIGINT) AS vocab FROM counts),
+scored AS (
+  SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(-ln((cw + 1) / CAST(total_toks + vocab AS DOUBLE))), 4) AS nll
+  FROM toks JOIN counts USING (w) CROSS JOIN tot
+  GROUP BY doc_id
+),
+cum AS (
+  SELECT id, n_tokens, nll,
+         CAST(sum(n_tokens) OVER (ORDER BY nll, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS tot_tokens
+  FROM scored
+)
+SELECT id, n_tokens, nll, cum_tokens,
+       CASE WHEN 3 * (cum_tokens - n_tokens) < tot_tokens THEN 'head'
+            WHEN 3 * (cum_tokens - n_tokens) < 2 * tot_tokens THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM cum
+""",
+)
+def ccnet_perplexity_buckets_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (llm/textanalysis.py::perplexity_buckets
+    over unigram_lm_scores — Wenzek et al. 2020 §4.3): rank every document
+    by its LM nll and cut the corpus into three buckets of equal TOKEN
+    mass; training keeps the head (and usually middle). This is the
+    DECISION rung of the CCNet quality ladder whose scoring rungs are
+    unigram_lm_nll_documents and bigram_lm_nll_documents. All-integer cut
+    rule — a doc belongs to the bucket its token range STARTS in
+    (3*(cum - n_tokens) vs corpus total, the exclusive-start shard
+    convention, so the best doc is head even when it spans a boundary) —
+    over the inclusive running token sum in (nll, id) order; nll is the
+    4dp contract-rounded score both engines already reproduce, so the
+    order and every bucket edge are exact. Scale
+    shape: the scoring plan's explode + broadcast model join, then
+    running_totals (auto-routed two-phase range-exchange above the
+    threshold — no single-partition global window) and one broadcast
+    total row."""
+    from ..llm.textanalysis import perplexity_buckets, unigram_lm_scores
+
+    d = _t(spark, sf_dir, "documents")
+    return perplexity_buckets(unigram_lm_scores(d, "text", "doc_id"))
+
+
+def _install_unicode_clean_sql() -> None:
+    from ..llm.curation import unicode_clean_sql
+
+    dirty = (
+        "text || CASE CAST(doc_id % 4 AS INTEGER)"
+        " WHEN 0 THEN ' caf' || 'e' || chr(769) || ' resume' || chr(769)"
+        " WHEN 1 THEN chr(160) || 'pinned' || chr(160) || ' value'"
+        " WHEN 2 THEN ' bell' || chr(7) || 'char' || chr(8203) || 'zero' || chr(65279)"
+        " ELSE '  spaced' || chr(9) || chr(9) || 'out  ' END"
+    )
+    QUERIES["unicode_normalize_documents"]["sql"] = f"""
+WITH u_in AS (SELECT doc_id, {dirty} AS text FROM documents)
+SELECT doc_id,
+       {unicode_clean_sql('text')} AS cleaned_text,
+       CAST(len(text) AS BIGINT) AS n_before,
+       CAST(len({unicode_clean_sql('text')}) AS BIGINT) AS n_after,
+       {unicode_clean_sql('text')} <> text AS changed,
+       md5({unicode_clean_sql('text')}) AS cleaned_md5
+FROM u_in
+"""
+
+
+@register("unicode_normalize_documents", sql=None)  # SQL installed below
+def unicode_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (llm/curation.py::unicode_clean): NFC
+    composition via an Arrow-batched pandas UDF — the one step Spark has no
+    built-in for — then JVM-side regexp strips of the explicit control/
+    zero-width class, NBSP -> space, whitespace-run collapse, trim. The
+    corpus gains a deterministic dirty suffix per doc_id % 4: a decomposed
+    e+COMBINING ACUTE pair (NFC must compose to U+00E9), NBSP padding, a
+    BEL + ZERO WIDTH SPACE + BOM cluster, and double-tab/space runs — so
+    every rule fires and the oracle's native ``nfc_normalize()`` checks the
+    Python ``unicodedata`` composition character-for-character (lengths in
+    code points AND md5 over the UTF-8 bytes). Scan-local, zero shuffle;
+    the Python hop carries one column through Arrow once."""
+    from ..llm.curation import unicode_clean
+
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" cafe\u0301 resume\u0301"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("\u00a0pinned\u00a0 value"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" bell\x07char\u200bzero\ufeff"))
+        .otherwise(F.lit("  spaced\t\tout  ")),
+    )
+    cleaned = unicode_clean(dirty)
+    return d.select(
+        "doc_id",
+        cleaned.alias("cleaned_text"),
+        F.length(dirty).cast("long").alias("n_before"),
+        F.length(cleaned).cast("long").alias("n_after"),
+        (cleaned != dirty).alias("changed"),
+        F.md5(cleaned).alias("cleaned_md5"),
+    )
+
+
+_install_unicode_clean_sql()

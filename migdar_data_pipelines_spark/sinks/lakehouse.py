@@ -38,6 +38,16 @@ At 100 TB: the only wide operations are the key-hashed anti-join of target
 vs source (source side broadcast when dimension-sized) and the per-partition
 fingerprint aggregation (map-side combinable sum). Partition pruning bounds
 the rewrite to affected partitions; everything else moves by manifest pointer.
+
+Deployment scope: ``LakehouseTable``'s DATA moves through Spark readers/
+writers (any Hadoop-compatible filesystem), but its manifest/pointer I/O and
+vacuum/compact file listings use driver-local POSIX calls (``open``,
+``os.rename``, ``os.listdir``, ``shutil.rmtree``) — so the table root must be
+a path the driver mounts (local disk, NFS, FUSE). On object stores (s3a://,
+hdfs://) use the catalog tier (``run_catalog_merge`` against Delta/Iceberg),
+whose engines own exactly this manifest bookkeeping; re-implementing
+rename-based commit atomicity over S3's non-atomic rename is their job, not
+this module's.
 """
 
 from __future__ import annotations

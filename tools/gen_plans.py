@@ -167,6 +167,20 @@ PICK = {
         "dup residue (no rank window over hot grams), islands window, "
         "scan-local indexed word-drop over bounded per-doc span lists"
     ),
+    "c4_clean_documents": (
+        "C4 cleaning: the whole line+page rule set folds into ONE "
+        "zero-exchange project over the scan — no Generate, no shuffle; "
+        "keep_doc prunes pages before any downstream dedup"
+    ),
+    "unicode_normalize_documents": (
+        "Unicode canonicalization: one ArrowEvalPython hop for NFC, every "
+        "strip/collapse regexp above it JVM-side, zero exchange"
+    ),
+    "ccnet_perplexity_buckets_documents": (
+        "CCNet terciles: running_totals cumulative token mass (auto-routed "
+        "two-phase range-exchange at scale), ONE broadcast total row — "
+        "no single-partition global window"
+    ),
 }
 
 
