@@ -785,18 +785,24 @@ def main() -> None:
                     f"| {xs} | {brute} | {rec} |"
                 )
             r = iv["rungs"]
-            if "20k" in r and "1M" in r:
+            if "20k" in r and "200k" in r and "1M" in r:
                 sx = r["1M"]["search_wall_s"] / r["20k"]["search_wall_s"]
+                ax = r["1M"]["add_wall_s"] / r["200k"]["add_wall_s"]
+                ix = r["1M"]["increment_rows"] / r["200k"]["increment_rows"]
                 lines += [
                     "",
-                    f"50x index -> x{sx:.1f} search wall: the probed-cell",
-                    "partition filter keeps the scan at rows-per-cell scale",
-                    "(N/n_cells x nprobe), and the int8 code tier keeps the",
-                    "scanned bytes 4x under float. Add cost tracks the",
-                    "INCREMENT (the 800k add costs ~10x the 180k add), never",
-                    "the standing index — at 100 TB the quantizer is frozen",
-                    "once and every ingest batch pays only its own encode +",
-                    "append, the ANN mirror of incremental_dedup.",
+                    f"50x index -> x{sx:.1f} search wall (fixed probe/rerank",
+                    "overhead dominates): the probed-cell partition filter",
+                    "keeps the scan at rows-per-cell scale (N/n_cells x",
+                    "nprobe), and the int8 code tier keeps the scanned bytes",
+                    "4x under float — while brute force grows with the FULL",
+                    "corpus per query (its two measured points pin the",
+                    "linear slope). Add cost tracks the INCREMENT, never the",
+                    f"standing index: a {ix:.1f}x bigger increment cost",
+                    f"x{ax:.1f} wall with a 5x bigger standing index behind",
+                    "it — at 100 TB the quantizer is frozen once and every",
+                    "ingest batch pays only its own encode + append, the ANN",
+                    "mirror of incremental_dedup.",
                     "",
                 ]
         else:
