@@ -386,8 +386,19 @@ def minhash_lsh_pairs(
     persist_shingles: bool = True,
     max_broadcast_candidates: int | None = None,
     max_bucket_size: int | None = MAX_LSH_BUCKET_SIZE,
+    frames: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with true shingle Jaccard.
+
+    ``frames`` optionally supplies a prebuilt, PERSISTED
+    ``(base, band_rows)`` pair from :func:`_shingle_band_frames` (same
+    n_hashes/bands/k) so a caller that needs the shingle/band frames for
+    other consumers too (streaming_curate's per-micro-batch state writes
+    and index probe) computes them exactly once — the pair output is
+    bit-identical because the frames are the same deterministic
+    fixed-salt construction. With ``frames`` given, ``persist_shingles``
+    only gates the candidate broadcast-hint count (the frames themselves
+    are assumed already pinned by the caller).
 
     ``max_broadcast_candidates`` overrides ``MAX_BROADCAST_CANDIDATE_PAIRS``
     — the candidate-count ceiling above which the verification joins drop
@@ -446,9 +457,12 @@ def minhash_lsh_pairs(
     (id, bucket) band rows — both sides of the candidate self-join. The
     candidate shuffle carries only 8-byte bucket keys.
     """
-    base, band_rows = _shingle_band_frames(
-        df, text_col, id_col, n_hashes, bands, k, persist=persist_shingles
-    )
+    if frames is not None:
+        base, band_rows = frames
+    else:
+        base, band_rows = _shingle_band_frames(
+            df, text_col, id_col, n_hashes, bands, k, persist=persist_shingles
+        )
     cand, hot_stats = _band_candidates(
         band_rows, max_bucket_size, persist=persist_shingles
     )
@@ -553,6 +567,8 @@ def incremental_dedup_prepared(
     jaccard_threshold: float = 0.8,
     max_broadcast_candidates: int | None = None,
     max_index_bucket: int | None = MAX_LSH_BUCKET_SIZE,
+    batch_frames: tuple[DataFrame, DataFrame] | None = None,
+    batch_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """``incremental_dedup`` against PERSISTED probe state (VERDICT r13 #4's
     index-growth rung made this load-bearing): the standing corpus's md5 set
@@ -574,8 +590,21 @@ def incremental_dedup_prepared(
     row_number form, computed over O(candidates) rows instead of a window
     over the full band table.
 
+    ``batch_frames`` / ``batch_hashes`` optionally supply the batch's
+    prebuilt probe-state frames — the persisted ``(base, band_rows)`` pair
+    from :func:`_shingle_band_frames` and the ``(id, h)`` md5 frame — so a
+    caller that already built them (streaming_curate shares one set across
+    the within-batch LSH, this probe, and the per-batch state writes)
+    never recomputes the shingle/signature pipeline. Bit-identical output:
+    the frames are the same deterministic fixed-salt construction.
+
     Returns one row per batch doc: (id, dup_exact, n_near_index, is_new)."""
-    bh = batch.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h"))
+    if batch_hashes is not None:
+        bh = batch_hashes.select("id", F.col("h").alias("__h"))
+    else:
+        bh = batch.select(
+            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("__h")
+        )
     ih = (
         index_hashes.select(F.col("h").alias("__h"))
         .dropDuplicates(["__h"])
@@ -585,7 +614,12 @@ def incremental_dedup_prepared(
         "id", F.coalesce("__hit", F.lit(False)).alias("dup_exact")
     )
 
-    b_base, b_bands = _shingle_band_frames(batch, text_col, id_col, n_hashes, bands, k)
+    if batch_frames is not None:
+        b_base, b_bands = batch_frames
+    else:
+        b_base, b_bands = _shingle_band_frames(
+            batch, text_col, id_col, n_hashes, bands, k
+        )
     i_sel = index_bands.select("bucket", F.col("id").alias("id_i"))
     if max_index_bucket is not None:
         from pyspark.sql import Window

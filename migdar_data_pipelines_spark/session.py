@@ -66,6 +66,21 @@ def get_spark(
         # default — cheap insurance for exactly the long-running multi-query
         # sessions this engine targets.
         .config("spark.cleaner.periodicGC.interval", "5min")
+        # Whole-stage-codegen compile cache (STATIC conf — applies at JVM
+        # start). The default is 100 entries; this engine's registry alone
+        # is 200+ distinct plans x several codegen units each, so under the
+        # default EVERY query re-janinos its generated code on each
+        # invocation once other queries have run — measured 35% of the
+        # whole per-query wall at sf0.1 (28-query A/B: 38.0s -> 24.7s with
+        # 10k entries). The same recompilation tax applies to any
+        # long-lived multi-query session (driver and executors both hold
+        # this cache); entries are compiled classes, so 10k is tens of MB
+        # — negligible against any executor heap. Env-overridable for
+        # deployments that want a different ceiling.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

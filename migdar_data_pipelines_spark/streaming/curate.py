@@ -88,6 +88,7 @@ def curate_batch_verdict(
     bands: int = 16,
     max_bucket_size: int | None = None,
     index_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    batch_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """One micro-batch's verdict frame — the plan the stream runs per
     trigger, factored out so it is explainable/testable as batch code
@@ -102,6 +103,16 @@ def curate_batch_verdict(
     always passes it. The raw-``index`` form stays as the semantics
     reference (and the from-scratch oracle shape).
 
+    ``batch_state`` (hashes, base, band_rows) likewise supplies the BATCH's
+    own probe frames — the (id, h) md5 frame plus the persisted
+    (id, shingles)/(id, bucket) pair from ``_shingle_band_frames`` — so the
+    streaming entry point, which also writes those frames as the batch's
+    persisted probe state, computes the shingle/signature pipeline exactly
+    once per micro-batch instead of once per consumer (within-batch LSH,
+    cross-index probe, state write). Bit-identical output: the frames are
+    the same deterministic fixed-salt construction the raw-text form
+    builds internally.
+
     Returns (id, dup_exact, near_dup, admitted)."""
     from ..llm.dedup import (
         incremental_dedup,
@@ -109,9 +120,18 @@ def curate_batch_verdict(
         minhash_lsh_pairs,
     )
 
+    b_hashes = b_frames = None
+    if batch_state is not None:
+        b_hashes, b_base, b_bands = batch_state
+        b_frames = (b_base, b_bands)
+
     # within-batch exact tier: first (min-id) holder of each md5 is clean;
     # later holders flag. Map-side-combinable groupBy.
-    h = filtered.select("id", F.md5("text").alias("__h"))
+    h = (
+        b_hashes.select("id", F.col("h").alias("__h"))
+        if b_hashes is not None
+        else filtered.select("id", F.md5("text").alias("__h"))
+    )
     firsts = h.groupBy("__h").agg(F.min("id").alias("__first"))
     exact_b = h.join(firsts, "__h").select(
         "id", (F.col("id") != F.col("__first")).alias("dup_exact_b")
@@ -123,6 +143,7 @@ def curate_batch_verdict(
         n_hashes=n_hashes, bands=bands, k=3,
         jaccard_threshold=jaccard_threshold,
         max_bucket_size=max_bucket_size,
+        frames=b_frames,
     )
     near_b = (
         pairs.select(F.col("id_b").alias("id"))
@@ -142,6 +163,8 @@ def curate_batch_verdict(
             n_hashes=n_hashes, bands=bands, k=3,
             jaccard_threshold=jaccard_threshold,
             max_index_bucket=max_bucket_size,
+            batch_frames=b_frames,
+            batch_hashes=b_hashes,
         )
         verdict = verdict.join(
             inc.select(
@@ -211,7 +234,7 @@ def streaming_curate(
     lost), which the restart must replay idempotently."""
     from pyspark.errors import AnalysisException
 
-    from ..llm.dedup import index_probe_frames
+    from ..llm.dedup import _shingle_band_frames
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
@@ -219,6 +242,18 @@ def streaming_curate(
             curation_filter(text_col, min_words, min_quality, languages)
         ).select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         filtered = filtered.persist()
+        # The batch's probe frames — (id, h) md5, persisted (id, shingles)
+        # and (id, bucket) band rows — are built ONCE here and shared by
+        # every consumer: the within-batch exact tier and LSH pair pass,
+        # the cross-index probe, and the per-batch state writes below.
+        # (The first cut called index_probe_frames for the state write and
+        # let the LSH/probe paths rebuild their own frames: the batch's
+        # shingle+signature pipeline — the dominant per-batch compute —
+        # ran three times per micro-batch.)
+        b_hashes = filtered.select("id", F.md5("text").alias("h"))
+        b_base, b_bands = _shingle_band_frames(
+            filtered, "text", "id", n_hashes, bands, 3, persist=True
+        )
         try:
             if filtered.limit(1).count() == 0:
                 return
@@ -234,15 +269,21 @@ def streaming_curate(
             # index-growth rung in SCALING.md measures exactly this).
             def _earlier(path: str) -> DataFrame | None:
                 try:
-                    d = spark.read.parquet(path).where(
+                    return spark.read.parquet(path).where(
                         F.col("batch_id") < F.lit(batch_id)
                     )
-                    return d if d.limit(1).count() else None
                 except AnalysisException:
                     return None  # first batch: no state yet
             i_texts = _earlier(index_dir)
+            if i_texts is not None and i_texts.limit(1).count() == 0:
+                i_texts = None
             state = None
             if i_texts is not None:
+                # this entry point writes hashes/bands alongside every index
+                # batch, so when the pruned index is non-empty the pruned
+                # state frames are too — no per-path emptiness job needed;
+                # a corpus predating the probe state (raw-index fallback)
+                # surfaces as AnalysisException on the _state reads.
                 i_h = _earlier(f"{index_dir}/_state/hashes")
                 i_b = _earlier(f"{index_dir}/_state/bands")
                 if i_h is not None and i_b is not None:
@@ -255,6 +296,7 @@ def streaming_curate(
                 n_hashes=n_hashes, bands=bands,
                 max_bucket_size=max_bucket_size,
                 index_state=state,
+                batch_state=(b_hashes, b_base, b_bands),
             )
             # idempotent per-batch sinks: a replay (at-least-once delivery
             # redelivers the identical batch under the identical batch_id —
@@ -267,23 +309,27 @@ def streaming_curate(
             # + band rows) so no later batch pays an O(index) re-shingle;
             # the underscore dir is invisible to a plain read of index_dir
             # (Spark's file index skips _-prefixed paths), so index
-            # consumers still see exactly the (id, text) corpus.
+            # consumers still see exactly the (id, text) corpus. Both state
+            # writes read the SHARED persisted frames — the signature
+            # pipeline does not re-run for the write.
             filtered.write.mode("overwrite").parquet(
                 f"{index_dir}/batch_id={batch_id}"
-            )
-            b_hashes, b_bands = index_probe_frames(
-                filtered, "text", "id", n_hashes=n_hashes, bands=bands, k=3
             )
             b_hashes.write.mode("overwrite").parquet(
                 f"{index_dir}/_state/hashes/batch_id={batch_id}"
             )
-            b_bands.write.mode("overwrite").parquet(
+            b_bands.select("id", "bucket").write.mode("overwrite").parquet(
                 f"{index_dir}/_state/bands/batch_id={batch_id}"
             )
             if _fault_after_batch is not None:
                 _fault_after_batch(batch_id)
         finally:
             filtered.unpersist()
+            # the shared frames are scoped_persist-ed (released by the query
+            # registry at the NEXT query); free them per batch anyway so a
+            # long drain's footprint stays one batch, not the whole stream
+            b_base.unpersist()
+            b_bands.unpersist()
 
     q = (
         docs_stream.writeStream.foreachBatch(_batch)
