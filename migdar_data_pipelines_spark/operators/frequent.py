@@ -212,9 +212,18 @@ def copurchase_pairs(
     cart, not a co-purchase signal, and would alone contribute 10^10 join
     rows; exclusion is deterministic and engine-independent — set None to
     disable). Item counts are taken AFTER both guards so lift's n_a/n_b
-    stay consistent with the surviving pair universe. Everything else is
-    map-side-combinable groupBys plus one broadcast-or-shuffled support
-    join back onto the pair frame."""
+    stay consistent with the surviving pair universe.
+
+    Exchange budget (the whole frame is keyed on ``bk`` once and every
+    bk-keyed step reuses that partitioning): one hash exchange on ``bk``
+    carries the per-basket dedup, the basket-size guard join, the basket
+    count AND both sides of the pair self-join; the only other exchanges
+    are the item-frequency groupBy (keyed on ``it`` — a different key, so
+    fundamental) and the final (ia, ib) pair aggregate. The a-priori
+    keep-set doubles as the support table: pruning rows by a keep-set of
+    ITEMS cannot change a surviving item's own basket count, so
+    ``supports`` IS the keep frame — the separate post-prune support
+    aggregation the first cut ran was a provably-identical recompute."""
     from ..operators.caching import scoped_persist
 
     items = (
@@ -222,7 +231,13 @@ def copurchase_pairs(
             F.col(basket_col).alias("bk"), F.col(item_col).alias("it")
         )
         .where(F.col("bk").isNotNull() & F.col("it").isNotNull())
-        .distinct()
+        # one exchange on bk; the (bk, it) dedup needs only same-bk rows
+        # co-located (hash on bk satisfies the aggregate's clustering
+        # requirement), and everything downstream keyed on bk — size guard,
+        # basket count, pair self-join — then reuses this partitioning
+        # instead of re-shuffling
+        .repartition("bk")
+        .dropDuplicates(["bk", "it"])
     )
     if max_basket_size is not None:
         sizes = items.groupBy("bk").agg(F.count(F.lit(1)).alias("__bsz"))
@@ -232,12 +247,16 @@ def copurchase_pairs(
     # a-priori prune: infrequent items can't appear in a frequent pair
     freq = items.groupBy("it").agg(F.count(F.lit(1)).cast("long").alias("c"))
     keep = freq.where(F.col("c") >= min_item_support)
+    # no broadcast hint on the keep-set: its cardinality is the corpus's
+    # frequent-item count (unbounded at 100 TB), so the decision belongs to
+    # AQE's exact runtime stats — which at any sane catalog size converts
+    # this to a broadcast join and keeps the bk partitioning flowing into
+    # the pair self-join below
     items = scoped_persist(
         items.join(keep.select("it"), "it").select("bk", "it")
     )
-    supports = items.groupBy("it").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
+    # keep-set == post-prune supports (see docstring): no second aggregate
+    supports = keep
     n_baskets = items.select("bk").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
