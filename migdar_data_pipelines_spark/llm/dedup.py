@@ -1257,10 +1257,22 @@ def ngram_jaccard_pairs_blocked_kernel(
     never touches the result, keeping oracle parity bit-exact.
 
     Trade-off vs the join path: no pair shuffle at all (the only exchange is
-    grouping gram rows by block), but parallelism is bounded by the number
+    grouping doc rows by block), but parallelism is bounded by the number
     of blocks and the largest block must fit one task's memory. Prefer this
     kernel when blocks are many and bounded (length buckets, LSH bands);
-    prefer the join when a block can be huge or blocks are few."""
+    prefer the join when a block can be huge or blocks are few.
+
+    Shuffle payload (guide §2.3 — shuffle keys and metadata, not payloads):
+    one row per DOC crosses the block exchange, carrying the doc's gram set
+    as an ``array<long>`` of xxhash64 values — 8 bytes per gram instead of
+    the gram string, and |docs| rows instead of |grams| exploded rows. Gram
+    identity by 64-bit hash is the same house convention as the gopher
+    dup-gram keys and the LSH bucket space (llm/textanalysis.py,
+    _shingle_band_frames): a collision would merge two distinct grams
+    (probability ~|grams|^2/2^64 — zero on every gate corpus, where the
+    oracle hash-checks the output exactly); np.unique on int64 is also
+    several times faster than on Python string objects, which was the
+    kernel's dominant single step."""
     import numpy as np
 
     assert threshold > 0, "requires threshold > 0"
@@ -1272,20 +1284,27 @@ def ngram_jaccard_pairs_blocked_kernel(
     )
     base = df.select(F.col(id_col).alias("id"), grams.alias("g"), block.alias("blk"))
     idx = base.select(
-        "blk", "id", F.size("g").alias("sz"), F.explode("g").alias("gram")
+        "blk",
+        "id",
+        F.size("g").alias("sz"),
+        F.transform("g", lambda x: F.xxhash64(x)).alias("hs"),
     )
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["id"].to_numpy()
-        uids, doc_idx = np.unique(ids, return_inverse=True)
-        n_docs = len(uids)
+        n_docs = len(pdf)
         if n_docs < 2:
             return pd.DataFrame(
                 {"id_a": [], "id_b": [], "inter": [], "sz_a": [], "sz_b": []}
             ).astype("int64")
-        sz_u = np.zeros(n_docs, dtype=np.int64)
-        sz_u[doc_idx] = pdf["sz"].to_numpy()
-        gid = np.unique(pdf["gram"].to_numpy(), return_inverse=True)[1]
+        ids = pdf["id"].to_numpy()
+        order0 = np.argsort(ids, kind="stable")  # ids unique per block
+        uids = ids[order0]
+        sz_u = pdf["sz"].to_numpy()[order0]
+        hs_list = pdf["hs"].to_numpy()[order0]
+        lens = np.fromiter((len(h) for h in hs_list), dtype=np.int64, count=n_docs)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        allh = np.concatenate([np.asarray(h, dtype=np.int64) for h in hs_list])
+        gid = np.unique(allh, return_inverse=True)[1]
         order = np.lexsort((doc_idx, gid))
         d, g = doc_idx[order], gid[order]
         counts = np.bincount(g)
