@@ -25,6 +25,7 @@ from ..operators.caching import scoped_persist
 from .linalg import dot, norm
 from .textanalysis import words
 from .._serde import register_self_contained
+from ..session import local_df
 
 register_self_contained(__name__)
 
@@ -898,6 +899,8 @@ def connected_components(
 
     from ..operators.metrics import record
 
+    from pyspark.sql import Observation
+
     prev_sig = None
     rounds = 0
     n_edges0 = 0
@@ -911,13 +914,24 @@ def connected_components(
         # round AND truncates lineage to a leaf, keeping per-round planning
         # cost constant. (On a real cluster prefer a reliable checkpoint dir
         # if executor loss during the loop must be survivable.)
-        edges = star(star(edges, large=True), large=False).localCheckpoint(eager=True)
+        #
+        # The convergence signature RIDES the checkpoint action as an
+        # Observation (accumulator side-channel of the same pass): one job
+        # per round instead of two, and no second full scan of the edge
+        # frame — at scale each saved pass is a whole read of the edge set.
         # XOR fold, not sum: order-independent over the distinct edge rows
         # and can't overflow under ANSI mode (sum of full-range longs throws).
-        row = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).collect()[0]
+        obs = Observation()
+        edges = (
+            star(star(edges, large=True), large=False)
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = obs.get
         sig = (row["n"], row["h"])
         if rounds == 1:
             n_edges0 = int(row["n"])
@@ -1979,8 +1993,8 @@ def srp_lsh_near_dup(
         # cannot work on an empty frame — callers on a hot path pass dim
         head = df.select(vec_col).head(1)
         if not head:
-            return df.sparkSession.createDataFrame(
-                [], "id_a long, id_b long, cosine double"
+            return local_df(
+                df.sparkSession, [], "id_a long, id_b long, cosine double"
             )
         dim = len(head[0][0])
     planes_np = np.array(srp_planes(dim, nbits), dtype=np.float64)  # nbits x dim

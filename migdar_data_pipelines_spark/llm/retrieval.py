@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..session import local_df
 
 from .textanalysis import words
 
@@ -50,7 +51,7 @@ def bm25_topk(
     idf uses the standard Lucene/ES form ln(1 + (N - df + .5)/(df + .5)),
     which is positive even for terms present in most documents.
     """
-    qdf = spark.createDataFrame(queries, "query_id string, qtext string")
+    qdf = local_df(spark, queries, "query_id string, qtext string")
     return bm25_topk_df(docs, qdf, text_col, id_col, topk=topk)
 
 

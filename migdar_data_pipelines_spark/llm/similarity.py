@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from .linalg import cosine
 from .._serde import register_self_contained
+from ..session import local_df
 
 register_self_contained(__name__)
 
@@ -406,17 +407,28 @@ def write_ivf_index(
 
 def _cells_literal(refs: list[tuple[int, list[float]]]) -> F.Column:
     """The (cell, reference-vector) table as a pure array-of-structs literal
-    (n_cells x dim floats — broadcast-sized, rides in the plan)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(c)).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in rv])
-                .cast("array<double>")
-                .alias("rv"),
-            )
-            for c, rv in refs
-        ]
+    (n_cells x dim floats — broadcast-sized, rides in the plan).
+
+    Built from TWO single ``Literal`` nodes (cell ids, rv matrix) zipped by
+    a transform, not ``F.array(F.struct(F.lit(...)*dim))*n_cells`` — the
+    element-wise form puts ~n_cells*dim expression nodes into the plan and
+    every analysis/optimization pass rewalks them; with 10x64 refs that was
+    a measurable slice of the IVF-PQ queries' per-plan driver time, where
+    this expression appears in encode, probe and search plans. Values and
+    evaluation order are identical (same struct shape, same per-row
+    transform)."""
+    if not refs:
+        # sequence(0, -1) would infer step -1 and yield [0, -1], not empty
+        return F.lit([]).cast("array<struct<cell:int,rv:array<double>>>")
+    cells = F.lit([int(c) for c, _ in refs])
+    rvs = F.lit([[float(x) for x in rv] for _, rv in refs]).cast(
+        "array<array<double>>"
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(refs) - 1)),
+        lambda i: F.struct(
+            F.get(cells, i).alias("cell"), F.get(rvs, i).alias("rv")
+        ),
     )
 
 
@@ -459,12 +471,22 @@ def _pq_encode(
     rows whether B arrives at build time or through
     :func:`incremental_add_ivf_pq` — the equality contract the registered
     query's oracle checks."""
-    refs_df = df.sparkSession.createDataFrame(
+    from ..operators.caching import scoped_persist
+
+    refs_df = local_df(
+        df.sparkSession,
         [(int(c), [float(x) for x in rv]) for c, rv in refs],
         "cell int, rv array<double>",
     )
-    assigned = assign_cells_deterministic(df, refs, vec_col).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "cell"
+    # Persist barrier on the assignment: without it the join's implicit
+    # isnotnull(cell) filter inlines the WHOLE argmax-over-cells expression
+    # (n_cells x dim literal transform + cosine — interpreted HOFs) and every
+    # row pays the assignment twice (filter + projection). Measured 1.11s ->
+    # 0.54s noop on the sf0.1 encode.
+    assigned = scoped_persist(
+        assign_cells_deterministic(df, refs, vec_col).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "cell"
+        )
     )
     j = assigned.join(F.broadcast(refs_df), "cell")
     res = F.zip_with(
@@ -509,10 +531,14 @@ def build_ivf_pq_index(
     increments go through :func:`incremental_add_ivf_pq`, searches prune to
     the probed cells' partitions."""
     spark = corpus.sparkSession
-    spark.createDataFrame(
+    # local_df is already one partition — no coalesce(1): coalescing a
+    # python-backed literal frame made the single write task drain every
+    # parent slice's Python worker sequentially (~4s at local[32]).
+    local_df(
+        spark,
         [(int(c), [float(x) for x in rv]) for c, rv in refs],
         "cell int, rv array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/refs")
+    ).write.mode("overwrite").parquet(f"{path}/refs")
     _pq_encode(corpus, refs, id_col, vec_col).write.partitionBy("cell").mode(
         "overwrite"
     ).parquet(f"{path}/codes")
@@ -728,7 +754,8 @@ def ivf_build_and_search(
     c = assign_cells(corpus, cents, vec_col)
     if quantized:
         spark = corpus.sparkSession
-        cent_df = spark.createDataFrame(
+        cent_df = local_df(
+            spark,
             [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
             "ccell int, rv array<double>",
         )

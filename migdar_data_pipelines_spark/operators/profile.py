@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..session import local_df
 
 
 def profile(
@@ -873,8 +874,8 @@ def benford_report(df: DataFrame, amount_col: str, cents: bool = True) -> DataFr
     )
     counts = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_d"))
     spark = df.sparkSession
-    expected = spark.createDataFrame(
-        [(k, v) for k, v in _BENFORD_P.items()], "digit int, exp_p double"
+    expected = local_df(
+        spark, [(k, v) for k, v in _BENFORD_P.items()], "digit int, exp_p double"
     )
     tot = counts.agg(F.sum("n_d").cast("long").alias("n"))
     j = (

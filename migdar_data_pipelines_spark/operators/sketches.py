@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..session import local_df
 
 M_REGISTERS = 256  # b = 8 index bits
 _TAIL_HEX = 12  # 48 bits of rho stream
@@ -581,7 +582,7 @@ def sampled_quantiles(
         "rk", F.row_number().over(Window.orderBy("v", "h"))
     )
     n = samp.agg(F.count(F.lit(1)).cast("long").alias("sample_n"))
-    pr = df.sparkSession.createDataFrame([(float(p),) for p in probs], "p double")
+    pr = local_df(df.sparkSession, [(float(p),) for p in probs], "p double")
     tgt = pr.crossJoin(F.broadcast(n)).withColumn(
         "idx", F.floor((F.col("sample_n") - 1) * F.col("p")) + 1
     )
@@ -987,7 +988,7 @@ def sampled_quantiles_by(
     wrank = Window.partitionBy(*gc).orderBy("v", "h")
     ranked = samp.withColumn("rk", F.row_number().over(wrank))
     n = samp.groupBy(*gc).agg(F.count(F.lit(1)).cast("long").alias("sample_n"))
-    pr = df.sparkSession.createDataFrame([(float(p),) for p in probs], "p double")
+    pr = local_df(df.sparkSession, [(float(p),) for p in probs], "p double")
     tgt = n.crossJoin(F.broadcast(pr)).withColumn(
         "idx", F.floor((F.col("sample_n") - 1) * F.col("p")) + 1
     )

@@ -44,6 +44,7 @@ from ..operators.windows import (
     forward_fill,
     stamp_ord,
 )
+from ..session import local_df
 from .framework import Pipeline, PipelineContext, PipelineGraph
 
 # --------------------------------------------------------------------------
@@ -334,7 +335,8 @@ def dataset_assets_flow(ctx: PipelineContext) -> dict[str, DataFrame]:
     # (small) chart docs; recorded as an asset index resource. The XLSX/PNG
     # renders are driver post-steps (write_excel_assets / screenshot_docs).
     grids = chart_rows_to_tables(r.asDict(True) for r in charts.collect())
-    index = ctx.spark.createDataFrame(
+    index = local_df(
+        ctx.spark,
         [(doc_id, len(grid), max(len(r) for r in grid)) for doc_id, grid in grids.items()]
         or [("", 0, 0)],
         "doc_id string, n_rows int, n_cols int",

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..llm.curation import PII_PATTERNS, md5_bucket_sql
+from ..session import local_df
 from ..llm.dedup import (
     canonical_groups,
     exact_dedup,
@@ -963,7 +964,7 @@ def embedding_topk_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataF
             k=5, nprobe=2, rerank=4,
         )
         # materialize before the index dir goes away (k rows per query)
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -6205,7 +6206,7 @@ def streaming_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # materialize before the temp dirs go away (the drained verdict is
         # one small row per filtered doc)
-        return spark.createDataFrame(res.collect(), res.schema)
+        return local_df(spark, res.collect(), res.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

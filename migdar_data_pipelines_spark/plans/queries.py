@@ -35,6 +35,7 @@ from ..operators.caching import release_scoped
 from ..operators.cdc import cdc_counts, hash_diff
 from ..operators.textops import content_hash, md5_doc_id
 from ..operators.translate import TranslationTable, split_and_translate
+from ..session import local_df
 
 QUERIES: dict[str, dict] = {}
 
@@ -554,7 +555,8 @@ def cdc_hash_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             content_hash(["o_orderstatus", "o_totalprice"]).alias("__hash"),
         )
     )
-    synthetic = existing.sparkSession.createDataFrame(
+    synthetic = local_df(
+        existing.sparkSession,
         [(-1, "synthetic")], "o_orderkey long, __hash string"
     )
     classified = hash_diff(
@@ -1533,7 +1535,8 @@ def observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     passed.write.format("noop").mode("overwrite").save()  # the real pass
     row = {**obs_in.get, **obs_kept.get}
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 int(row["rows_in"]),
