@@ -1371,7 +1371,13 @@ def ngram_jaccard_pairs_blocked_kernel(
             }
         )
 
-    cand = idx.groupBy("blk").applyInPandas(
+    # Explicit kernel-stage width: the (blk) exchange is kilobytes of hashed
+    # gram arrays but feeds the CPU-heavy pair kernel — AQE's byte-based
+    # coalescing serialized it to 2 tasks on a 32-core session (guide §2.5);
+    # the groupBy below reuses this partitioning, so no extra exchange.
+    from ..operators.scale import partition_for_kernel
+
+    cand = partition_for_kernel(idx, "blk").groupBy("blk").applyInPandas(
         _pairs, "id_a long, id_b long, inter long, sz_a long, sz_b long"
     )
     union = (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
@@ -1649,7 +1655,16 @@ def embedding_near_dup_matmul(
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(cell_col).alias("cell")
     )
-    cands = base.groupBy("cell").applyInPandas(_cands, "id_a long, id_b long")
+    # Explicit kernel-stage width (guide §2.5): the (cell) exchange carries
+    # few bytes but the matmul kernel is the query's compute — keep it from
+    # being AQE-coalesced onto 1-2 tasks; groupBy reuses the partitioning.
+    from ..operators.scale import partition_for_kernel
+
+    cands = (
+        partition_for_kernel(base, "cell")
+        .groupBy("cell")
+        .applyInPandas(_cands, "id_a long, id_b long")
+    )
 
     vecs = df.select(
         F.col(id_col).alias("__vid"),

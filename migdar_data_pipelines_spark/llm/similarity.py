@@ -1193,7 +1193,13 @@ def cosine_topk_blocked(
                     F.col(vecc).alias(vec_out),
                 )
             )
-        return sel.groupBy(*keys).agg(
+        # Explicit kernel-stage width (guide §2.5): the block aggregate's
+        # output rows are few (one per block) but each feeds the matmul
+        # kernel through the block-pair join — AQE's byte-based coalescing
+        # would pack them onto 1-2 tasks. groupBy reuses this partitioning.
+        from ..operators.scale import partition_for_kernel
+
+        return partition_for_kernel(sel, *keys).groupBy(*keys).agg(
             F.collect_list(id_out).alias(ids_out),
             F.collect_list(vec_out).alias(vecs_out),
         )

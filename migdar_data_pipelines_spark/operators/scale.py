@@ -215,6 +215,27 @@ def key_distribution(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame
     )
 
 
+def partition_for_kernel(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition ``df`` by ``keys`` at an EXPLICIT width (the
+    session's default parallelism) for a grouped Python-kernel stage
+    (``groupBy(keys).applyInPandas`` / a block-keyed ``mapInPandas``).
+
+    Why explicit (guide §2.5): AQE coalesces post-shuffle partitions by
+    BYTES, but a kernel stage's cost is per-row *Python compute* that AQE
+    cannot see — a kilobytes-small exchange feeding a CPU-heavy kernel gets
+    coalesced to 1-2 tasks and the whole stage runs serially (measured on
+    the ngram kernel at sf0.1: the 2 MB hashed-gram exchange coalesced to
+    2 tasks carrying ~144 s of kernel time on a 32-core session). An
+    explicit width exempts exactly this one exchange from coalescing; the
+    downstream groupBy reuses the partitioning (same keys), so no second
+    exchange appears. The width is ``defaultParallelism`` — cluster-sized,
+    not a constant — so the same code spreads kernels across any deployment
+    (parallelism beyond it is still bounded by the number of distinct
+    keys, which is the operator's documented block-count trade)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 __all__ = [
     "write_bucketed",
     "bucketed_join",
@@ -222,4 +243,5 @@ __all__ = [
     "salted_aggregate",
     "salted_topk",
     "key_distribution",
+    "partition_for_kernel",
 ]

@@ -62,6 +62,20 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+# Analyzed-plan cache for the immutable gate/bench tables, keyed by
+# (applicationId, sf_dir, table). `spark.read.parquet` eagerly lists files
+# and reads a footer for the schema — one or two small driver jobs per call
+# — and the registry calls _t() 1-3x per query x 200+ queries per suite
+# pass, always on the SAME immutable parquet inputs. Reusing the analyzed
+# DataFrame skips exactly that per-query listing/footer overhead (guide
+# §1.2 step 1: don't redo work). This caches the PLAN only — no data, no
+# results; every action still scans the parquet files. Keying by
+# applicationId drops entries with the session that built them; callers
+# that rewrite a table under a cached path must use a fresh dir (every
+# test fixture already does).
+_T_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Let AQE re-plan (coalesce/skew-split) stages that sit under a persist():
     # by default a cached plan's output partitioning is frozen, so a vanilla
@@ -69,6 +83,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # partitions — task overhead, not work (measured 10.7s -> 1.6s with the
     # conf on). Runtime-settable, so queries behave under ANY caller session.
     spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    hit = _T_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _t_read(spark, sf_dir, name)
+    _T_CACHE[key] = df
+    return df
+
+
+def _t_read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
         # rejects; read nanos as long and truncate to microseconds (DuckDB's

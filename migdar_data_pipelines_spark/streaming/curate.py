@@ -330,9 +330,11 @@ def streaming_curate(
             # index_dir (Spark's file index skips _-prefixed paths), so
             # index consumers still see exactly the (id, text) corpus. All
             # writes read the SHARED persisted frames — the signature
-            # pipeline does not re-run per sink.
-            from concurrent.futures import ThreadPoolExecutor
-
+            # pipeline does not re-run per sink. The pool is ONE long-lived
+            # executor per drain (created below, next to the stream start),
+            # not per micro-batch: worker threads keep their py4j
+            # connections for the whole drain instead of opening and
+            # abandoning four fresh threads/connections every batch.
             sinks = (
                 (out, f"{out_dir}/batch_id={batch_id}"),
                 (filtered, f"{index_dir}/batch_id={batch_id}"),
@@ -342,16 +344,15 @@ def streaming_curate(
                     f"{index_dir}/_state/bands/batch_id={batch_id}",
                 ),
             )
-            with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
-                for fut in [
-                    pool.submit(
-                        lambda df, p: df.write.mode("overwrite").parquet(p),
-                        df,
-                        path,
-                    )
-                    for df, path in sinks
-                ]:
-                    fut.result()
+            for fut in [
+                pool.submit(
+                    lambda df, p: df.write.mode("overwrite").parquet(p),
+                    df,
+                    path,
+                )
+                for df, path in sinks
+            ]:
+                fut.result()
             if _fault_after_batch is not None:
                 _fault_after_batch(batch_id)
         finally:
@@ -362,11 +363,14 @@ def streaming_curate(
             b_base.unpersist()
             b_bands.unpersist()
 
-    q = (
-        docs_stream.writeStream.foreachBatch(_batch)
-        .queryName(query_name)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        q = (
+            docs_stream.writeStream.foreachBatch(_batch)
+            .queryName(query_name)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -34,6 +34,9 @@ def _ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def read_events_stream(
     spark: SparkSession,
     path: str,
@@ -46,7 +49,16 @@ def read_events_stream(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if schema is None:
-        schema = spark.read.parquet(path).schema
+        # Schema-only cache: inferring it runs a footer-read job per call,
+        # and the ~15 streaming gate queries each pay it on every bench/gate
+        # invocation over the same immutable events file. Keyed by
+        # (application, path); files appended to a streamed DIRECTORY never
+        # change the schema, so this stays correct for live sources too.
+        key = (spark.sparkContext.applicationId, path)
+        schema = _SCHEMA_CACHE.get(key)
+        if schema is None:
+            schema = spark.read.parquet(path).schema
+            _SCHEMA_CACHE[key] = schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -338,3 +338,63 @@ def test_streaming_curate_verdicts_unchanged(spark, tmp_path):
     assert out[12]["admitted"]
     assert out[20]["dup_exact"] and not out[20]["admitted"]
     assert out[21]["admitted"]
+
+
+# ---------------------------------------------------------------- wave 5
+# Optimization-round internals: explicit kernel-stage width and the
+# analyzed-plan caches (OPTIMIZATION_r14.md wave 5).
+
+
+def test_kernel_stage_width_is_explicit(spark):
+    """The grouped-Python-kernel exchanges must carry an EXPLICIT partition
+    width (defaultParallelism), not the AQE-coalescible default: AQE
+    coalesces by bytes and a kilobytes-small exchange feeding a CPU-heavy
+    kernel otherwise collapses to 1-2 tasks (guide §2.5; measured 2 tasks /
+    144s of kernel time on the ngram query at sf0.1). The groupBy must
+    REUSE that partitioning — exactly one exchange below the kernel node."""
+    from migdar_data_pipelines_spark.llm.dedup import (
+        ngram_jaccard_pairs_blocked_kernel,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} common words here") for i in range(40)],
+        "id long, text string",
+    )
+    out = ngram_jaccard_pairs_blocked_kernel(df, "text", "id", n=2, threshold=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n = spark.sparkContext.defaultParallelism
+    assert f"hashpartitioning(blk#" in plan and f", {n})" in plan, plan[:2000]
+    # one exchange feeds the kernel: the segment between the kernel node and
+    # its exchange contains no second exchange
+    tree = plan.split("FlatMapGroupsInPandas")[-1]
+    assert tree.count("Exchange") <= 1, plan[:3000]
+
+
+def test_t_cache_reuses_analyzed_plan(spark, sf_dir):
+    """_t returns the SAME analyzed DataFrame for repeated reads of an
+    immutable gate table (plan reuse — no data or result caching), and
+    distinct frames per (dir, table)."""
+    from migdar_data_pipelines_spark.plans.queries import _t
+
+    a = _t(spark, sf_dir, "nation")
+    b = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "region")
+    assert a is b
+    assert a is not c
+    assert a.count() == spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+
+def test_events_stream_schema_cache(spark, sf_dir):
+    """read_events_stream infers the source schema once per (app, path) —
+    the second call must not re-run the footer job (observable as a cache
+    hit), and the streamed frame keeps the converted timestamp column."""
+    from migdar_data_pipelines_spark.streaming import windows as sw
+
+    path = f"{sf_dir}/events.parquet"
+    s1 = sw.read_events_stream(spark, path)
+    key = (spark.sparkContext.applicationId, path)
+    assert key in sw._SCHEMA_CACHE
+    cached = sw._SCHEMA_CACHE[key]
+    s2 = sw.read_events_stream(spark, path)
+    assert sw._SCHEMA_CACHE[key] is cached
+    assert dict(s2.dtypes)["ts"].startswith("timestamp")
