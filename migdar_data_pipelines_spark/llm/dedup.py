@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.caching import scoped_persist
+from ..operators.scale import widen_scan
 from .linalg import dot, norm
 from .textanalysis import words
 from .._serde import register_self_contained
@@ -80,7 +81,11 @@ def _minhash_one(shingle_arr: Column, seed: int) -> Column:
 def minhash_signature(df: DataFrame, text_col: str, n_hashes: int = 8, k: int = 3) -> DataFrame:
     """Append minhash_0..n-1 columns (md5-hex minima per salt)."""
     sh = shingles(text_col, k)
-    out = df.withColumn("__shingles", sh)
+    # n_hashes interpreted md5-min folds per row, all in the scan stage —
+    # widen a narrow input first (no-op on wide scans). No key column is
+    # assumed on this generic entry point; round-robin is safe here because
+    # the output is row-wise deterministic (no order-sensitive aggregate).
+    out = widen_scan(df).withColumn("__shingles", sh)
     for i in range(n_hashes):
         out = out.withColumn(f"minhash_{i}", _minhash_one(F.col("__shingles"), i))
     return out
@@ -118,7 +123,15 @@ def _shingle_band_frames(
     # them, so the narrower modulus cannot cause false negatives.
     mersenne = (1 << 31) - 1
 
-    base = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("__sh"))
+    # Widen a narrow scan BEFORE the shingle fold (operators/scale.py::
+    # widen_scan): the interpreted shingle chain plus the explode+hash
+    # pipeline below all run in the SCAN stage, and a single-file input
+    # would put the whole per-row cost on one task. Project to the two
+    # needed columns first so the widening exchange ships only (id, text).
+    src = widen_scan(
+        df.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    base = src.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("__sh"))
     if persist:
         base = scoped_persist(base)
 
@@ -1140,8 +1153,12 @@ def simhash_near_dup(
             stacklevel=2,
         )
     mask = (1 << width) - 1
+    # the word split + Arrow bit-fold run in the scan stage — widen a narrow
+    # input first so the per-row signature cost is not single-task
     base = scoped_persist(
-        df.select(F.col(id_col).alias("id"), simhash_fast(text_col, bits).alias("sh"))
+        widen_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+            F.col(id_col).alias("id"), simhash_fast(text_col, bits).alias("sh")
+        )
     )
     # one long key per (band, value): band index folded into the high bits
     bucket_arr = F.array(
@@ -1212,7 +1229,9 @@ def ngram_jaccard_pairs(
         if block_col is not None
         else (F.length(text_col) / F.lit(64)).cast("long")
     )
-    base = df.select(F.col(id_col).alias("id"), grams.alias("g"), block.alias("blk"))
+    base = widen_scan(df, id_col).select(
+        F.col(id_col).alias("id"), grams.alias("g"), block.alias("blk")
+    )
     # The self-join reads the index from BOTH sides; without a persist each
     # side re-runs the shingling+explode subtree (regex split + distinct per
     # doc — the expensive part, measured ~40% of the query). Scoped-persisted
@@ -1296,7 +1315,12 @@ def ngram_jaccard_pairs_blocked_kernel(
         if block_col is not None
         else (F.length(text_col) / F.lit(64)).cast("long")
     )
-    base = df.select(F.col(id_col).alias("id"), grams.alias("g"), block.alias("blk"))
+    # The gram fold + per-gram hashing below run in the scan stage; widen a
+    # narrow input first so that per-row compute is not single-task
+    # (operators/scale.py::widen_scan — no-op on wide production scans).
+    base = widen_scan(df, id_col).select(
+        F.col(id_col).alias("id"), grams.alias("g"), block.alias("blk")
+    )
     idx = base.select(
         "blk",
         "id",
@@ -1450,7 +1474,7 @@ def ngram_jaccard_pairs_ppjoin(
         else F.lit(0)
     )
     base = scoped_persist(
-        df.select(
+        widen_scan(df, id_col).select(
             F.col(id_col).alias("id"),
             grams.alias("g"),
             F.size(grams).alias("sz"),
@@ -1746,7 +1770,9 @@ def duplicated_spans(
     # (k+1 in the zip chain, the size(), the final doc-length join) reads
     # the array instead of re-running the regex split
     base_words = scoped_persist(
-        df.select(F.col(id_col).alias("id"), words(text_col).alias("__ws"))
+        widen_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+            F.col(id_col).alias("id"), words(text_col).alias("__ws")
+        )
     )
     base = base_words.select(
         "id",
@@ -1854,7 +1880,9 @@ def drop_duplicated_spans(
     from pyspark.sql import Window
 
     base_words = scoped_persist(
-        df.select(F.col(id_col).alias("id"), words(text_col).alias("__ws"))
+        widen_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+            F.col(id_col).alias("id"), words(text_col).alias("__ws")
+        )
     )
     base = base_words.select(
         "id",
@@ -2197,7 +2225,8 @@ def ngram_containment_pairs(
     # duplicated_spans (the oracle only needs the distinct-count algebra to
     # match; the 2^-64 collision floor is negligible for a dedup signal).
     a_arr = scoped_persist(
-        probe.select(
+        widen_scan(probe.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(
             F.col(id_col).alias("id_a"), shingles(text_col, n).alias("ga")
         ).select(
             "id_a",
@@ -2207,7 +2236,8 @@ def ngram_containment_pairs(
     )
     a_base = a_arr.select("id_a", "sz_a", F.explode("ga").alias("gram"))
     b_arr = scoped_persist(
-        corpus.select(
+        widen_scan(corpus.select(F.col(id_col), F.col(text_col)), id_col)
+        .select(
             F.col(id_col).alias("id_b"), shingles(text_col, n).alias("gb")
         ).select("id_b", F.transform("gb", lambda g: F.xxhash64(g)).alias("gb"))
     )
@@ -2454,9 +2484,11 @@ def winnow_fingerprints(
                 }
             )
 
-    return df.select(F.col(id_col).alias(id_col), F.col(text_col)).mapInPandas(
-        winnow, out_ddl
-    )
+    # the per-doc md5+window-min kernel rides the scan stage — widen a
+    # narrow input so it is not single-task (no-op on wide production scans)
+    return widen_scan(
+        df.select(F.col(id_col).alias(id_col), F.col(text_col)), id_col
+    ).mapInPandas(winnow, out_ddl)
 
 
 def winnow_sql(

@@ -54,11 +54,19 @@ def curation_stage_frames(
     ``curate_corpus`` single-pass; ``release_scoped()`` (invoked by the
     query registry between queries) frees the pins."""
     from ..operators.caching import scoped_persist
+    from ..operators.scale import widen_scan
 
     out: dict[str, DataFrame] = {"input": docs}
 
-    # 1. scan-local filter
-    kept = docs.filter(
+    # 1. scan-local filter. The quality/language/token expressions are
+    # interpreted higher-order folds over every row, and they run in the
+    # SCAN stage — widen a narrow input first (no-op on wide production
+    # scans) so the per-row cost spreads across the session instead of one
+    # task (operators/scale.py::widen_scan). Everything downstream (the
+    # persisted stage frames, the LSH signature pipeline) inherits the
+    # widened partitioning.
+    docs_wide = widen_scan(docs, id_col)
+    kept = docs_wide.filter(
         (token_stats(text_col)["n_words"] >= min_words)
         & (quality_score(text_col) >= min_quality)
         & language_id(text_col).isin(*languages)

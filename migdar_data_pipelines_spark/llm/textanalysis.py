@@ -433,20 +433,24 @@ def gopher_repetition(df, text_col: str, id_col: str):
 
     from ..operators.caching import scoped_persist
 
-    # Repartition the narrow (id, text) frame to full parallelism BEFORE the
-    # shingle construction: the 9 per-n positional zip chains are interpreted
-    # per-row work that otherwise inherits the file split count (a 6 MB
-    # parquet = 4 splits — measured 315s at sf1 with 4-way stages on a
-    # 8-thread session; the row-level exchange of ~30 MB of text is noise
-    # next to it). On a real cluster big inputs arrive well-split; this
-    # guards the small-file/hot-operator combination.
-    sc = df.sparkSession.sparkContext
+    # Widen the narrow (id, text) frame to full parallelism BEFORE the word
+    # split and shingle construction: the words() pass and the 9 per-n
+    # positional zip chains are interpreted per-row work that otherwise
+    # inherits the file split count (a 6 MB parquet = 4 splits — measured
+    # 315s at sf1 with 4-way stages on a 8-thread session; the row-level
+    # exchange of ~30 MB of text is noise next to it). widen_scan is
+    # conditional: on a real cluster big inputs arrive well-split and no
+    # exchange is added; this guards the small-file/hot-operator combination.
+    from ..operators.scale import widen_scan
+
     d = scoped_persist(
-        df.select(
+        widen_scan(
+            df.select(F.col(id_col), F.col(text_col)), id_col
+        ).select(
             F.col(id_col).alias("id"),
             F.col(text_col).alias("__t"),
             words(text_col).alias("__ws"),
-        ).repartition(sc.defaultParallelism)
+        )
     )
     ids = d.select(
         "id",

@@ -215,6 +215,43 @@ def key_distribution(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame
     )
 
 
+def widen_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Conditionally hash-repartition ``df`` to the session's default
+    parallelism BEFORE a compute-heavy per-row stage (interpreted
+    higher-order shingle/gram folds, Arrow kernels) — the scan-side
+    counterpart of :func:`partition_for_kernel`.
+
+    Why (guide §2.5 "input skew", §1.2 step 1): a scan's task count comes
+    from file splits, and a small or single-row-group parquet input yields
+    ONE task — every expression up to the first exchange (the whole
+    shingle -> hash -> partial-aggregate pipeline of the LSH family, or a
+    quality-filter HOF chain) then runs on one core while the rest of the
+    cluster idles. Repartitioning the RAW rows first moves that compute
+    behind a cheap exchange of the input rows and spreads it across the
+    session. The widen is CONDITIONAL — a no-op whenever the input already
+    has at least ``defaultParallelism`` partitions — so at production scale
+    (thousands of splits) no exchange is added; only a narrow local/test
+    scan pays one small shuffle of rows it was about to fully process
+    anyway. Hash-partitioning on the caller's (unique) key keeps the
+    row-to-partition assignment deterministic under task retries
+    (SPARK-38388 — never round-robin on recomputable input); with no keys
+    it falls back to round-robin for callers whose rows have no stable key.
+    Streaming frames and frames whose partition count cannot be derived are
+    returned unchanged."""
+    if df.isStreaming:
+        return df
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur >= n:
+        return df
+    cols = [F.col(k) for k in keys]
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def partition_for_kernel(df: DataFrame, *keys: str) -> DataFrame:
     """Hash-repartition ``df`` by ``keys`` at an EXPLICIT width (the
     session's default parallelism) for a grouped Python-kernel stage
@@ -243,5 +280,6 @@ __all__ = [
     "salted_aggregate",
     "salted_topk",
     "key_distribution",
+    "widen_scan",
     "partition_for_kernel",
 ]
