@@ -839,21 +839,47 @@ def incremental_dedup(
     )
 
 
+# Edge-count ceiling for the driver-local union-find fast path of
+# connected_components. The alternating-star loop pays a FIXED driver cost
+# per round that is independent of data size — measured ~10 Spark jobs of
+# 10-75 ms (AQE stage materializations, the checkpoint, the observation)
+# plus ~0.3 s of per-round plan building, ~0.4-0.9 s/round, times ~5-7
+# rounds at every CC consumer. Below this ceiling the normalized edge set
+# is provably tiny (two longs per row, ~3 MB collected at the ceiling —
+# the same order as the broadcast-gate frames this engine already
+# collects), and an exact driver-side union-find with min-id roots
+# produces the IDENTICAL labelling in milliseconds with zero jobs beyond
+# the collect. Above it the distributed O(log n) loop runs unchanged —
+# this is a size-gated plan choice like the LSH broadcast gates, not a
+# scale compromise: at 100 TB the edge count exceeds any ceiling and the
+# star loop is the path.
+MAX_DRIVER_CC_EDGES = 200_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 16,
+    max_driver_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list: every node labelled
     with the MINIMUM id of its component. Returns (id, comp), one row per
     non-isolated node (callers coalesce isolated rows to their own id —
     see ``canonical_groups``).
 
-    Algorithm: alternating large-star / small-star (the MapReduce CC
-    algorithm of Kiveris et al., "Connected Components in MapReduce and
-    Beyond"), expressed as pure DataFrame ops — no driver-side union-find,
-    no ``collect()``. Each round:
+    Two size-gated execution tiers, identical output:
+
+    * **driver union-find** when the normalized edge count (measured by an
+      Observation riding the initial checkpoint — no extra job) is at most
+      ``max_driver_edges`` (default ``MAX_DRIVER_CC_EDGES``; 0 disables):
+      the tiny (u, v) long pairs are collected and labelled exactly with
+      union-by-min + path compression — milliseconds, zero per-round jobs.
+      Min-id roots are an invariant of union-by-min, so the labelling is
+      bit-identical to the star loop's fixed point.
+    * **alternating large-star / small-star** above the ceiling (the
+      MapReduce CC algorithm of Kiveris et al., "Connected Components in
+      MapReduce and Beyond"), expressed as pure DataFrame ops. Each round:
 
       * large-star: every node connects its LARGER neighbours to the minimum
         of its neighbourhood (incl. itself);
@@ -877,18 +903,71 @@ def connected_components(
     rounds' groupBy; min() is an algebraic aggregate so map-side partial
     aggregation collapses the hot key before the exchange.
     """
+    from pyspark.sql import Observation
+
+    from ..operators.metrics import record
+
     # Materialize the normalized edge set ONCE before iterating: round 1's
     # star(star(...)) references its input plan several times, and without a
     # checkpoint each reference re-executes the (possibly expensive — LSH,
     # shingling) pair-generation subtree. After this the loop only ever sees
-    # (long, long) leaf frames.
+    # (long, long) leaf frames. The edge count rides the checkpoint as an
+    # Observation (same trick as the round signature below) — it decides the
+    # execution tier for free.
+    obs0 = Observation()
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
         .dropDuplicates(["u", "v"])
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    n_norm_edges = int(obs0.get["n"])
+    ceiling = MAX_DRIVER_CC_EDGES if max_driver_edges is None else max_driver_edges
+    if n_norm_edges <= ceiling:
+        # Driver tier: exact union-find with min-id roots over the already
+        # checkpointed edges (~16 bytes/row — broadcast-gate-sized at the
+        # ceiling). Union-by-min keeps every tree's root its minimum member,
+        # so find(x) is exactly the component minimum the star loop
+        # converges to.
+        record("cc_driver_edges", n_norm_edges)
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            u, v = row[0], row[1]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        spark = pairs.sparkSession
+        id_type = edges.schema["u"].dataType
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [T.StructField("id", id_type), T.StructField("comp", id_type)]
+        )
+        labels = [(x, find(x)) for x in parent]
+        if not labels:
+            return local_df(spark, [], out_schema)
+        # Arrow-backed conversion (session enables arrow.pyspark): one
+        # columnar batch instead of per-row pickling for up to ~2x ceiling
+        # label rows.
+        pdf = pd.DataFrame(labels, columns=["id", "comp"])
+        return spark.createDataFrame(pdf, schema=out_schema)
 
     def nbrs(e: DataFrame) -> DataFrame:
         return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -909,10 +988,6 @@ def connected_components(
             # disconnect from its component.
             out = out.unionByName(m.select("u", F.col("m").alias("v")))
         return out.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
-
-    from ..operators.metrics import record
-
-    from pyspark.sql import Observation
 
     prev_sig = None
     rounds = 0

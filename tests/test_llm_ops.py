@@ -505,12 +505,43 @@ def test_connected_components_chain_and_cliques(spark):
 def test_connected_components_partitioning_invariant(spark):
     from migdar_data_pipelines_spark.llm import connected_components
 
-    # long path 0-1-...-29: worst case for label propagation depth
+    # long path 0-1-...-29: worst case for label propagation depth; force
+    # the DISTRIBUTED star loop (max_driver_edges=0) so this keeps covering
+    # the partitioning-invariance of the iterative path
     edges = [(i, i + 1) for i in range(29)]
     for nparts in (1, 8):
         df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(nparts)
-        got = {r.id: r.comp for r in connected_components(df).collect()}
+        got = {
+            r.id: r.comp
+            for r in connected_components(df, max_driver_edges=0).collect()
+        }
         assert got == {i: 0 for i in range(30)}
+
+
+def test_connected_components_driver_tier_matches_star_loop(spark):
+    """The size-gated driver union-find tier must produce the identical
+    labelling as the distributed star loop (it is a plan choice, not an
+    approximation), and the ceiling must route correctly."""
+    import random
+
+    from migdar_data_pipelines_spark.llm import connected_components
+    from migdar_data_pipelines_spark.operators import metrics
+
+    rng = random.Random(7)
+    # messy graph: chains, cliques, bridges, duplicates, reversed edges
+    edges = [(i, i + 1) for i in range(0, 40, 2)]
+    edges += [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges += [(b, a) for a, b in edges[:20]]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    fast = {r.id: r.comp for r in connected_components(df).collect()}
+    assert "cc_driver_edges" in metrics.LAST  # took the driver tier
+    slow = {
+        r.id: r.comp
+        for r in connected_components(df, max_driver_edges=0).collect()
+    }
+    assert metrics.LAST["cc_rounds"] >= 1  # took the star loop
+    assert fast == slow
 
 
 def test_canonical_groups_assigns_singletons_and_sizes(spark):
@@ -1860,11 +1891,13 @@ def test_cc_rounds_budget(spark):
         "bridged": [(i, i + 1) for i in range(0, 40, 2)]
         + [(i, (i * 7) % 40) for i in range(40)],
     }
+    # max_driver_edges=0 forces the distributed star loop — the rounds
+    # budget machinery under test lives only on that tier
     for name, edges in shapes.items():
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
         with warnings.catch_warnings():
             warnings.simplefilter("error", RuntimeWarning)
-            connected_components(pairs).collect()
+            connected_components(pairs, max_driver_edges=0).collect()
         rounds = metrics.LAST["cc_rounds"]
         budget = metrics.LAST["cc_rounds_budget"]
         n0 = metrics.LAST["cc_edges_round1"]
@@ -1888,7 +1921,7 @@ def test_cc_rounds_budget(spark):
         )()
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
-            connected_components(pairs).collect()
+            connected_components(pairs, max_driver_edges=0).collect()
         assert any("diameter" in str(x.message) for x in w)
     finally:
         dedup_mod.math = math
