@@ -464,8 +464,16 @@ def degree_assortativity(
     endpoint explosion, TWO degree joins onto the edge frame (each a plain
     equi-join on a node id — the hub key carries deg(hub) rows, the same
     bound every per-edge-degree algorithm pays), one scalar aggregate.
-    No orientation needed — the statistic is already symmetric."""
-    e = (
+    No orientation needed — the statistic is already symmetric.
+
+    The canonical edge frame is pinned (scoped_persist, the
+    _canonical_oriented convention): it is referenced three times below
+    (both endpoint selects of the degree aggregate plus the moment join),
+    and the caller's ``edges`` is typically an EXPENSIVE derivation (the
+    blocked-cosine kNN kernel) that must not re-execute per reference."""
+    from .caching import scoped_persist
+
+    e = scoped_persist(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
