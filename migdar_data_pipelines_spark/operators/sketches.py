@@ -59,6 +59,10 @@ def _hll_registers_by(
     global sketch. Union-able across shards/engines by re-aggregating max
     per (group, register)."""
     c = F.col(col) if isinstance(col, str) else col
+    # NOT widened (measured, round 14): one md5+rho per row is light enough
+    # that the widening exchange costs more than the single-task pass at
+    # gate scale (hll_distinct_orders 0.28s -> 0.39s with widen_scan) —
+    # unlike the DEPTH-hashes-per-row CMS build below.
     h = F.md5(c.cast("string"))
     j = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
     return (
@@ -138,13 +142,20 @@ def cms_sketch(df: DataFrame, col: str | Column) -> DataFrame:
     cheap integer/md5 column work) into a map-side-combinable aggregate whose
     exchange carries <= DEPTH*WIDTH rows per partition — the sketch of 100 TB
     is 1024 longs. Shards/engines merge by summing cnt per (row, bucket)."""
+    from .scale import widen_scan
+
     c = F.col(col) if isinstance(col, str) else col
-    cells = df.select(
+    # raw key first, widen, then the DEPTH md5 bucket hashes — the per-row
+    # hashing otherwise runs single-task on a small scan (count groupBy is
+    # order-insensitive, so the sketch is partitioning-invariant)
+    src = widen_scan(df.select(c.alias("__k")), "__k")
+    cells = src.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(r).alias("row"), _cms_bucket(r, c).alias("bucket")
+                        F.lit(r).alias("row"),
+                        _cms_bucket(r, F.col("__k")).alias("bucket"),
                     )
                     for r in range(CMS_DEPTH)
                 ]
@@ -364,6 +375,9 @@ def kmv_sketch(
 
     from ..llm.curation import md5_bucket
 
+    # NOT widened (measured, round 14): one md5 per row is light enough
+    # that a widening exchange costs more than the single-task pass at gate
+    # scale (kmv_setops 1.35s -> 1.71s with widen_scan).
     hashed = df.select(md5_bucket(col, KMV_HEX_DIGITS).alias("h"))
 
     def _partial(it):
