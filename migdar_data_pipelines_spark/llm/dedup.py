@@ -1228,12 +1228,12 @@ def simhash_near_dup(
             stacklevel=2,
         )
     mask = (1 << width) - 1
-    # the word split + Arrow bit-fold run in the scan stage — widen a narrow
-    # input first so the per-row signature cost is not single-task
+    # NOT widened (measured, round 14): the Arrow bit-fold is one batched
+    # kernel pass per row — light enough that widen_scan's exchange + probe
+    # cost more at gate scale (simhash_near_dup_pairs_wide solo medians
+    # 1.21s widened vs 0.89s unwidened; plain 1.29 vs 1.22).
     base = scoped_persist(
-        widen_scan(df.select(F.col(id_col), F.col(text_col)), id_col).select(
-            F.col(id_col).alias("id"), simhash_fast(text_col, bits).alias("sh")
-        )
+        df.select(F.col(id_col).alias("id"), simhash_fast(text_col, bits).alias("sh"))
     )
     # one long key per (band, value): band index folded into the high bits
     bucket_arr = F.array(
@@ -1548,8 +1548,13 @@ def ngram_jaccard_pairs_ppjoin(
         if block_col is not None
         else F.lit(0)
     )
+    # NOT widened (measured, round 14): ppjoin's cost lives in the exchanges
+    # and joins BELOW this base (prefix-index self-join, df-frequency agg),
+    # not in the one-zip-pass gram fold — widen_scan measured a regression
+    # here (solo medians 3.19s widened vs 2.70s unwidened; the blocked
+    # invidx_prefix variant 3.23 vs 2.66).
     base = scoped_persist(
-        widen_scan(df, id_col).select(
+        df.select(
             F.col(id_col).alias("id"),
             grams.alias("g"),
             F.size(grams).alias("sz"),
