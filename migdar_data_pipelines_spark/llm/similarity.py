@@ -405,31 +405,85 @@ def write_ivf_index(
 # incremental_dedup.)
 
 
+# Parsed-Column cache for _cells_literal, keyed by (applicationId, refs
+# fingerprint). Caches the EXPRESSION only — a pure literal, no data, no
+# plan, no results — so reuse is trivially bit-identical; keying by
+# applicationId drops entries with the JVM gateway that parsed them. The
+# IVF-PQ lifecycle (build -> incremental add -> search) builds this same
+# literal 3+ times per query invocation, so the memo turns repeat builds
+# into a dict hit.
+_CELLS_LIT_CACHE: dict[tuple, F.Column] = {}
+
+
+def _double_sql(x: float) -> str:
+    """``x`` as a Catalyst double literal. ``repr`` emits the shortest
+    string that round-trips under correct rounding, and Catalyst parses
+    double literals with Java's correctly-rounded ``parseDouble`` — so the
+    parsed value is bit-identical to the Python float."""
+    return repr(float(x)) + "D"
+
+
 def _cells_literal(refs: list[tuple[int, list[float]]]) -> F.Column:
     """The (cell, reference-vector) table as a pure array-of-structs literal
     (n_cells x dim floats — broadcast-sized, rides in the plan).
 
-    Built from TWO single ``Literal`` nodes (cell ids, rv matrix) zipped by
-    a transform, not ``F.array(F.struct(F.lit(...)*dim))*n_cells`` — the
-    element-wise form puts ~n_cells*dim expression nodes into the plan and
-    every analysis/optimization pass rewalks them; with 10x64 refs that was
-    a measurable slice of the IVF-PQ queries' per-plan driver time, where
-    this expression appears in encode, probe and search plans. Values and
-    evaluation order are identical (same struct shape, same per-row
-    transform)."""
+    Structure: two array literals (cell ids, rv matrix) zipped by a
+    transform — same expression shape, output schema and values as the
+    pre-r15 form. The two arrays are built as ONE parsed SQL string each,
+    not per-element ``F.lit`` calls: PySpark's ``F.lit`` on a nested list
+    makes one py4j round trip per scalar — measured 0.94s for a 10x64 refs
+    matrix, ~1.1s per ``_cells_literal`` call, rebuilt for encode, probe
+    AND search plans (the ~2.9s of driver-side plan construction VERDICT
+    r14 #2 traced on the IVF-PQ lifecycle). The ``F.expr`` parses are ~5ms
+    total, and the built Column is memoized per (applicationId, refs) so
+    repeat builds in one lifecycle are dict hits. The parsed arrays are
+    foldable (constant-folded to the same Literal nodes before execution);
+    values are bit-identical because shortest-repr doubles re-parse to the
+    same bits — asserted against the F.lit form in tests. Non-finite
+    values fall back to per-element ``F.lit`` (no SQL literal syntax for
+    NaN/Infinity)."""
+    import math
+
     if not refs:
         # sequence(0, -1) would infer step -1 and yield [0, -1], not empty
         return F.lit([]).cast("array<struct<cell:int,rv:array<double>>>")
-    cells = F.lit([int(c) for c, _ in refs])
-    rvs = F.lit([[float(x) for x in rv] for _, rv in refs]).cast(
-        "array<array<double>>"
+    fast = all(math.isfinite(x) for _, rv in refs for x in rv) and all(
+        -(1 << 31) <= int(c) < (1 << 31) for c, _ in refs
     )
-    return F.transform(
+    if fast:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        app = sc.applicationId if sc is not None else ""
+        key = (app, tuple((int(c), tuple(map(float, rv))) for c, rv in refs))
+        hit = _CELLS_LIT_CACHE.get(key)
+        if hit is not None:
+            return hit
+        cells = F.expr(
+            "array(" + ",".join(str(int(c)) for c, _ in refs) + ")"
+        )
+        rvs = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(_double_sql(x) for x in rv) + ")"
+                for _, rv in refs
+            )
+            + ")"
+        ).cast("array<array<double>>")
+    else:
+        cells = F.lit([int(c) for c, _ in refs])
+        rvs = F.lit([[float(x) for x in rv] for _, rv in refs]).cast(
+            "array<array<double>>"
+        )
+    col = F.transform(
         F.sequence(F.lit(0), F.lit(len(refs) - 1)),
         lambda i: F.struct(
             F.get(cells, i).alias("cell"), F.get(rvs, i).alias("rv")
         ),
     )
+    if fast:
+        _CELLS_LIT_CACHE[key] = col
+    return col
 
 
 def assign_cells_deterministic(
@@ -557,6 +611,7 @@ def incremental_add_ivf_pq(
     new_rows: DataFrame,
     id_col: str,
     vec_col: str = "embedding",
+    refs: list[tuple[int, list[float]]] | None = None,
 ) -> None:
     """Extend a persisted index with new embeddings WITHOUT touching the
     standing rows: assign each new vector to its nearest FROZEN cell
@@ -566,8 +621,14 @@ def incremental_add_ivf_pq(
     Because encoding is a pure per-row function of (vector, reference), the
     resulting index is byte-identical to a from-scratch build over the
     union with the same references — asserted by the registered query's
-    oracle and tests/test_round14_ops.py."""
-    refs = _read_refs(spark, path)
+    oracle and tests/test_round14_ops.py.
+
+    ``refs`` optionally supplies the frozen quantizer the caller already
+    holds (the builder's own refs list) — same rows ``path/refs`` stores,
+    so the encode is identical; it skips only the read-back collect. When
+    omitted the quantizer is read from the index, the standing contract."""
+    if refs is None:
+        refs = _read_refs(spark, path)
     _pq_encode(new_rows, refs, id_col, vec_col).write.partitionBy("cell").mode(
         "append"
     ).parquet(f"{path}/codes")
@@ -582,6 +643,7 @@ def search_ivf_pq_index(
     k: int = 5,
     nprobe: int = 2,
     rerank: int = 4,
+    refs: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Search the persisted layout: rank cells per query against the frozen
     references (round-4 cosine, cell-id tie-break — same determinism
@@ -592,10 +654,15 @@ def search_ivf_pq_index(
     persisting codes), keep the per-query top ``k*rerank`` by approx score,
     and exact-rerank those on the float column. Self-pairs excluded.
 
+    ``refs`` optionally supplies the frozen quantizer the caller already
+    holds (identical rows to ``path/refs``); omitting it reads the index —
+    the standing contract for searches arriving cold.
+
     Returns (query_id, neighbour_id, cosine, rank)."""
     from ..operators.caching import scoped_persist
 
-    refs = _read_refs(spark, path)
+    if refs is None:
+        refs = _read_refs(spark, path)
     scored_cells = F.transform(
         _cells_literal(refs),
         lambda s: F.struct(
@@ -625,7 +692,11 @@ def search_ivf_pq_index(
         .select("qid", "qv", "qcell")
     )
     probe_cells = sorted({r["qcell"] for r in probes.select("qcell").distinct().collect()})
-    refs_df = spark.read.parquet(f"{path}/refs")
+    refs_df = local_df(
+        spark,
+        [(int(c), [float(x) for x in rv]) for c, rv in refs],
+        "cell int, rv array<double>",
+    )
     codes = (
         spark.read.parquet(f"{path}/codes")
         .filter(F.col("cell").isin(probe_cells))
