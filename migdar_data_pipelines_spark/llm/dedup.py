@@ -47,6 +47,25 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _appid() -> str:
+    """Key prefix for Column-expression memos: cached py4j expression trees
+    are only valid for the JVM gateway that built them, so memo entries are
+    scoped to the active application (same policy as plans/queries.py::_t)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    return sc.applicationId if sc is not None else ""
+
+
+# Built-Column memo for shingles(str, k). A Column is a pure expression
+# tree — no data, no plan, no session state — so reuse is trivially
+# bit-identical; what it saves is the py4j round trips of rebuilding the
+# k-pass zip_with chain, which streaming callers (one micro-batch = one
+# rebuild) and the per-query registry pay over and over for the same
+# (column-name, k) pair.
+_SHINGLES_CACHE: dict[tuple, Column] = {}
+
+
 def shingles(col: Column | str, k: int = 3) -> Column:
     """Word k-shingles as strings ('w1 w2 w3').
 
@@ -60,6 +79,11 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     nulls and ``array_compact`` drops them, leaving exactly the n-k+1 full
     shingles. Docs with fewer than k words contribute one whole-doc shingle.
     """
+    key = (_appid(), col, k) if isinstance(col, str) else None
+    if key is not None:
+        hit = _SHINGLES_CACHE.get(key)
+        if hit is not None:
+            return hit
     ws = words(col)
     n = F.size(ws)
     acc = ws
@@ -67,7 +91,10 @@ def shingles(col: Column | str, k: int = 3) -> Column:
         shifted = F.slice(ws, j + 1, F.greatest(n - j, F.lit(1)))
         acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     full = F.array_distinct(F.array_compact(acc))
-    return F.when(n < k, F.array(F.array_join(ws, " "))).otherwise(full)
+    out = F.when(n < k, F.array(F.array_join(ws, " "))).otherwise(full)
+    if key is not None:
+        _SHINGLES_CACHE[key] = out
+    return out
 
 
 def _minhash_one(shingle_arr: Column, seed: int) -> Column:
@@ -89,6 +116,11 @@ def minhash_signature(df: DataFrame, text_col: str, n_hashes: int = 8, k: int = 
     for i in range(n_hashes):
         out = out.withColumn(f"minhash_{i}", _minhash_one(F.col("__shingles"), i))
     return out
+
+
+# (perm-min aggregate Columns, band-keys Column) per
+# (applicationId, n_hashes, bands) — see the inline comment at the use site.
+_LSH_EXPR_CACHE: dict[tuple, tuple] = {}
 
 
 def _shingle_band_frames(
@@ -147,31 +179,43 @@ def _shingle_band_frames(
     # ops per element. Built as ONE parsed SQL string per aggregate instead
     # of a py4j Column chain: this construction runs per invocation on the
     # gate path, and the ~6x fewer gateway round-trips measurably cut the
-    # driver-side plan-build time for 32-hash signatures.
-    def perm_min(i: int) -> Column:
-        # large odd multipliers (golden-ratio stride) — h < 2^31 and a < 2^31
-        # keep a*h < 2^62, inside a signed long under ANSI mode. Small
-        # multipliers correlate the permutations and measurably raise the
-        # band-miss rate at threshold-grade similarity.
-        a = ((0x9E3779B1 * (i + 1)) % mersenne) | 1
-        b = (0x85EBCA77 * (i + 1)) % mersenne
-        return F.expr(f"min(pmod(__h * {a}L + {b}L, {mersenne}L))")
+    # driver-side plan-build time for 32-hash signatures. The built Columns
+    # (pure expression trees) are additionally memoized per
+    # (applicationId, n_hashes, bands) — streaming_curate rebuilds this
+    # pipeline once per MICRO-BATCH, where the ~33 parses were a measurable
+    # slice of the per-batch driver gap.
+    memo_key = (_appid(), n_hashes, bands)
+    memo = _LSH_EXPR_CACHE.get(memo_key)
+    if memo is None:
 
-    sig = shingle_rows.groupBy("id").agg(
-        *[perm_min(i).alias(f"__m{i}") for i in range(n_hashes)]
-    )
+        def perm_min(i: int) -> Column:
+            # large odd multipliers (golden-ratio stride) — h < 2^31 and
+            # a < 2^31 keep a*h < 2^62, inside a signed long under ANSI
+            # mode. Small multipliers correlate the permutations and
+            # measurably raise the band-miss rate at threshold-grade
+            # similarity.
+            a = ((0x9E3779B1 * (i + 1)) % mersenne) | 1
+            b = (0x85EBCA77 * (i + 1)) % mersenne
+            return F.expr(f"min(pmod(__h * {a}L + {b}L, {mersenne}L))")
 
-    band_keys = F.expr(
-        "array("
-        + ", ".join(
-            "xxhash64({}, {})".format(
-                bnd,
-                ", ".join(f"__m{bnd * rows + r}" for r in range(rows)),
-            )
-            for bnd in range(bands)
+        memo = (
+            [perm_min(i).alias(f"__m{i}") for i in range(n_hashes)],
+            F.expr(
+                "array("
+                + ", ".join(
+                    "xxhash64({}, {})".format(
+                        bnd,
+                        ", ".join(f"__m{bnd * rows + r}" for r in range(rows)),
+                    )
+                    for bnd in range(bands)
+                )
+                + ")"
+            ),
         )
-        + ")"
-    )
+        _LSH_EXPR_CACHE[memo_key] = memo
+    perm_cols, band_keys = memo
+
+    sig = shingle_rows.groupBy("id").agg(*perm_cols)
     band_rows = sig.select("id", F.explode(band_keys).alias("bucket"))
     if persist:
         band_rows = scoped_persist(band_rows)
@@ -401,8 +445,20 @@ def minhash_lsh_pairs(
     max_broadcast_candidates: int | None = None,
     max_bucket_size: int | None = MAX_LSH_BUCKET_SIZE,
     frames: tuple[DataFrame, DataFrame] | None = None,
+    verify_hints: tuple[bool, bool] | None = None,
+    gate_observation=None,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with true shingle Jaccard.
+
+    ``verify_hints`` optionally supplies the broadcast-gate decision
+    ``(thin, fat)`` directly, skipping the eager candidate-count job — for
+    callers that can carry the decision across invocations (streaming_curate
+    carries it across micro-batches: VERDICT r14 #1). The hints only pick a
+    join strategy, never change output. ``gate_observation`` (a
+    ``pyspark.sql.Observation``) is attached to the verify join when given,
+    measuring the exact (n, elems) the eager gate would have counted as a
+    free side-effect of the caller's own action — the caller reads it after
+    its action to refresh the carried decision.
 
     ``frames`` optionally supplies a prebuilt, PERSISTED
     ``(base, band_rows)`` pair from :func:`_shingle_band_frames` (same
@@ -504,15 +560,18 @@ def minhash_lsh_pairs(
     # signature pipeline, so we skip the hint and let AQE decide.
     if persist_shingles:
         cand = scoped_persist(cand)
-        hint, fat_hint = _verify_hints(
-            cand,
-            base.select(F.col("id").alias("id_a"), F.size("__sh").alias("__asz")),
-            "id_a",
-            MAX_BROADCAST_CANDIDATE_PAIRS
-            if max_broadcast_candidates is None
-            else max_broadcast_candidates,
-            _SHINGLE_ELEM_BYTES,
-        )
+        if verify_hints is not None:
+            hint, fat_hint = verify_hints
+        else:
+            hint, fat_hint = _verify_hints(
+                cand,
+                base.select(F.col("id").alias("id_a"), F.size("__sh").alias("__asz")),
+                "id_a",
+                MAX_BROADCAST_CANDIDATE_PAIRS
+                if max_broadcast_candidates is None
+                else max_broadcast_candidates,
+                _SHINGLE_ELEM_BYTES,
+            )
     else:
         hint = fat_hint = False
     sh_df = base.select(F.col("id").alias("__sid"), F.col("__sh"))
@@ -522,6 +581,15 @@ def minhash_lsh_pairs(
         .withColumnRenamed("__sh", "sh_a")
         .drop("__sid")
     )
+    if gate_observation is not None:
+        # every cand row has exactly one base row (its id_a came from these
+        # very rows), so the joined frame carries the same (n, sum |sh_a|)
+        # the eager gate aggregates — observe it here for free
+        cand = cand.observe(
+            gate_observation,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.size("sh_a")), F.lit(0)).alias("elems"),
+        )
     # the second hop's left side carries sh_a — rows are arrays, not id
     # pairs, so its broadcast is gated on estimated BYTES, not row count
     cand = (
@@ -583,6 +651,8 @@ def incremental_dedup_prepared(
     max_index_bucket: int | None = MAX_LSH_BUCKET_SIZE,
     batch_frames: tuple[DataFrame, DataFrame] | None = None,
     batch_hashes: DataFrame | None = None,
+    verify_hints: tuple[bool, bool] | None = None,
+    gate_observation=None,
 ) -> DataFrame:
     """``incremental_dedup`` against PERSISTED probe state (VERDICT r13 #4's
     index-growth rung made this load-bearing): the standing corpus's md5 set
@@ -611,6 +681,11 @@ def incremental_dedup_prepared(
     the within-batch LSH, this probe, and the per-batch state writes)
     never recomputes the shingle/signature pipeline. Bit-identical output:
     the frames are the same deterministic fixed-salt construction.
+
+    ``verify_hints`` / ``gate_observation``: as in :func:`minhash_lsh_pairs`
+    — carry the broadcast-gate decision in from a previous invocation
+    instead of the eager count job, and measure this invocation's exact
+    (n, elems) as a side-effect of the caller's action.
 
     Returns one row per batch doc: (id, dup_exact, n_near_index, is_new)."""
     if batch_hashes is not None:
@@ -659,15 +734,18 @@ def incremental_dedup_prepared(
         .dropDuplicates(["id_b", "id_i"])
     )
     cand = scoped_persist(cand)
-    hint, fat_hint = _verify_hints(
-        cand,
-        b_base.select(F.col("id").alias("id_b"), F.size("__sh").alias("__asz")),
-        "id_b",
-        MAX_BROADCAST_CANDIDATE_PAIRS
-        if max_broadcast_candidates is None
-        else max_broadcast_candidates,
-        _SHINGLE_ELEM_BYTES,
-    )
+    if verify_hints is not None:
+        hint, fat_hint = verify_hints
+    else:
+        hint, fat_hint = _verify_hints(
+            cand,
+            b_base.select(F.col("id").alias("id_b"), F.size("__sh").alias("__asz")),
+            "id_b",
+            MAX_BROADCAST_CANDIDATE_PAIRS
+            if max_broadcast_candidates is None
+            else max_broadcast_candidates,
+            _SHINGLE_ELEM_BYTES,
+        )
     # verification shingles for ONLY the candidate index docs: semi-join the
     # corpus text by candidate id (the id set is bounded by the persisted
     # candidate count the hint gate just measured), then shingle those rows
@@ -685,6 +763,14 @@ def incremental_dedup_prepared(
               F.col("id_b") == F.col("__sid"))
         .drop("__sid")
     )
+    if gate_observation is not None:
+        # same free (n, elems) measurement as minhash_lsh_pairs: the join
+        # with the batch's own shingle frame preserves every cand row
+        cand = cand.observe(
+            gate_observation,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.size("sh_b")), F.lit(0)).alias("elems"),
+        )
     cand = (
         (F.broadcast(cand) if fat_hint else cand)
         .join(i_base.select(F.col("id").alias("__sid"), F.col("__sh").alias("sh_i")),

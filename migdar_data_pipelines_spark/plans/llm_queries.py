@@ -6171,23 +6171,35 @@ def streaming_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = d.agg(F.max("doc_id")).first()[0] + 1
         n_chunks = 3
         step = (hi + n_chunks - 1) // n_chunks
-        stamped: set = set()
-        for i in range(n_chunks):
+        # The three chunk writes are independent jobs over disjoint id
+        # ranges — submit them from a small thread pool so the later jobs
+        # back-fill the earlier jobs' task tails (guide §2.6) instead of
+        # paying three sequential job walls. Each chunk lands in its own
+        # staging dir so part files attribute to chunks without the
+        # write-order bookkeeping, then moves into the source dir.
+        import glob as _glob
+        import os as _os
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_chunk(i: int) -> None:
             d.filter(
                 (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step)
-            ).sort("doc_id").coalesce(1).write.mode("append").parquet(src)
-            # FileStreamSource orders files by modification time; two
-            # sequential writes can land inside one coarse FS timestamp
-            # tick, which would deliver chunks out of id order and break
-            # the strictly-earlier-id verdict contract (ADVICE r13). Stamp
-            # each chunk's part files with explicitly increasing mtimes so
-            # delivery order is forced, not hoped for.
-            import glob as _glob
-            import os as _os
-            for p in _glob.glob(f"{src}/*.parquet"):
-                if p not in stamped:
-                    _os.utime(p, (1_700_000_000 + i, 1_700_000_000 + i))
-                    stamped.add(p)
+            ).sort("doc_id").coalesce(1).write.mode("overwrite").parquet(
+                f"{base}/c{i}"
+            )
+
+        with ThreadPoolExecutor(max_workers=n_chunks) as tp:
+            list(tp.map(_write_chunk, range(n_chunks)))
+        _os.makedirs(src, exist_ok=True)
+        for i in range(n_chunks):
+            # FileStreamSource orders files by modification time; stamp each
+            # chunk's part files with explicitly increasing mtimes so
+            # delivery order (the strictly-earlier-id contract, ADVICE r13)
+            # is forced, not hoped for.
+            for j, p in enumerate(sorted(_glob.glob(f"{base}/c{i}/*.parquet"))):
+                dst = f"{src}/chunk{i:03d}_{j:03d}.parquet"
+                _os.rename(p, dst)
+                _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)

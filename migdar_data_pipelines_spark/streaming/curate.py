@@ -89,6 +89,8 @@ def curate_batch_verdict(
     max_bucket_size: int | None = None,
     index_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     batch_state: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    verify_hints: dict | None = None,
+    gate_observations: dict | None = None,
 ) -> DataFrame:
     """One micro-batch's verdict frame — the plan the stream runs per
     trigger, factored out so it is explainable/testable as batch code
@@ -113,6 +115,12 @@ def curate_batch_verdict(
     the same deterministic fixed-salt construction the raw-text form
     builds internally.
 
+    ``verify_hints`` / ``gate_observations`` (keys ``"lsh"`` / ``"inc"``)
+    plumb the carried broadcast-gate decisions and their refresh
+    observations into the two pair passes (llm/dedup.py — VERDICT r14 #1:
+    carry the gate across micro-batches instead of 2 eager collects per
+    batch). Join-strategy only; output unchanged.
+
     Returns (id, dup_exact, near_dup, admitted)."""
     from ..llm.dedup import (
         incremental_dedup,
@@ -120,21 +128,31 @@ def curate_batch_verdict(
         minhash_lsh_pairs,
     )
 
+    from pyspark.sql import Window
+
     b_hashes = b_frames = None
     if batch_state is not None:
         b_hashes, b_base, b_bands = batch_state
         b_frames = (b_base, b_bands)
+    hints = verify_hints or {}
+    observations = gate_observations or {}
 
     # within-batch exact tier: first (min-id) holder of each md5 is clean;
-    # later holders flag. Map-side-combinable groupBy.
+    # later holders flag. One window over the hash partition — a single
+    # exchange of the batch rows, where the groupBy(min)+join form paid the
+    # aggregate exchange AND a second shuffle of the rows into the join
+    # (guide §2.4); min-per-partition is the same value the join delivered.
     h = (
         b_hashes.select("id", F.col("h").alias("__h"))
         if b_hashes is not None
         else filtered.select("id", F.md5("text").alias("__h"))
     )
-    firsts = h.groupBy("__h").agg(F.min("id").alias("__first"))
-    exact_b = h.join(firsts, "__h").select(
-        "id", (F.col("id") != F.col("__first")).alias("dup_exact_b")
+    exact_b = h.select(
+        "id",
+        (
+            F.col("id")
+            != F.min("id").over(Window.partitionBy("__h"))
+        ).alias("dup_exact_b"),
     )
     # within-batch near tier: banded LSH pairs (id_a < id_b), the later
     # side of every verified pair flags.
@@ -144,6 +162,8 @@ def curate_batch_verdict(
         jaccard_threshold=jaccard_threshold,
         max_bucket_size=max_bucket_size,
         frames=b_frames,
+        verify_hints=hints.get("lsh"),
+        gate_observation=observations.get("lsh"),
     )
     near_b = (
         pairs.select(F.col("id_b").alias("id"))
@@ -165,6 +185,8 @@ def curate_batch_verdict(
             max_index_bucket=max_bucket_size,
             batch_frames=b_frames,
             batch_hashes=b_hashes,
+            verify_hints=hints.get("inc"),
+            gate_observation=observations.get("inc"),
         )
         verdict = verdict.join(
             inc.select(
@@ -233,14 +255,68 @@ def streaming_curate(
     it simulates the worst at-least-once crash point (state written, commit
     lost), which the restart must replay idempotently."""
     from pyspark.errors import AnalysisException
+    from pyspark.sql import Observation
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
-    from ..llm.dedup import _shingle_band_frames
+    from ..llm.dedup import (
+        MAX_BROADCAST_CANDIDATE_PAIRS,
+        MAX_BROADCAST_VERIFY_BYTES,
+        _SHINGLE_ELEM_BYTES,
+        _shingle_band_frames,
+    )
+
+    # Per-DRAIN constants, hoisted out of the per-batch callback: the filter
+    # predicate and projection Columns are pure expression trees rebuilt
+    # identically every micro-batch otherwise (measured as part of the
+    # ~1.3-2.7s/batch driver-side plan-build gap, VERDICT r14 #1), and the
+    # state-table schemas are known by construction — passing them to the
+    # per-batch reads skips the footer-inference pass per read.
+    filter_col = curation_filter(text_col, min_words, min_quality, languages)
+    proj_cols = (F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    id_type = docs_stream.schema[id_col].dataType
+    bid_field = StructField("batch_id", IntegerType())
+    index_schema = StructType(
+        [StructField("id", id_type), StructField("text", StringType()), bid_field]
+    )
+    hashes_schema = StructType(
+        [StructField("id", id_type), StructField("h", StringType()), bid_field]
+    )
+    from pyspark.sql.types import LongType
+
+    bands_schema = StructType(
+        [StructField("id", id_type), StructField("bucket", LongType()), bid_field]
+    )
+
+    # Broadcast-gate state carried ACROSS micro-batches (VERDICT r14 #1):
+    # the standing index only grows, so the previous batch's exact
+    # (candidate count, shingle elems) — measured for free by an
+    # Observation riding the batch's own sink job — decides the next
+    # batch's broadcast hints without the 2 eager collect jobs per batch.
+    # The decision is join-strategy only (output is bit-identical either
+    # way); a 2x growth slack keeps any carried-decision broadcast within
+    # small-constant range of the ceiling, and a batch whose previous
+    # count sits inside the slack band falls back to the exact eager
+    # count. First batch (no state) measures eagerly, as before.
+    gate_state: dict[str, tuple[int, int]] = {}
+
+    def _carried_hints(key: str):
+        prev = gate_state.get(key)
+        if prev is None:
+            return None
+        n, elems = prev
+        if n > MAX_BROADCAST_CANDIDATE_PAIRS:
+            return (False, False)  # past the ceiling; the index only grows
+        if 2 * n > MAX_BROADCAST_CANDIDATE_PAIRS:
+            return None  # near the flip — measure exactly this batch
+        fat = (
+            2 * elems * _SHINGLE_ELEM_BYTES + 2 * n * 32
+            <= MAX_BROADCAST_VERIFY_BYTES
+        )
+        return (True, fat)
 
     def _batch(bdf: DataFrame, batch_id: int) -> None:
         spark = bdf.sparkSession
-        filtered = bdf.filter(
-            curation_filter(text_col, min_words, min_quality, languages)
-        ).select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        filtered = bdf.filter(filter_col).select(*proj_cols)
         filtered = filtered.persist()
         # The batch's probe frames — (id, h) md5, persisted (id, shingles)
         # and (id, bucket) band rows — are built ONCE here and shared by
@@ -267,14 +343,20 @@ def streaming_curate(
             # re-shingles the standing corpus — per-batch compute is
             # O(batch + candidates) however large the index grows (the
             # index-growth rung in SCALING.md measures exactly this).
-            def _earlier(path: str) -> DataFrame | None:
+            def _earlier(path: str, schema: StructType) -> DataFrame | None:
                 try:
-                    return spark.read.parquet(path).where(
-                        F.col("batch_id") < F.lit(batch_id)
+                    # schema known by construction (this entry point wrote
+                    # it): skips the per-batch footer-inference pass; the
+                    # listing itself still probes existence (first batch:
+                    # AnalysisException -> no state yet)
+                    return (
+                        spark.read.schema(schema)
+                        .parquet(path)
+                        .where(F.col("batch_id") < F.lit(batch_id))
                     )
                 except AnalysisException:
                     return None  # first batch: no state yet
-            i_texts = _earlier(index_dir)
+            i_texts = _earlier(index_dir, index_schema)
             if i_texts is not None and not any(
                 # strictly-earlier emptiness decided from the read's own file
                 # index (the partition value is in every file path), not a
@@ -296,10 +378,13 @@ def streaming_curate(
                 # state frames are too — no per-path emptiness job needed;
                 # a corpus predating the probe state (raw-index fallback)
                 # surfaces as AnalysisException on the _state reads.
-                i_h = _earlier(f"{index_dir}/_state/hashes")
-                i_b = _earlier(f"{index_dir}/_state/bands")
+                i_h = _earlier(f"{index_dir}/_state/hashes", hashes_schema)
+                i_b = _earlier(f"{index_dir}/_state/bands", bands_schema)
                 if i_h is not None and i_b is not None:
                     state = (i_h, i_b, i_texts.select("id", "text"))
+            observations = {"lsh": Observation()}
+            if state is not None:
+                observations["inc"] = Observation()
             out = curate_batch_verdict(
                 # raw-index fallback only if the corpus predates the probe
                 # state (never the case for a stream this entry point wrote)
@@ -309,6 +394,11 @@ def streaming_curate(
                 max_bucket_size=max_bucket_size,
                 index_state=state,
                 batch_state=(b_hashes, b_base, b_bands),
+                verify_hints={
+                    "lsh": _carried_hints("lsh"),
+                    "inc": _carried_hints("inc"),
+                },
+                gate_observations=observations,
             )
             # idempotent per-batch sinks: a replay (at-least-once delivery
             # redelivers the identical batch under the identical batch_id —
@@ -353,6 +443,22 @@ def streaming_curate(
                 for df, path in sinks
             ]:
                 fut.result()
+            # refresh the carried gate state from the observations that rode
+            # the verdict sink (they fired — the sink's write just ran the
+            # verify joins they are attached to); next batch decides its
+            # broadcast hints from these exact numbers without a collect
+            for key, obs in observations.items():
+                # the sink's write completed, so getRow() returns without
+                # blocking. An EMPTY row means AQE's empty-relation
+                # propagation pruned the observed CollectMetrics node out
+                # of the final plan — which it only does when the observed
+                # subtree is provably empty, i.e. the true count IS zero.
+                jrow = obs._jo.getRow()
+                gate_state[key] = (
+                    (0, 0)
+                    if jrow.length() == 0
+                    else (int(obs.get["n"]), int(obs.get["elems"]))
+                )
             if _fault_after_batch is not None:
                 _fault_after_batch(batch_id)
         finally:
