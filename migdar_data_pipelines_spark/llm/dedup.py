@@ -1658,11 +1658,22 @@ def ngram_jaccard_pairs_ppjoin(
         .agg(F.array_sort(F.collect_list(F.struct("dfc", "gram"))).alias("sg"))
     )
     p = (F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz")) + 1).cast("int")
-    prefix = sorted_docs.select(
-        "id",
-        "sz",
-        "blk",
-        F.posexplode(F.slice(F.col("sg.gram"), 1, p)).alias("pos", "gram"),
+    # PIN the prefix frame (guide §1.2/§5): both sides of the candidate
+    # self-join below read it, and without the persist the ENTIRE pipeline
+    # above — explode, the df-frequency aggregate, the frequency join and
+    # the per-doc collect_list — executes twice, once per side (r15 plan
+    # trace: the subtree appeared duplicated with no ReusedExchange; the
+    # exchanges below the base were the query's measured cost, VERDICT r14
+    # #5). The prefix rows are the ~(1-t) sliced head of each doc's sorted
+    # grams — far smaller than the exploded token frame, so this is the
+    # cheapest frame on the path that cuts the duplication.
+    prefix = scoped_persist(
+        sorted_docs.select(
+            "id",
+            "sz",
+            "blk",
+            F.posexplode(F.slice(F.col("sg.gram"), 1, p)).alias("pos", "gram"),
+        )
     )
     a = prefix.select(
         "blk", "gram", F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), F.col("pos").alias("pa")
