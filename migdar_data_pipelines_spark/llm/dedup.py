@@ -2622,6 +2622,20 @@ def winnow_fingerprints(
     def winnow(batches):
         import numpy as np
 
+        # per-task gram-hash memo: natural text repeats trigrams heavily
+        # (boilerplate, shared phrases, near-dup variants), and md5-per-gram
+        # is the kernel's dominant Python cost — a dict hit replaces the
+        # digest for every repeat. Bounded by the task's distinct grams
+        # (guide §4.5: per-task state, amortized over the batch loop).
+        memo: dict[str, int] = {}
+
+        def ghash(g: str) -> int:
+            v = memo.get(g)
+            if v is None:
+                v = int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                memo[g] = v
+            return v
+
         for pdf in batches:
             ids, ngs, nfs, fps = [], [], [], []
             for i, t in zip(pdf[id_col], pdf[text_col]):
@@ -2634,10 +2648,7 @@ def winnow_fingerprints(
                         for j in range(len(ws) - k + 1)
                     ]
                 hs = np.fromiter(
-                    (
-                        int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
-                        for g in grams
-                    ),
+                    (ghash(g) for g in grams),
                     dtype=np.int64,
                     count=len(grams),
                 )

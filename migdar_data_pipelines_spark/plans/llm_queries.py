@@ -4989,7 +4989,11 @@ def winnow_shared_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("__df") <= _WINNOW_MAX_DF)
         .select("fingerprint")
     )
-    culled = idx.join(ok, "fingerprint")
+    # pin the culled index too: BOTH sides of the pair self-join read it,
+    # and unpinned each side re-ran the document-frequency aggregate and
+    # the cull join (the ppjoin prefix lesson, r15). idx stays pinned so
+    # the winnow kernel runs once inside this materialization.
+    culled = scoped_persist(idx.join(ok, "fingerprint"))
     a = culled.select("fingerprint", F.col("id").alias("id_a"))
     b = culled.select(
         F.col("fingerprint").alias("fp_b"), F.col("id").alias("id_b")
