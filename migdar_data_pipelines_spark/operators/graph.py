@@ -106,24 +106,36 @@ def pagerank_fixed_point(
                     + F.expr(f"({DAMP_PCT} * coalesce(s, 0L)) div 100")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint()
         )
-        if tol_fp is not None:
-            # bounded driver scalar: both frames are checkpointed, so this
-            # is one co-partitioned join + single-row agg, no recompute
-            delta = (
-                new_ranks.alias("a")
-                .join(ranks.alias("b"), "id")
-                .agg(
-                    F.sum(F.abs(F.col("a.r") - F.col("b.r"))).alias("d")
-                )
-                .first()["d"]
+        if tol_fp is None:
+            # Fixed-round unroll (the SQL mirror's CTE-chain shape): each
+            # round's frame is referenced exactly ONCE by the next round,
+            # so the whole K-round update is a straight lazy pipeline — no
+            # per-round localCheckpoint materialization job. The bounded
+            # leaves (ed, node_ids) stay checkpointed, so the unrolled plan
+            # is K joins over two compact LogicalRDDs, and the ONE action
+            # that consumes the result lets AQE size every round's exchange
+            # from real stats (guide §1.2; r15: pagerank_documents ran 36
+            # jobs for a 5-round update, ~4 per round + checkpoint walls).
+            # The early-stop path below keeps the per-round checkpoint: it
+            # reads each round's frame twice (delta + next round) and pulls
+            # a driver scalar per round, so materialization pays there.
+            ranks = new_ranks
+            continue
+        new_ranks = new_ranks.localCheckpoint()
+        # bounded driver scalar: both frames are checkpointed, so this
+        # is one co-partitioned join + single-row agg, no recompute
+        delta = (
+            new_ranks.alias("a")
+            .join(ranks.alias("b"), "id")
+            .agg(
+                F.sum(F.abs(F.col("a.r") - F.col("b.r"))).alias("d")
             )
-            ranks = new_ranks
-            if delta is not None and delta <= tol_fp:
-                break
-        else:
-            ranks = new_ranks
+            .first()["d"]
+        )
+        ranks = new_ranks
+        if delta is not None and delta <= tol_fp:
+            break
     return ranks.select("id", F.col("r").alias("rank_fp"))
 
 
@@ -217,6 +229,17 @@ def label_propagation(
             .where(F.col("rk") == 1)
             .select(F.col("id").alias("__uid"), F.col("label").alias("__ulabel"))
         )
+        # KEPT as an eager per-round localCheckpoint (measured, r15): each
+        # round's label frame is read TWICE by the next round (message side
+        # + carry-forward side), and the lazy alternative — scoped_persist
+        # per round so the whole update runs under the consumer's one
+        # action, the pagerank fixed-round treatment — measured WORSE here
+        # (solo medians 1.68s persisted-lazy vs 1.37s checkpointed at
+        # sf0.1): the doubled readers make every round's cache fill a
+        # synchronization point anyway, and the 2-refs-per-round logical
+        # tree grows 2^K before cache substitution. Unlike pagerank's
+        # single-reference chain, LPA genuinely wants the per-round
+        # materialization.
         labels = (
             labels.join(new, labels["id"] == F.col("__uid"), "left")
             .select(
