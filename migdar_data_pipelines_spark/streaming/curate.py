@@ -256,7 +256,13 @@ def streaming_curate(
     lost), which the restart must replay idempotently."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import Observation
-    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
 
     from ..llm.dedup import (
         MAX_BROADCAST_CANDIDATE_PAIRS,
@@ -281,22 +287,23 @@ def streaming_curate(
     hashes_schema = StructType(
         [StructField("id", id_type), StructField("h", StringType()), bid_field]
     )
-    from pyspark.sql.types import LongType
-
     bands_schema = StructType(
         [StructField("id", id_type), StructField("bucket", LongType()), bid_field]
     )
 
     # Broadcast-gate state carried ACROSS micro-batches (VERDICT r14 #1):
-    # the standing index only grows, so the previous batch's exact
-    # (candidate count, shingle elems) — measured for free by an
-    # Observation riding the batch's own sink job — decides the next
-    # batch's broadcast hints without the 2 eager collect jobs per batch.
-    # The decision is join-strategy only (output is bit-identical either
-    # way); a 2x growth slack keeps any carried-decision broadcast within
-    # small-constant range of the ceiling, and a batch whose previous
-    # count sits inside the slack band falls back to the exact eager
-    # count. First batch (no state) measures eagerly, as before.
+    # the previous batch's exact (candidate count, shingle elems) —
+    # measured for free by an Observation riding the batch's own sink job
+    # — decides the next batch's broadcast hints without the 2 eager
+    # collect jobs per batch. For the cross-index probe the count is
+    # monotone (the index only grows, batch sizes comparable); for the
+    # within-batch pass it is batch-size-stable by the micro-batch
+    # contract. The decision is join-strategy only (output is
+    # bit-identical either way); a 2x growth slack keeps any
+    # carried-decision broadcast within small-constant range of the
+    # ceiling, and a batch whose previous count sits inside the slack
+    # band falls back to the exact eager count. First batch (no state)
+    # measures eagerly, as before.
     gate_state: dict[str, tuple[int, int]] = {}
 
     def _carried_hints(key: str):
